@@ -1,0 +1,499 @@
+"""The ALPINE estimator — sklearn-style semi-supervised NMF, TPU-native.
+
+API parity target: class `ALPINE` in `/root/reference/alpine/main.py:46-781`
+(constructor args main.py:47-61; fit :82; transform :149; fit_transform :169;
+compute_loss :187; get_decomposed_matrices :238; get_covariate_gene_scores
+:246; get_normalized_expression :275; store_embeddings :303).  Matches the
+reference signature-for-signature, error-message-for-error-message, and
+obsm/varm/layers-key-for-key, with these documented divergences:
+
+- `device` accepts "cpu"/"tpu"/"gpu"/"auto"/a `jax.Device`/a 1-D
+  `jax.sharding.Mesh` ("cuda"/"mps" are accepted as aliases of the default
+  accelerator so reference call sites run unchanged).  Passing a Mesh shards
+  the cell axis of X/H/Y across it (see `alpine_tpu/parallel/mesh.py`).
+- RNG: JAX threaded PRNG keyed on `random_state` replaces torch's global
+  seed; draws differ from torch, so parity is defined on update math and
+  convergence quality, not bitwise trajectories (SURVEY.md §7 hard part 1).
+- the `batch_size`/`max_iter` fit-arg validation bug of the reference
+  (`and` where `or` was meant, main.py:420-428, so the checks never fire) is
+  fixed here: invalid values actually raise.
+- `matmul_precision` (extra kwarg, default "highest") selects true-f32 MXU
+  matmuls; "default" allows XLA's fast TPU path for throughput runs.
+
+Training runs as a single jitted `lax.scan` (see `alpine_tpu/ops/mu.py`);
+the per-iteration loss history is accumulated on device and fetched once
+(versus the reference's per-epoch `.item()` host syncs, main.py:731-747).
+"""
+
+from __future__ import annotations
+
+import warnings
+from copy import copy, deepcopy
+from typing import Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from alpine_tpu.models.state import AlpineMatrices, split_h, split_w
+from alpine_tpu.ops import mu
+from alpine_tpu.ops.elbow import find_elbow
+from alpine_tpu.parallel.mesh import Placement, resolve_device
+from alpine_tpu.utils import sampling
+from alpine_tpu.utils.adata import is_anndata
+from alpine_tpu.utils.encoder import FeatureEncoders
+from alpine_tpu.utils.single_cell import normalize_total
+
+Float32Array = np.ndarray
+
+
+class ALPINE:
+    def __init__(
+        self,
+        n_components: int,
+        n_covariate_components: List[int],
+        lam: List[float],
+        orth_W: float = 0.0,
+        alpha_W: float = 0.0,
+        l1_ratio_W: float = 0.0,
+        use_als: bool = False,
+        scale_needed: bool = True,
+        loss_type: str = "kl-divergence",
+        device="auto",
+        eps: float = 1e-6,
+        random_state: int = 42,
+        matmul_precision: str = "highest",
+    ):
+        self.n_components = n_components
+        self.n_covariate_components = n_covariate_components
+        self.lam = lam
+        self.orth_W = orth_W
+        self.alpha_W = alpha_W
+        self.l1_ratio_W = l1_ratio_W
+        self.use_als = use_als
+        self.scale_needed = scale_needed
+        self.device = resolve_device(device)
+        self.loss_type = loss_type
+        self.eps = eps
+        self.random_state = random_state
+        self.matmul_precision = matmul_precision
+
+        self._validate_init_args()
+
+        # derived attributes (reference main.py:79-80)
+        self.n_all_components = self.n_covariate_components + [self.n_components]
+        self.total_components = sum(self.n_all_components)
+
+    # ------------------------------------------------------------------ fit
+    def fit(
+        self,
+        adata,
+        covariate_keys: List[str],
+        batch_size: Optional[int] = None,
+        max_iter: Optional[int] = None,
+        sampling_method: str = "random",
+        verbose: bool = False,
+    ) -> "ALPINE":
+        self._validate_fit_args(
+            adata, covariate_keys, batch_size, max_iter, sampling_method, verbose
+        )
+        self.feature_names: List[str] = adata.var_names.tolist()
+        self.n_features: int = adata.shape[1]
+        self.covariate_keys: List[str] = covariate_keys
+        self.sampling_method: str = sampling_method
+        self.verbose: bool = verbose
+
+        # (genes x cells) layout, as in the reference (main.py:104)
+        X: Float32Array = copy(adata.X).astype(np.float32).T
+        n_sample = X.shape[1]
+
+        self.fe = FeatureEncoders(covariate_keys)
+        Y: List[Float32Array] = self.fe.fit_transform(adata.obs)
+        Ys = [y.T.copy() for y in Y]  # (labels_i, cells), main.py:446-449
+
+        self.batch_size: int = batch_size if batch_size is not None else n_sample
+
+        placement = Placement(self.device)
+        Xd = placement.put_cells_matrix(X)
+        Ysd = tuple(placement.put_cells_matrix(y) for y in Ys)
+
+        # weighted sampling probabilities (host-side, once; reference
+        # recomputes per epoch on the host, sampling.py:18-33)
+        weights = None
+        if sampling_method == "weighted":
+            ids = sampling.joint_label_ids(Ys)
+            weights = placement.put_replicated(
+                jnp.asarray(sampling.balanced_sample_probabilities(ids))
+            )
+
+        def run(n_iter: int):
+            cfg = self._make_cfg(Ys, n_sample, n_iter)
+            key = jax.random.PRNGKey(self.random_state)
+            init_key, fit_key = jax.random.split(key)
+            W0, H0, Bs0 = mu.init_matrices(cfg, self.n_features, init_key, self.eps)
+            W0 = placement.put_replicated(W0)
+            H0 = placement.put_cells_matrix(H0)
+            Bs0 = tuple(placement.put_replicated(b) for b in Bs0)
+            hyper = self._hyper()
+            return cfg, mu.fit_scan(cfg, W0, H0, Bs0, Xd, Ysd, hyper, fit_key, weights)
+
+        # warm-up elbow search (reference main.py:114-131)
+        if max_iter is None:
+            _, (_, _, _, losses) = run(200)
+            recon = np.asarray(losses[:, 1])
+            self.max_iter: int = self._compute_best_iter(recon)
+        else:
+            self.max_iter = max_iter
+
+        cfg, (Wd, Hd, Bsd, losses) = run(self.max_iter)
+
+        if self.scale_needed:
+            Wd, Hd, Bsd = mu.scale_matrices(cfg, Wd, Hd, Bsd)
+
+        # loss history DataFrame contract (reference main.py:666-676)
+        losses_np = np.asarray(jax.device_get(losses))
+        colnames = ["total loss", "reconstruction loss"] + [
+            f"prediction loss({k})" for k in self.covariate_keys
+        ]
+        self.loss_history = pd.DataFrame(losses_np, columns=colnames)
+        if verbose and len(losses_np):
+            print(
+                f"ALPINE fit: {self.max_iter} iterations, "
+                f"final objective loss {losses_np[-1, 0]:.6g}"
+            )
+
+        W_np = np.asarray(jax.device_get(Wd), dtype=np.float32)
+        H_np = np.asarray(jax.device_get(Hd), dtype=np.float32)
+        m = AlpineMatrices(
+            X=X,
+            Ys=[np.asarray(y, dtype=np.float32) for y in Ys],
+            Ws=split_w(W_np, self.n_all_components),
+            Hs=split_h(H_np, self.n_all_components),
+            Bs=[np.asarray(jax.device_get(b), dtype=np.float32) for b in Bsd],
+        )
+        self.matrices: Dict[str, Union[Float32Array, List[Float32Array]]] = m.to_numpy()
+
+        self.store_embeddings(adata)
+        return self
+
+    # ------------------------------------------------------------ transform
+    def transform(self, adata, n_iter: Optional[int] = None) -> None:
+        if not hasattr(self, "matrices"):
+            raise RuntimeError("Model is not trained yet. Please fit the model first.")
+        if not is_anndata(adata):
+            raise TypeError("adata must be an AnnData object.")
+        if not isinstance(n_iter, (int, type(None))) or (
+            n_iter is not None and n_iter <= 0
+        ):
+            raise ValueError("n_iter must be a positive integer or None.")
+        n_iter = n_iter if n_iter is not None else self.max_iter
+        self._transform(adata, n_iter)
+
+    def fit_transform(
+        self,
+        adata,
+        covariate_keys: List[str],
+        batch_size: Optional[int] = None,
+        max_iter: Optional[int] = None,
+        sampling_method: str = "random",
+        verbose: bool = False,
+    ) -> None:
+        self.fit(
+            adata,
+            covariate_keys,
+            batch_size=batch_size,
+            max_iter=max_iter,
+            sampling_method=sampling_method,
+            verbose=verbose,
+        ).transform(adata)
+
+    # --------------------------------------------------------------- loss
+    def compute_loss(self, adata):
+        """Post-hoc numpy recomputation of the total loss from stored
+        embeddings (reference main.py:187-236)."""
+        if not hasattr(self, "matrices"):
+            raise RuntimeError("Model is not trained yet. Please fit the model first.")
+        if not is_anndata(adata):
+            raise TypeError("adata must be an AnnData object.")
+        if "ALPINE_embedding" not in adata.obsm:
+            raise ValueError(
+                "ALPINE_embedding not found in adata.obsm. Please transform the data first."
+            )
+
+        def kl_divergence(y, y_hat):
+            y_hat = np.clip(y_hat, a_min=self.eps, a_max=None)
+            return np.sum(
+                y * np.log(np.clip(y / y_hat, a_min=self.eps, a_max=None)) - y + y_hat
+            )
+
+        X = copy(adata.X).astype(np.float32).T
+
+        Ws, Hs = [], []
+        for covariate in self.covariate_keys:
+            Hs.append(copy(np.asarray(adata.obsm[covariate]).T))
+            Ws.append(copy(np.asarray(adata.varm[covariate])))
+        Hs.append(copy(np.asarray(adata.obsm["ALPINE_embedding"]).T))
+        Ws.append(copy(np.asarray(adata.varm["ALPINE_weights"])))
+
+        W = np.concatenate(Ws, axis=1)
+        H = np.concatenate(Hs, axis=0)
+        recon_loss = np.linalg.norm(X - W @ H, ord="fro") ** 2
+
+        Ys = self.fe.transform(adata.obs)
+        Bs = self.matrices["Bs"]
+
+        if self.loss_type == "kl-divergence":
+            pred_loss = [kl_divergence(Ys[i].T, Bs[i] @ Hs[i]) for i in range(len(Ys))]
+        else:
+            pred_loss = [
+                np.linalg.norm(Ys[i].T - Bs[i] @ Hs[i], ord="fro") ** 2
+                for i in range(len(Ys))
+            ]
+
+        return recon_loss + sum(self.lam[i] * pl for i, pl in enumerate(pred_loss))
+
+    # ----------------------------------------------------------- accessors
+    def get_decomposed_matrices(self):
+        if not hasattr(self, "matrices"):
+            raise RuntimeError("Model is not trained yet. Please fit the model first.")
+        return self.matrices
+
+    def get_covariate_gene_scores(self, adata=None):
+        """Per-covariate (genes x labels) scores: W_i @ (H_i Y_iᵀ / rowsum(Y_i))
+        (reference main.py:246-273)."""
+        if not hasattr(self, "matrices"):
+            raise RuntimeError("Model is not trained yet. Please fit the model first.")
+
+        cov_gene_scores = {}
+        for i, covariate in enumerate(self.covariate_keys):
+            W = self.matrices["Ws"][i]
+            H = self.matrices["Hs"][i]
+            Y = self.matrices["Ys"][i]
+
+            HY = H @ Y.T / Y.sum(axis=1)
+            cond_genes = W @ HY
+
+            colnames = self.fe.encoded_labels[covariate]
+            cov_gene_scores[covariate] = pd.DataFrame(
+                cond_genes, index=self.feature_names, columns=colnames
+            )
+
+        if adata is None:
+            return cov_gene_scores
+        for condition, df in cov_gene_scores.items():
+            adata.varm[condition + "_gene_scores"] = df
+        return None
+
+    def get_normalized_expression(self, adata, library_size: Optional[float] = None) -> None:
+        """Batch-corrected expression from the unguided block only
+        (reference main.py:275-301)."""
+        if not hasattr(self, "matrices"):
+            raise RuntimeError("Model is not trained yet. Please fit the model first.")
+        elif not is_anndata(adata):
+            raise TypeError("adata must be an AnnData object.")
+        elif "ALPINE_embedding" not in adata.obsm:
+            raise ValueError(
+                "ALPINE_embedding not found in adata.obsm. Please transform the data first."
+            )
+        elif (library_size is not None) and (library_size <= 0):
+            raise ValueError("library_size must be a positive float.")
+
+        W: Float32Array = self.matrices["Ws"][-1]
+        H: Float32Array = np.asarray(adata.obsm["ALPINE_embedding"]).T
+        X_normalized = np.dot(W, H).astype(np.float32).T
+
+        adata.layers["normalized_expression"] = normalize_total(
+            X_normalized, target_sum=library_size
+        )
+
+    def store_embeddings(self, adata) -> None:
+        """Write obsm/varm keys (reference main.py:303-320): unguided block to
+        'ALPINE_embedding'/'ALPINE_weights'; per covariate its H/W blocks and
+        '{cov}_dummy_matrix'."""
+        if not hasattr(self, "matrices"):
+            raise RuntimeError("Model is not trained yet. Please fit the model first.")
+        elif not is_anndata(adata):
+            raise TypeError("adata must be an AnnData object.")
+
+        adata.obsm["ALPINE_embedding"] = copy(self.matrices["Hs"][-1].T)
+        adata.varm["ALPINE_weights"] = copy(self.matrices["Ws"][-1])
+
+        dummy_matrices = self.fe.transform(adata.obs)
+
+        for i, covariate in enumerate(self.covariate_keys):
+            adata.obsm[covariate] = copy(self.matrices["Hs"][i].T)
+            adata.obsm[f"{covariate}_dummy_matrix"] = dummy_matrices[i]
+            adata.varm[covariate] = copy(self.matrices["Ws"][i])
+
+    # ------------------------------------------------------------ internals
+    def _make_cfg(self, Ys: List[Float32Array], n_sample: int, n_iter: int) -> mu.MUConfig:
+        return mu.MUConfig(
+            blocks=tuple(self.n_all_components),
+            n_labels=tuple(y.shape[0] for y in Ys),
+            n_cells=n_sample,
+            loss_kl=(self.loss_type == "kl-divergence"),
+            use_als=self.use_als,
+            batch_size=None if self.batch_size >= n_sample else self.batch_size,
+            weighted=(self.sampling_method == "weighted"),
+            max_iter=n_iter,
+            precision=self.matmul_precision,
+        )
+
+    def _hyper(self):
+        return (
+            jnp.asarray(np.asarray(self.lam, dtype=np.float32)),
+            jnp.float32(self.orth_W),
+            jnp.float32(self.alpha_W),
+            jnp.float32(self.l1_ratio_W),
+            jnp.float32(self.eps),
+        )
+
+    def _transform(self, adata, n_iter: int) -> None:
+        """Out-of-sample projection: plain Frobenius MU onto frozen W
+        (reference main.py:678-724)."""
+        X_array: Float32Array = copy(adata.X).astype(np.float32).T
+        if not np.all(X_array >= 0):
+            raise ValueError("All elements in adata.X must be non-negative.")
+
+        placement = Placement(self.device)
+        X = placement.put_cells_matrix(X_array)
+        n_sample = X_array.shape[1]
+
+        key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), 1)
+        H0 = jnp.maximum(
+            jax.random.uniform(key, (self.total_components, n_sample), dtype=jnp.float32),
+            self.eps,
+        )
+        H0 = placement.put_cells_matrix(H0)
+        W = placement.put_replicated(
+            jnp.asarray(np.concatenate(self.matrices["Ws"], axis=1))
+        )
+
+        H = mu.transform_scan(
+            W, X, H0, jnp.float32(self.eps), n_iter=n_iter,
+            precision=self.matmul_precision,
+        )
+        H_np = np.asarray(jax.device_get(H), dtype=np.float32)
+        Hs = split_h(H_np, self.n_all_components)
+
+        for i, covariate in enumerate(self.covariate_keys):
+            adata.obsm[covariate] = Hs[i].T
+            adata.varm[covariate] = deepcopy(self.matrices["Ws"][i])
+        adata.obsm["ALPINE_embedding"] = Hs[-1].T
+        adata.varm["ALPINE_weights"] = deepcopy(self.matrices["Ws"][-1])
+
+    def _compute_best_iter(self, train_loss) -> int:
+        """Kneedle elbow of log10(recon loss) (reference main.py:755-770)."""
+        elbow = find_elbow(
+            np.log10(np.asarray(train_loss, dtype=np.float64)),
+            curve="convex",
+            direction="decreasing",
+            polynomial_degree=2,
+        )
+        if elbow is not None and elbow > 0:
+            return int(elbow)
+        warnings.warn("Kneedle elbow not found, using default max_iter=200")
+        return 200
+
+    # ----------------------------------------------------------- validation
+    def _validate_init_args(self) -> None:
+        """Constructor arg validation (reference main.py:322-381, identical
+        messages)."""
+        if self.n_components <= 0:
+            raise ValueError("n_components must be greater than 0.")
+
+        if not isinstance(self.n_covariate_components, list):
+            raise TypeError("n_covariate_components must be a list.")
+        for n in self.n_covariate_components:
+            if not isinstance(n, int) or n < 0:
+                raise ValueError(
+                    "Each element in n_covariate_components must be a non-negative integer."
+                )
+
+        if not isinstance(self.lam, list):
+            raise TypeError("lam must be in a list.")
+        for lam in self.lam:
+            if not isinstance(lam, float) or lam < 0:
+                raise ValueError("Each element in lam must be a non-negative float.")
+
+        if not isinstance(self.alpha_W, float) or self.alpha_W < 0:
+            raise ValueError("alpha_W must be a non-negative float.")
+
+        if not isinstance(self.orth_W, float) or self.orth_W < 0:
+            raise ValueError("orth_W must be a non-negative float.")
+
+        if (
+            not isinstance(self.l1_ratio_W, float)
+            or self.l1_ratio_W < 0
+            or self.l1_ratio_W > 1
+        ):
+            raise ValueError("l1_ratio_W must be a float between 0 and 1.")
+
+        if not isinstance(self.scale_needed, bool):
+            raise TypeError("scale_needed must be a boolean.")
+
+        if not isinstance(self.loss_type, str):
+            raise TypeError("loss_type must be a string.")
+        valid_loss_types = ["kl-divergence", "frobenius"]
+        if self.loss_type not in valid_loss_types:
+            raise ValueError(f"loss_type must be one of {valid_loss_types}.")
+
+        if not isinstance(self.eps, float) or self.eps < 0:
+            raise ValueError("eps must be a non-negative float.")
+
+        if not isinstance(self.random_state, int) or self.random_state < 0:
+            raise ValueError("random_state must be a non-negative integer.")
+
+        if self.matmul_precision not in ("highest", "default"):
+            raise ValueError("matmul_precision must be 'highest' or 'default'.")
+
+    def _validate_fit_args(
+        self, adata, covariate_keys, batch_size, max_iter, sampling_method, verbose
+    ) -> None:
+        """Fit arg validation (reference main.py:383-434).  NOTE: the
+        reference's batch_size/max_iter checks are unreachable due to an
+        `and`-instead-of-`or` bug (main.py:420-428); they are fixed here to
+        actually enforce positive integers."""
+        if not is_anndata(adata):
+            raise TypeError("adata must be an AnnData object.")
+
+        if not isinstance(adata.X, np.ndarray):
+            raise TypeError("adata.X must be a numpy array.")
+        elif adata.X.ndim != 2:
+            raise ValueError("adata.X must be a 2D numpy array.")
+        elif not np.all(adata.X >= 0):
+            raise ValueError("All elements in adata.X must be non-negative.")
+
+        if not isinstance(covariate_keys, list):
+            raise TypeError("covariate_keys must be a list.")
+        elif not len(covariate_keys) == len(self.n_covariate_components):
+            raise ValueError(
+                "Length of covariate_keys must match length of n_covariate_components."
+            )
+        else:
+            for key in covariate_keys:
+                if not isinstance(key, str):
+                    raise TypeError("Each element in covariate_keys must be a string.")
+                if key not in adata.obs.columns:
+                    raise ValueError(f"Covariate key '{key}' not found in adata.obs.")
+                if not adata.obs[key].dtype.kind == "O":
+                    raise TypeError(
+                        f"Covariate '{key}' in adata.obs must be a categorical or object type variable."
+                    )
+
+        if batch_size is not None and (not isinstance(batch_size, int) or batch_size <= 0):
+            raise TypeError("batch_size must be a positive integer.")
+
+        if max_iter is not None and (not isinstance(max_iter, int) or max_iter <= 0):
+            raise TypeError("max_iter must be a positive integer.")
+
+        if not isinstance(sampling_method, str):
+            raise TypeError("sampling_method must be a string.")
+        if sampling_method not in ("random", "weighted"):
+            raise ValueError(
+                f"Unknown sampling method: {sampling_method}. Only 'weighted', and 'random' are supported."
+            )
+
+        if not isinstance(verbose, bool):
+            raise TypeError("verbose must be a boolean.")

@@ -1,0 +1,162 @@
+"""Minimal AnnData-compatible container.
+
+The reference library consumes/produces ``anndata.AnnData`` objects
+(``/root/reference/alpine/main.py:82-147``: reads ``adata.X`` / ``adata.obs``,
+writes ``adata.obsm`` / ``adata.varm`` / ``adata.layers``).  ``anndata`` is not
+available in this environment, so this module provides a small, dependency-free
+container with the subset of the AnnData API that ALPINE touches:
+
+- ``X`` (2-D ndarray), ``obs`` / ``var`` (pandas DataFrames)
+- ``obsm`` / ``varm`` / ``layers`` / ``uns`` mappings
+- ``obs_names`` / ``var_names`` / ``shape`` / ``n_obs`` / ``n_vars``
+- row subsetting ``adata[idx]`` and ``.copy()`` (used by the optimizer's CV
+  folds, ``/root/reference/alpine/optimization.py:242-243``)
+
+If the real ``anndata`` package is importable we accept its objects everywhere
+(duck typing); ``is_anndata`` recognizes both.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import Any, Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+try:  # pragma: no cover - environment dependent
+    import anndata as _real_anndata
+except Exception:  # pragma: no cover
+    _real_anndata = None
+
+
+class _AxisMapping(dict):
+    """dict that validates the leading-axis length of inserted arrays."""
+
+    def __init__(self, length: int, axis_name: str):
+        super().__init__()
+        self._length = length
+        self._axis_name = axis_name
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        arr = value
+        if hasattr(arr, "shape") and len(arr.shape) >= 1 and arr.shape[0] != self._length:
+            raise ValueError(
+                f"value for {self._axis_name}[{key!r}] has leading dimension "
+                f"{arr.shape[0]}, expected {self._length}"
+            )
+        super().__setitem__(key, value)
+
+
+class AnnData:
+    """A lightweight stand-in for ``anndata.AnnData`` (rows = cells/obs,
+    columns = genes/vars), sufficient for the ALPINE API surface."""
+
+    def __init__(
+        self,
+        X: np.ndarray,
+        obs: Optional[pd.DataFrame] = None,
+        var: Optional[pd.DataFrame] = None,
+        obsm: Optional[Dict[str, Any]] = None,
+        varm: Optional[Dict[str, Any]] = None,
+        layers: Optional[Dict[str, Any]] = None,
+        uns: Optional[Dict[str, Any]] = None,
+    ):
+        X = np.asarray(X)
+        if X.ndim != 2:
+            raise ValueError("X must be a 2-D array (obs x var).")
+        self.X = X
+        n_obs, n_vars = X.shape
+        self.obs = (
+            obs.copy()
+            if obs is not None
+            else pd.DataFrame(index=pd.RangeIndex(n_obs).astype(str))
+        )
+        if len(self.obs) != n_obs:
+            raise ValueError("obs length does not match X rows")
+        self.var = (
+            var.copy()
+            if var is not None
+            else pd.DataFrame(index=pd.RangeIndex(n_vars).astype(str))
+        )
+        if len(self.var) != n_vars:
+            raise ValueError("var length does not match X columns")
+        self.obsm = _AxisMapping(n_obs, "obsm")
+        if obsm:
+            for k, v in obsm.items():
+                self.obsm[k] = v
+        self.varm = _AxisMapping(n_vars, "varm")
+        if varm:
+            for k, v in varm.items():
+                self.varm[k] = v
+        self.layers = _AxisMapping(n_obs, "layers")
+        if layers:
+            for k, v in layers.items():
+                self.layers[k] = v
+        self.uns: Dict[str, Any] = dict(uns) if uns else {}
+
+    # -- AnnData-compatible properties -------------------------------------
+    @property
+    def shape(self):
+        return self.X.shape
+
+    @property
+    def n_obs(self) -> int:
+        return self.X.shape[0]
+
+    @property
+    def n_vars(self) -> int:
+        return self.X.shape[1]
+
+    @property
+    def obs_names(self) -> pd.Index:
+        return self.obs.index
+
+    @property
+    def var_names(self) -> pd.Index:
+        return self.var.index
+
+    # -- subsetting / copying ----------------------------------------------
+    def __getitem__(self, idx) -> "AnnData":
+        """Row (obs) subsetting, as used by CV folds. Returns a new object
+        holding sliced copies (the reference immediately calls ``.copy()``)."""
+        if isinstance(idx, tuple):
+            raise NotImplementedError("only obs-axis subsetting is supported")
+        out = AnnData(
+            np.asarray(self.X[idx]),
+            obs=self.obs.iloc[idx] if not isinstance(idx, slice) else self.obs[idx],
+            var=self.var,
+        )
+        for k, v in self.obsm.items():
+            out.obsm[k] = np.asarray(v)[idx]
+        for k, v in self.layers.items():
+            out.layers[k] = np.asarray(v)[idx]
+        for k, v in self.varm.items():
+            out.varm[k] = v
+        out.uns = deepcopy(self.uns)
+        return out
+
+    def copy(self) -> "AnnData":
+        out = AnnData(self.X.copy(), obs=self.obs.copy(), var=self.var.copy())
+        for name in ("obsm", "varm", "layers"):
+            src, dst = getattr(self, name), getattr(out, name)
+            for k, v in src.items():
+                dst[k] = v.copy() if hasattr(v, "copy") else deepcopy(v)
+        out.uns = deepcopy(self.uns)
+        return out
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"AnnData(n_obs={self.n_obs}, n_vars={self.n_vars}, "
+            f"obs={list(self.obs.columns)}, obsm={list(self.obsm)}, "
+            f"varm={list(self.varm)}, layers={list(self.layers)})"
+        )
+
+
+def is_anndata(obj: Any) -> bool:
+    """True for our AnnData or (if installed) a real ``anndata.AnnData``."""
+    if isinstance(obj, AnnData):
+        return True
+    if _real_anndata is not None and isinstance(obj, _real_anndata.AnnData):
+        return True
+    return False

@@ -1,0 +1,91 @@
+"""Epoch/minibatch sampling utilities.
+
+Mirrors the behavior of the reference sampler
+(`/root/reference/alpine/utils/sampling.py`):
+
+- "random": a fresh permutation of all cells per iteration (sampling.py:14)
+- "weighted": class-balanced sampling WITH replacement over the joint
+  covariate labels (sampling.py:18-33), where the joint label of a cell is
+  the tuple of per-covariate one-hot argmaxes (sampling.py:36-55 — a Python
+  per-sample loop in the reference; vectorized here with mixed-radix mixing)
+
+Index generation itself happens on device inside the jitted fit scan
+(`alpine_tpu/ops/mu.py:fit_scan`); this module provides the host-side weight
+computation plus numpy equivalents of the reference's helper API.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+
+def joint_label_ids(Ys: Sequence[np.ndarray]) -> np.ndarray:
+    """Vectorized joint-label construction.  ``Ys[i]`` is (labels_i, cells);
+    a cell's joint label id mixes the per-covariate argmaxes in mixed radix.
+    All-zero columns (NaN covariates) take argmax 0, matching torch.argmax on
+    a zero vector (reference sampling.py:49)."""
+    if not Ys:
+        raise ValueError("joint_label_ids requires at least one dummy matrix")
+    n = Ys[0].shape[1]
+    ids = np.zeros(n, dtype=np.int64)
+    for Y in Ys:
+        ids = ids * Y.shape[0] + np.argmax(Y, axis=0)
+    return ids
+
+
+def create_joint_labels_from_dummy_matrices(Ys: Sequence[np.ndarray]) -> List[str]:
+    """String-form joint labels, API-compatible with the reference helper
+    (sampling.py:36-55): 'cov{i}_label{j}' parts joined with '+'."""
+    argmaxes = [np.argmax(np.asarray(Y), axis=0) for Y in Ys]
+    n = argmaxes[0].shape[0] if argmaxes else 0
+    return [
+        "+".join(f"cov{t}_label{argmaxes[t][s]}" for t in range(len(Ys)))
+        for s in range(n)
+    ]
+
+
+def balanced_sample_probabilities(joint_ids: np.ndarray) -> np.ndarray:
+    """Per-cell sampling probabilities equivalent to
+    sklearn ``compute_sample_weight("balanced")`` followed by torch's
+    ``WeightedRandomSampler`` normalization (reference sampling.py:22-33):
+    weight_i = n / (n_classes * count[class_i]), normalized to sum 1."""
+    _, inv, counts = np.unique(joint_ids, return_inverse=True, return_counts=True)
+    w = len(joint_ids) / (len(counts) * counts[inv].astype(np.float64))
+    w /= w.sum()
+    return w.astype(np.float32)
+
+
+def generate_epoch_indices(
+    joint_labels, sampling_method: str, rng: np.random.Generator
+) -> np.ndarray:
+    """Host-side numpy equivalent of the reference entry point
+    (sampling.py:6-16).  The production path generates indices on device;
+    this exists for API parity and tests."""
+    n = len(joint_labels)
+    if sampling_method == "random":
+        return rng.permutation(n)
+    if sampling_method == "weighted":
+        ids = np.asarray(
+            [hash(l) for l in joint_labels] if joint_labels and isinstance(joint_labels[0], str) else joint_labels
+        )
+        p = balanced_sample_probabilities(ids)
+        return rng.choice(n, size=n, replace=True, p=p.astype(np.float64) / p.sum())
+    raise ValueError(
+        f"Unknown sampling method: {sampling_method}. Only 'weighted', and 'random' are supported."
+    )
+
+
+def get_batch_indices(epoch_indices: np.ndarray, batch_num: int, batch_size: int) -> np.ndarray:
+    """Contiguous chunk of the epoch permutation (reference sampling.py:58-67)."""
+    start = batch_num * batch_size
+    end = min(start + batch_size, len(epoch_indices))
+    if start >= len(epoch_indices):
+        return np.empty(0, dtype=np.int64)
+    return epoch_indices[start:end]
+
+
+def get_num_batches(total_samples: int, batch_size: int) -> int:
+    """Ceiling division (reference sampling.py:70-71)."""
+    return (total_samples + batch_size - 1) // batch_size

@@ -1,0 +1,160 @@
+"""Driver benchmark: MU iterations/sec at 100k cells x 2k genes
+(BASELINE.md north-star metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "iters/s", "vs_baseline": N}
+
+- value: iterations/sec of the alpine_tpu jitted MU loop (joint mode, KL,
+  2 covariates, K_total=40, full batch, per-iteration full loss) on the
+  default accelerator.
+- vs_baseline: ratio vs a literal torch-CPU transcription of the reference
+  update math (/root/reference/alpine/main.py:589-663 + :726-753, including
+  its per-iteration W@H loss materialization), since the reference repo
+  publishes no numbers (BASELINE.md).  Override the baseline measurement via
+  env ALPINE_BENCH_BASELINE_IPS to skip the CPU run.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+N_CELLS = int(os.environ.get("ALPINE_BENCH_CELLS", 100_000))
+N_GENES = int(os.environ.get("ALPINE_BENCH_GENES", 2_000))
+BLOCKS = (5, 5, 30)
+N_LABELS = (2, 3)
+TPU_ITERS = int(os.environ.get("ALPINE_BENCH_ITERS", 50))
+BASE_ITERS = int(os.environ.get("ALPINE_BENCH_BASE_ITERS", 2))
+
+
+def _make_data(rng):
+    X = rng.random((N_GENES, N_CELLS), dtype=np.float32) * 2.0
+    Ys = []
+    for nl in N_LABELS:
+        y = np.zeros((nl, N_CELLS), np.float32)
+        y[rng.integers(0, nl, N_CELLS), np.arange(N_CELLS)] = 1.0
+        Ys.append(y)
+    return X, Ys
+
+
+def bench_tpu(X, Ys):
+    import jax
+    import jax.numpy as jnp
+
+    from alpine_tpu.ops import mu
+
+    precision = os.environ.get("ALPINE_BENCH_PRECISION", "highest")
+    key = jax.random.PRNGKey(0)
+    hyper = (jnp.asarray([1.0, 1.0], jnp.float32), jnp.float32(0.0),
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1e-6))
+    # stage data on device ONCE — host->device transfer is not the benched op
+    Xd = jnp.asarray(X)
+    Ysd = tuple(jnp.asarray(y) for y in Ys)
+
+    def run(n_iter):
+        cfg = mu.MUConfig(
+            blocks=BLOCKS, n_labels=N_LABELS, n_cells=N_CELLS,
+            loss_kl=True, use_als=False, max_iter=n_iter, precision=precision,
+        )
+        W0, H0, Bs0 = mu.init_matrices(cfg, N_GENES, key, 1e-6)
+        out = mu.fit_scan(cfg, W0, H0, Bs0, Xd, Ysd, hyper, key, None)
+        # fetching the loss history forces completion of the whole scan
+        # (block_until_ready does not reliably block through the axon tunnel)
+        return np.asarray(jax.device_get(out[3]))
+
+    run(TPU_ITERS)  # compile + warm
+    t0 = time.perf_counter()
+    losses = run(TPU_ITERS)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(losses).all()
+    return TPU_ITERS / dt
+
+
+def bench_reference_torch_cpu(X, Ys):
+    """Literal reference-math joint MU loop in torch on CPU (the only torch
+    backend available here; the reference's CUDA path runs these same ops)."""
+    import torch
+
+    torch.manual_seed(0)
+    Xt = torch.from_numpy(X)
+    Yst = [torch.from_numpy(y) for y in Ys]
+    eps = 1e-6
+    lam = [1.0, 1.0]
+    Ws = [torch.rand(N_GENES, k).clamp(min=eps) for k in BLOCKS]
+    Hs = [torch.rand(k, N_CELLS).clamp(min=eps) for k in BLOCKS]
+    Bs = [torch.rand(nl, k).clamp(min=eps) for nl, k in zip(N_LABELS, BLOCKS)]
+
+    def one_iter():
+        nonlocal Ws, Hs, Bs
+        with torch.no_grad():
+            W_cat = torch.cat(Ws, dim=1)
+            H_cat = torch.cat(Hs, dim=0)
+            num = 2 * Xt @ H_cat.T
+            den = torch.clamp(2 * W_cat @ H_cat @ H_cat.T, min=eps)
+            W_cat = W_cat * num / den
+            o = 0
+            for i, k in enumerate(BLOCKS):
+                Ws[i] = W_cat[:, o:o + k]
+                o += k
+            for i in range(len(Bs)):
+                Yb, Hb, B = Yst[i], Hs[i], Bs[i]
+                num = lam[i] * (Yb / torch.clamp(B @ Hb, min=eps)) @ Hb.T
+                den = torch.clamp(lam[i] * torch.ones_like(Yb) @ Hb.T, min=eps)
+                Bs[i] = B * num / den
+            W_cat = torch.cat(Ws, dim=1)
+            num = torch.zeros_like(H_cat)
+            den = torch.zeros_like(H_cat)
+            o = 0
+            for i in range(len(Bs)):
+                k = BLOCKS[i]
+                num[o:o + k] = lam[i] * Bs[i].T @ (
+                    Yst[i] / torch.clamp(Bs[i] @ Hs[i], min=eps))
+                den[o:o + k] = lam[i] * Bs[i].T @ torch.ones_like(Yst[i])
+                o += k
+            num += 2 * W_cat.T @ Xt
+            den += 2 * W_cat.T @ (W_cat @ H_cat)
+            H_cat = H_cat * num / torch.clamp(den, min=eps)
+            o = 0
+            for i, k in enumerate(BLOCKS):
+                Hs[i] = H_cat[o:o + k]
+                o += k
+            # per-iteration full loss, as the reference computes it
+            recon = (torch.norm(Xt - W_cat @ H_cat, p="fro") ** 2).item()
+            for i in range(len(Bs)):
+                yh = torch.clamp(Bs[i] @ Hs[i], min=eps)
+                recon += lam[i] * torch.sum(
+                    Yst[i] * torch.log(torch.clamp(Yst[i] / yh, min=eps))
+                    - Yst[i] + yh
+                ).item()
+
+    one_iter()  # warm caches
+    t0 = time.perf_counter()
+    for _ in range(BASE_ITERS):
+        one_iter()
+    dt = time.perf_counter() - t0
+    return BASE_ITERS / dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    X, Ys = _make_data(rng)
+
+    value = bench_tpu(X, Ys)
+
+    base_env = os.environ.get("ALPINE_BENCH_BASELINE_IPS")
+    if base_env:
+        baseline = float(base_env)
+    else:
+        baseline = bench_reference_torch_cpu(X, Ys)
+
+    print(json.dumps({
+        "metric": f"mu_iters_per_sec_{N_CELLS//1000}k_cells_{N_GENES//1000}k_genes",
+        "value": round(value, 3),
+        "unit": "iters/s",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

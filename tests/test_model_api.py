@@ -1,0 +1,254 @@
+"""API-contract tests for the ALPINE estimator: obsm/varm/layers keys, loss
+history shape, validation errors, transform, scaling (SURVEY.md §4.4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from alpine_tpu import ALPINE
+from alpine_tpu.utils.adata import AnnData
+
+from .conftest import make_synthetic_adata
+
+
+def _model(**kw):
+    defaults = dict(
+        n_components=8,
+        n_covariate_components=[2, 3],
+        lam=[1.0, 2.0],
+        device="cpu",
+        random_state=0,
+    )
+    defaults.update(kw)
+    return ALPINE(**defaults)
+
+
+def test_fit_writes_embeddings_and_history(synthetic_adata):
+    model = _model()
+    out = model.fit(synthetic_adata, ["batch", "condition"], max_iter=15)
+    assert out is model
+
+    # store_embeddings keys (reference main.py:303-320)
+    assert "ALPINE_embedding" in synthetic_adata.obsm
+    assert "ALPINE_weights" in synthetic_adata.varm
+    for cov in ("batch", "condition"):
+        assert cov in synthetic_adata.obsm
+        assert f"{cov}_dummy_matrix" in synthetic_adata.obsm
+        assert cov in synthetic_adata.varm
+
+    n, g = synthetic_adata.shape
+    assert synthetic_adata.obsm["ALPINE_embedding"].shape == (n, 8)
+    assert synthetic_adata.varm["ALPINE_weights"].shape == (g, 8)
+    assert synthetic_adata.obsm["batch"].shape == (n, 2)
+    assert synthetic_adata.varm["condition"].shape == (g, 3)
+
+    # loss_history contract (main.py:666-676)
+    assert list(model.loss_history.columns) == [
+        "total loss",
+        "reconstruction loss",
+        "prediction loss(batch)",
+        "prediction loss(condition)",
+    ]
+    assert len(model.loss_history) == 15
+    tot = model.loss_history["total loss"].values
+    assert np.all(np.diff(tot) <= 1e-4 * np.abs(tot[:-1]) + 1e-4)
+
+    # matrices dict (main.py:143, 28-43)
+    m = model.get_decomposed_matrices()
+    assert set(m) == {"X", "Ys", "Ws", "Hs", "Bs"}
+    assert [w.shape[1] for w in m["Ws"]] == [2, 3, 8]
+    assert [b.shape for b in m["Bs"]] == [(2, 2), (3, 3)]
+
+    # scaling applied by default (main.py:139-140): W columns sum to 1
+    for w in m["Ws"]:
+        np.testing.assert_allclose(w.sum(axis=0), 1.0, rtol=1e-4)
+
+
+def test_transform_and_compute_loss(synthetic_adata):
+    model = _model()
+    model.fit(synthetic_adata, ["batch", "condition"], max_iter=10)
+
+    new = make_synthetic_adata(n_cells=30, seed=123)
+    model.transform(new, n_iter=10)
+    assert new.obsm["ALPINE_embedding"].shape == (30, 8)
+    assert "batch" in new.obsm and "condition" in new.obsm
+
+    loss = model.compute_loss(new)
+    assert np.isfinite(loss) and loss > 0
+
+    # transform with default n_iter (= trained max_iter)
+    model.transform(new)
+
+
+def test_unguided_only_fit():
+    """Config 1 of BASELINE.md: pure unguided NMF (no covariates)."""
+    adata = make_synthetic_adata(covariates=())
+    model = ALPINE(
+        n_components=6, n_covariate_components=[], lam=[],
+        loss_type="frobenius", device="cpu", random_state=1,
+    )
+    model.fit(adata, [], max_iter=20)
+    assert adata.obsm["ALPINE_embedding"].shape == (120, 6)
+    assert list(model.loss_history.columns) == ["total loss", "reconstruction loss"]
+    tot = model.loss_history["total loss"].values
+    assert tot[-1] < tot[0]
+
+
+def test_fit_with_nan_covariates():
+    """NaN covariates are the semi-supervision entry point: all-zero Y rows
+    (reference encoder.py:26-34) must not break the fit."""
+    adata = make_synthetic_adata(na_frac=0.3)
+    model = _model()
+    model.fit(adata, ["batch", "condition"], max_iter=10)
+    Y = adata.obsm["batch_dummy_matrix"]
+    assert (Y.sum(axis=1) == 0).any()  # some all-zero rows survive
+    assert np.isfinite(model.loss_history.values).all()
+
+
+def test_minibatch_and_weighted_fit(synthetic_adata):
+    model = _model()
+    model.fit(synthetic_adata, ["batch", "condition"], max_iter=8, batch_size=32)
+    assert len(model.loss_history) == 8
+
+    model2 = _model()
+    model2.fit(
+        synthetic_adata, ["batch", "condition"], max_iter=8,
+        batch_size=32, sampling_method="weighted",
+    )
+    assert np.isfinite(model2.loss_history.values).all()
+
+
+def test_als_mode(synthetic_adata):
+    model = _model(use_als=True, loss_type="frobenius")
+    model.fit(synthetic_adata, ["batch", "condition"], max_iter=10)
+    tot = model.loss_history["total loss"].values
+    assert np.all(np.diff(tot) <= 1e-4 * np.abs(tot[:-1]) + 1e-4)
+
+
+def test_auto_max_iter(synthetic_adata):
+    """max_iter=None triggers the 200-iteration warm-up + Kneedle elbow
+    (reference main.py:114-131)."""
+    model = _model()
+    model.fit(synthetic_adata, ["batch", "condition"])
+    assert 1 <= model.max_iter <= 200
+    assert len(model.loss_history) == model.max_iter
+
+
+def test_get_covariate_gene_scores(synthetic_adata):
+    model = _model()
+    model.fit(synthetic_adata, ["batch", "condition"], max_iter=10)
+    scores = model.get_covariate_gene_scores()
+    assert set(scores) == {"batch", "condition"}
+    df = scores["batch"]
+    assert df.shape == (synthetic_adata.n_vars, 2)
+    assert list(df.index) == synthetic_adata.var_names.tolist()
+
+    model.get_covariate_gene_scores(synthetic_adata)
+    assert "batch_gene_scores" in synthetic_adata.varm
+    pd.testing.assert_frame_equal(synthetic_adata.varm["batch_gene_scores"], df)
+
+
+def test_get_normalized_expression(synthetic_adata):
+    model = _model()
+    model.fit(synthetic_adata, ["batch", "condition"], max_iter=10)
+    model.transform(synthetic_adata, n_iter=10)
+    model.get_normalized_expression(synthetic_adata)
+    layer = synthetic_adata.layers["normalized_expression"]
+    assert layer.shape == synthetic_adata.shape
+    # per-cell totals equal the median library size (scanpy normalize_total)
+    sums = layer.sum(axis=1)
+    np.testing.assert_allclose(sums, np.median(sums), rtol=1e-3)
+
+    model.get_normalized_expression(synthetic_adata, library_size=1e4)
+    np.testing.assert_allclose(
+        synthetic_adata.layers["normalized_expression"].sum(axis=1), 1e4, rtol=1e-3
+    )
+
+
+# ------------------------------------------------------------------ errors
+
+
+def test_init_validation_errors():
+    with pytest.raises(ValueError, match="n_components must be greater than 0."):
+        _model(n_components=0)
+    with pytest.raises(TypeError, match="n_covariate_components must be a list."):
+        _model(n_covariate_components=(2, 3))
+    with pytest.raises(ValueError, match="non-negative integer"):
+        _model(n_covariate_components=[2, -1])
+    with pytest.raises(TypeError, match="lam must be in a list."):
+        _model(lam=1.0)
+    with pytest.raises(ValueError, match="Each element in lam"):
+        _model(lam=[1.0, -2.0])
+    with pytest.raises(ValueError, match="alpha_W"):
+        _model(alpha_W=-1.0)
+    with pytest.raises(ValueError, match="orth_W"):
+        _model(orth_W=-0.5)
+    with pytest.raises(ValueError, match="l1_ratio_W"):
+        _model(l1_ratio_W=1.5)
+    with pytest.raises(TypeError, match="scale_needed must be a boolean."):
+        _model(scale_needed=1)
+    with pytest.raises(ValueError, match="loss_type must be one of"):
+        _model(loss_type="poisson")
+    with pytest.raises(ValueError, match="eps"):
+        _model(eps=-1e-6)
+    with pytest.raises(ValueError, match="random_state"):
+        _model(random_state=-1)
+
+
+def test_fit_validation_errors(synthetic_adata):
+    model = _model()
+    with pytest.raises(TypeError, match="adata must be an AnnData object."):
+        model.fit(np.zeros((3, 3)), ["batch", "condition"])
+
+    neg = synthetic_adata.copy()
+    neg.X[0, 0] = -1.0
+    with pytest.raises(ValueError, match="non-negative"):
+        model.fit(neg, ["batch", "condition"])
+
+    with pytest.raises(ValueError, match="Length of covariate_keys"):
+        model.fit(synthetic_adata, ["batch"])
+    with pytest.raises(ValueError, match="not found in adata.obs"):
+        model.fit(synthetic_adata, ["batch", "nope"])
+    # fixed validation (reference's checks never fire, main.py:420-428)
+    with pytest.raises(TypeError, match="batch_size must be a positive integer."):
+        model.fit(synthetic_adata, ["batch", "condition"], batch_size=-5)
+    with pytest.raises(TypeError, match="max_iter must be a positive integer."):
+        model.fit(synthetic_adata, ["batch", "condition"], max_iter=0)
+    with pytest.raises(ValueError, match="Unknown sampling method"):
+        model.fit(synthetic_adata, ["batch", "condition"], sampling_method="bogus")
+    with pytest.raises(TypeError, match="verbose must be a boolean."):
+        model.fit(synthetic_adata, ["batch", "condition"], verbose=1)
+
+
+def test_untrained_errors(synthetic_adata):
+    model = _model()
+    msg = "Model is not trained yet. Please fit the model first."
+    with pytest.raises(RuntimeError, match=msg):
+        model.transform(synthetic_adata)
+    with pytest.raises(RuntimeError, match=msg):
+        model.compute_loss(synthetic_adata)
+    with pytest.raises(RuntimeError, match=msg):
+        model.get_decomposed_matrices()
+    with pytest.raises(RuntimeError, match=msg):
+        model.get_covariate_gene_scores()
+    with pytest.raises(RuntimeError, match=msg):
+        model.get_normalized_expression(synthetic_adata)
+    with pytest.raises(RuntimeError, match=msg):
+        model.store_embeddings(synthetic_adata)
+
+
+def test_transform_errors(synthetic_adata):
+    model = _model()
+    model.fit(synthetic_adata, ["batch", "condition"], max_iter=5)
+    with pytest.raises(TypeError, match="adata must be an AnnData object."):
+        model.transform("nope")
+    with pytest.raises(ValueError, match="n_iter must be a positive integer or None."):
+        model.transform(synthetic_adata, n_iter=0)
+    fresh = make_synthetic_adata(seed=5)
+    with pytest.raises(ValueError, match="ALPINE_embedding not found"):
+        model.compute_loss(fresh)
+    with pytest.raises(ValueError, match="ALPINE_embedding not found"):
+        model.get_normalized_expression(fresh)
+    model.transform(fresh, n_iter=3)
+    with pytest.raises(ValueError, match="library_size must be a positive float."):
+        model.get_normalized_expression(fresh, library_size=-1.0)
