@@ -1,0 +1,166 @@
+"""Embedding scoring for the ComponentOptimizer CV objective.
+
+The reference scores a validation fold by clustering the unguided embedding
+(`sc.pp.neighbors(use_rep='ALPINE_embedding')` + `sc.tl.leiden(flavor="igraph",
+resolution=1)`) and summing ARI + homogeneity between the clusters and each
+covariate's labels (`/root/reference/alpine/optimization.py:271-278`).
+scanpy/igraph/leidenalg are unavailable here; this module provides:
+
+- `knn_graph`: 15-NN graph on the embedding with UMAP-style symmetrization
+  (union of directed kNN edges), approximating scanpy's default neighbors
+  graph closely enough for clustering purposes (documented divergence:
+  scanpy weights edges with UMAP connectivities; we use the symmetrized
+  membership weight max(w_ij, w_ji) of a Gaussian kernel).
+- `leiden`: Leiden clustering via the native C++ library
+  (`alpine_tpu/native/leiden.cpp`) with a pure-Python Louvain fallback.
+- `embedding_score`: the ARI + homogeneity sum, NA rows masked
+  (optimization.py:275).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from sklearn.metrics.cluster import adjusted_rand_score, homogeneity_score
+from sklearn.neighbors import NearestNeighbors
+
+from alpine_tpu.native import leiden_native
+
+
+def knn_graph(
+    emb: np.ndarray, n_neighbors: int = 15, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build a symmetric weighted kNN graph on the (cells x dims) embedding.
+    Returns (src, dst, weight) with each undirected edge listed once."""
+    n = emb.shape[0]
+    k = min(n_neighbors, n - 1)
+    if k <= 0:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),)
+    nn = NearestNeighbors(n_neighbors=k + 1).fit(emb)
+    dist, idx = nn.kneighbors(emb)
+    dist, idx = dist[:, 1:], idx[:, 1:]  # drop self
+
+    # Gaussian kernel weights with per-point bandwidth (median nn distance)
+    sigma = np.maximum(np.median(dist, axis=1, keepdims=True), 1e-12)
+    w = np.exp(-((dist / sigma) ** 2))
+
+    src = np.repeat(np.arange(n, dtype=np.int64), k)
+    dst = idx.astype(np.int64).ravel()
+    wt = w.astype(np.float64).ravel()
+
+    # symmetrize: keep each undirected pair once with the max weight
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    key = a * n + b
+    order = np.argsort(key, kind="stable")
+    key, a, b, wt = key[order], a[order], b[order], wt[order]
+    uniq, start = np.unique(key, return_index=True)
+    wmax = np.maximum.reduceat(wt, start)
+    return a[start], b[start], wmax
+
+
+def _python_louvain(
+    n: int, src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
+    resolution: float = 1.0, seed: int = 0, max_passes: int = 10,
+) -> np.ndarray:
+    """Pure-Python Louvain (local move + aggregation, no refinement) —
+    fallback when the native Leiden library cannot be built."""
+    rng = np.random.default_rng(seed)
+    labels = np.arange(n, dtype=np.int64)
+    cur_src, cur_dst, cur_w = src.astype(np.int64), dst.astype(np.int64), weight.astype(np.float64)
+    node_map = np.arange(n, dtype=np.int64)
+    n_cur = n
+
+    for _ in range(max_passes):
+        # adjacency
+        adj = [[] for _ in range(n_cur)]
+        strength = np.zeros(n_cur)
+        for s, d, w in zip(cur_src, cur_dst, cur_w):
+            if s == d:
+                strength[s] += 2 * w
+                continue
+            adj[s].append((d, w))
+            adj[d].append((s, w))
+            strength[s] += w
+            strength[d] += w
+        two_m = strength.sum()
+        if two_m <= 0:
+            break
+        comm = np.arange(n_cur, dtype=np.int64)
+        K = strength.copy()
+        moved_any = False
+        for _ in range(10):
+            moved = False
+            for v in rng.permutation(n_cur):
+                c_old = comm[v]
+                kv = strength[v]
+                k_to = {}
+                for u, w in adj[v]:
+                    k_to[comm[u]] = k_to.get(comm[u], 0.0) + w
+                base = k_to.get(c_old, 0.0) - resolution * kv * (K[c_old] - kv) / two_m
+                best_c, best_gain = c_old, 0.0
+                for c, kc in k_to.items():
+                    if c == c_old:
+                        continue
+                    gain = (kc - resolution * kv * K[c] / two_m) - base
+                    if gain > best_gain + 1e-12:
+                        best_gain, best_c = gain, c
+                if best_c != c_old:
+                    K[c_old] -= kv
+                    K[best_c] += kv
+                    comm[v] = best_c
+                    moved = moved_any = True
+            if not moved:
+                break
+        if not moved_any:
+            break
+        # compact + aggregate (new_ids[v] = compact community id of node v)
+        uniq, new_ids = np.unique(comm, return_inverse=True)
+        node_map = new_ids[node_map]
+        n_new = len(uniq)
+        if n_new == n_cur:
+            break
+        agg = {}
+        for s, d, w in zip(cur_src, cur_dst, cur_w):
+            a, b = new_ids[s], new_ids[d]
+            if a > b:
+                a, b = b, a
+            agg[(a, b)] = agg.get((a, b), 0.0) + w
+        cur_src = np.array([k[0] for k in agg], dtype=np.int64)
+        cur_dst = np.array([k[1] for k in agg], dtype=np.int64)
+        cur_w = np.array(list(agg.values()), dtype=np.float64)
+        n_cur = n_new
+
+    _, out = np.unique(node_map, return_inverse=True)
+    return out.astype(np.int64)
+
+
+def leiden(
+    emb: np.ndarray,
+    n_neighbors: int = 15,
+    resolution: float = 1.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Cluster an embedding: kNN graph + Leiden (native C++; Louvain
+    fallback).  Returns integer labels (cells,)."""
+    n = emb.shape[0]
+    src, dst, w = knn_graph(emb, n_neighbors=n_neighbors, seed=seed)
+    labels = leiden_native(n, src, dst, w, resolution=resolution, seed=seed)
+    if labels is None:
+        labels = _python_louvain(n, src, dst, w, resolution=resolution, seed=seed)
+    return labels
+
+
+def embedding_score(
+    clusters: np.ndarray, covariate_values: np.ndarray
+) -> float:
+    """ARI + homogeneity of covariate labels vs clusters, NA rows masked
+    (reference optimization.py:273-278)."""
+    import pandas as pd
+
+    s = pd.Series(covariate_values)
+    mask = ~s.isna().to_numpy()
+    labels = s[mask].astype(str).to_numpy()
+    cl = np.asarray(clusters)[mask].astype(str)
+    return float(adjusted_rand_score(labels, cl) + homogeneity_score(labels, cl))

@@ -1,0 +1,314 @@
+"""Tree-structured Parzen Estimator (TPE) Bayesian optimization.
+
+The reference delegates hyperparameter search to `hyperopt`
+(`/root/reference/alpine/optimization.py:10, :123-130`), which is not
+available in this environment.  This module is a self-contained
+reimplementation of the subset of the hyperopt API ALPINE uses, with a real
+TPE algorithm (Bergstra et al., NeurIPS 2011):
+
+- `hp.uniform`, `hp.quniform`, `hp.qloguniform` — the three distributions
+  the reference's search space uses (optimization.py:95-120)
+- `Trials` — picklable trial store (save_trials/load_trials contract,
+  optimization.py:335-357)
+- `fmin(objective, space, algo=tpe.suggest, max_evals, trials, rstate)` —
+  returns the best trial's raw parameter values keyed by hp label
+- `STATUS_OK` / `STATUS_FAIL` — objective result statuses; failed trials
+  (e.g. invalid component distributions, optimization.py:217-218) are kept
+  in the trials list and modeled in the "above" (bad) Parzen group
+
+TPE per dimension (independent factorization, as hyperopt does for flat
+spaces): after `n_startup_trials` random draws, split observed trials into
+the best-gamma fraction (l) and the rest (g), fit 1-D Parzen mixtures of
+truncated normals over the *underlying* space (log-space for qloguniform,
+pre-rounding for q-distributions), draw candidates from l and keep the
+candidate maximizing l(x)/g(x).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+STATUS_OK = "ok"
+STATUS_FAIL = "fail"
+
+N_STARTUP_TRIALS = 20
+N_EI_CANDIDATES = 24
+GAMMA_CAP = 25
+
+
+# ---------------------------------------------------------------------------
+# Search-space expressions
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Expression:
+    label: str
+    kind: str  # "uniform" | "quniform" | "qloguniform"
+    low: float  # underlying-space bounds (log-space for qloguniform)
+    high: float
+    q: float = 1.0
+
+    # -- underlying <-> value transforms ----------------------------------
+    def to_value(self, u: float) -> float:
+        if self.kind == "uniform":
+            return float(u)
+        if self.kind == "quniform":
+            return float(np.round(u / self.q) * self.q)
+        if self.kind == "qloguniform":
+            return float(np.round(math.exp(u) / self.q) * self.q)
+        raise ValueError(self.kind)
+
+    def to_underlying(self, v: float) -> float:
+        if self.kind == "qloguniform":
+            return math.log(max(v, 1e-300))
+        return float(v)
+
+    def sample_prior(self, rng: np.random.Generator) -> float:
+        return self.to_value(rng.uniform(self.low, self.high))
+
+
+class hp:
+    """Namespace mirroring ``hyperopt.hp`` for the used distributions."""
+
+    @staticmethod
+    def uniform(label: str, low: float, high: float) -> Expression:
+        return Expression(label, "uniform", float(low), float(high))
+
+    @staticmethod
+    def quniform(label: str, low: float, high: float, q: float) -> Expression:
+        return Expression(label, "quniform", float(low), float(high), float(q))
+
+    @staticmethod
+    def qloguniform(label: str, low: float, high: float, q: float) -> Expression:
+        """low/high are in LOG space, as in hyperopt
+        (cf. optimization.py:118-120: np.log(lam_range))."""
+        return Expression(label, "qloguniform", float(low), float(high), float(q))
+
+
+def _flatten_space(space: Any) -> List[Expression]:
+    """Collect Expression leaves from a dict/list space (the reference's
+    space is a flat dict whose 'splits' entry is a list,
+    optimization.py:95-114)."""
+    out: List[Expression] = []
+    if isinstance(space, Expression):
+        out.append(space)
+    elif isinstance(space, dict):
+        for v in space.values():
+            out.extend(_flatten_space(v))
+    elif isinstance(space, (list, tuple)):
+        for v in space:
+            out.extend(_flatten_space(v))
+    else:
+        raise TypeError(f"unsupported space node: {type(space)}")
+    labels = [e.label for e in out]
+    if len(labels) != len(set(labels)):
+        raise ValueError("duplicate labels in search space")
+    return out
+
+
+def _evaluate_space(space: Any, vals: Dict[str, float]) -> Any:
+    """Substitute sampled values into the space structure."""
+    if isinstance(space, Expression):
+        return vals[space.label]
+    if isinstance(space, dict):
+        return {k: _evaluate_space(v, vals) for k, v in space.items()}
+    if isinstance(space, (list, tuple)):
+        return [_evaluate_space(v, vals) for v in space]
+    raise TypeError(type(space))
+
+
+# ---------------------------------------------------------------------------
+# Trials store
+# ---------------------------------------------------------------------------
+
+
+class Trials:
+    """Picklable trial store with the fields ALPINE reads:
+    trial["tid"], trial["result"]["status"|"loss"|"params"],
+    and (for TPE modeling) trial["misc"]["vals"][label] == [value]."""
+
+    def __init__(self):
+        self.trials: List[Dict[str, Any]] = []
+
+    def __len__(self) -> int:
+        return len(self.trials)
+
+    def append(self, tid: int, vals: Dict[str, float], result: Dict[str, Any]) -> None:
+        self.trials.append(
+            {"tid": tid, "misc": {"vals": {k: [v] for k, v in vals.items()}},
+             "result": result}
+        )
+
+    def best_trial(self) -> Optional[Dict[str, Any]]:
+        ok = [t for t in self.trials
+              if t.get("result", {}).get("status") == STATUS_OK
+              and np.isfinite(t["result"].get("loss", np.inf))]
+        if not ok:
+            return None
+        return min(ok, key=lambda t: t["result"]["loss"])
+
+    @property
+    def losses(self) -> List[float]:
+        return [t["result"].get("loss", np.inf) for t in self.trials]
+
+
+# ---------------------------------------------------------------------------
+# Parzen estimator
+# ---------------------------------------------------------------------------
+
+
+class _Parzen:
+    """1-D mixture of truncated normals over [low, high] with a flat-ish
+    prior component, following hyperopt's adaptive-bandwidth heuristic."""
+
+    def __init__(self, mus: np.ndarray, low: float, high: float):
+        prior_mu = 0.5 * (low + high)
+        prior_sigma = high - low
+        mus = np.asarray(mus, dtype=np.float64)
+        all_mu = np.concatenate([[prior_mu], mus])
+        order = np.argsort(all_mu)
+        sorted_mu = all_mu[order]
+        sigma = np.empty_like(sorted_mu)
+        if len(sorted_mu) == 1:
+            sigma[:] = prior_sigma
+        else:
+            # bandwidth = max distance to neighbors, clipped
+            left = np.diff(sorted_mu, prepend=sorted_mu[0])
+            right = np.diff(sorted_mu, append=sorted_mu[-1])
+            sigma = np.maximum(left, right)
+            sigma[0] = sorted_mu[1] - sorted_mu[0]
+            sigma[-1] = sorted_mu[-1] - sorted_mu[-2]
+        sigma_max = prior_sigma
+        sigma_min = prior_sigma / max(100.0, float(len(sorted_mu)))
+        sigma = np.clip(sigma, sigma_min, sigma_max)
+        # restore prior's wide bandwidth
+        prior_pos = int(np.where(order == 0)[0][0])
+        sigma[prior_pos] = prior_sigma
+        self.mu = sorted_mu
+        self.sigma = sigma
+        self.low, self.high = low, high
+        # normalization for truncation to [low, high]
+        from scipy.stats import norm
+
+        self._norm = norm
+        a = (low - self.mu) / self.sigma
+        b = (high - self.mu) / self.sigma
+        self._z = np.maximum(self._norm.cdf(b) - self._norm.cdf(a), 1e-12)
+
+    def sample(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        idx = rng.integers(0, len(self.mu), size=n)
+        out = rng.normal(self.mu[idx], self.sigma[idx])
+        return np.clip(out, self.low, self.high)
+
+    def logpdf(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)[:, None]
+        comp = (
+            self._norm.logpdf((x - self.mu[None, :]) / self.sigma[None, :])
+            - np.log(self.sigma[None, :])
+            - np.log(self._z[None, :])
+        )
+        m = comp.max(axis=1, keepdims=True)
+        return (m + np.log(np.exp(comp - m).mean(axis=1, keepdims=True))).ravel()
+
+
+def _tpe_suggest_one(
+    expr: Expression, trials: Trials, rng: np.random.Generator
+) -> float:
+    """Suggest a value for one dimension."""
+    obs_u, obs_loss = [], []
+    for t in trials.trials:
+        vals = t.get("misc", {}).get("vals", {})
+        if expr.label in vals:
+            obs_u.append(expr.to_underlying(vals[expr.label][0]))
+            loss = t["result"].get("loss", np.inf)
+            if t["result"].get("status") != STATUS_OK or not np.isfinite(loss):
+                loss = np.inf
+            obs_loss.append(loss)
+
+    if len(obs_u) < N_STARTUP_TRIALS:
+        return expr.sample_prior(rng)
+
+    obs_u = np.asarray(obs_u)
+    obs_loss = np.asarray(obs_loss)
+    n = len(obs_u)
+    n_below = min(int(np.ceil(0.25 * np.sqrt(n))), GAMMA_CAP)
+    n_below = max(n_below, 1)
+    order = np.argsort(obs_loss, kind="stable")
+    below = obs_u[order[:n_below]]
+    above = obs_u[order[n_below:]]
+
+    l_est = _Parzen(below, expr.low, expr.high)
+    g_est = _Parzen(above if len(above) else below, expr.low, expr.high)
+
+    cand = l_est.sample(rng, N_EI_CANDIDATES)
+    score = l_est.logpdf(cand) - g_est.logpdf(cand)
+    return expr.to_value(float(cand[int(np.argmax(score))]))
+
+
+class tpe:
+    """Namespace mirroring ``hyperopt.tpe``."""
+
+    @staticmethod
+    def suggest(exprs: List[Expression], trials: Trials,
+                rng: np.random.Generator) -> Dict[str, float]:
+        return {e.label: _tpe_suggest_one(e, trials, rng) for e in exprs}
+
+
+class rand:
+    """Namespace mirroring ``hyperopt.rand`` (pure random search)."""
+
+    @staticmethod
+    def suggest(exprs: List[Expression], trials: Trials,
+                rng: np.random.Generator) -> Dict[str, float]:
+        return {e.label: e.sample_prior(rng) for e in exprs}
+
+
+# ---------------------------------------------------------------------------
+# fmin
+# ---------------------------------------------------------------------------
+
+
+def fmin(
+    fn: Callable[[Any], Dict[str, Any]],
+    space: Any,
+    algo=None,
+    max_evals: int = 100,
+    trials: Optional[Trials] = None,
+    rstate: Optional[np.random.Generator] = None,
+    verbose: bool = False,
+) -> Optional[Dict[str, float]]:
+    """Minimize ``fn`` over ``space``.  ``fn`` receives the evaluated space
+    structure and returns {"loss": float, "status": STATUS_OK|STATUS_FAIL, ...};
+    extra keys (e.g. "params") are stored on the trial.  Returns the best
+    trial's raw values keyed by hp label (hyperopt contract; cf. reference
+    usage optimization.py:135-148)."""
+    if algo is None:
+        algo = tpe.suggest
+    if trials is None:
+        trials = Trials()
+    rng = rstate if rstate is not None else np.random.default_rng()
+
+    exprs = _flatten_space(space)
+
+    tid = len(trials.trials)
+    while len(trials.trials) < max_evals:
+        vals = algo(exprs, trials, rng)
+        structured = _evaluate_space(space, vals)
+        result = fn(structured)
+        if not isinstance(result, dict) or "status" not in result:
+            result = {"loss": float(result), "status": STATUS_OK}
+        trials.append(tid, vals, result)
+        if verbose:
+            print(f"trial {tid}: loss={result.get('loss')} "
+                  f"status={result.get('status')}")
+        tid += 1
+
+    best = trials.best_trial()
+    if best is None:
+        return None
+    return {k: v[0] for k, v in best["misc"]["vals"].items()}

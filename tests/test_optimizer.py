@@ -1,0 +1,213 @@
+"""Tests for the TPE engine, Leiden scoring, and ComponentOptimizer."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from alpine_tpu.optimize import scoring
+from alpine_tpu.optimize.tpe import (
+    STATUS_FAIL,
+    STATUS_OK,
+    Trials,
+    fmin,
+    hp,
+    rand,
+    tpe,
+)
+
+from .conftest import make_synthetic_adata
+
+
+# -------------------------------------------------------------------- TPE
+
+
+def test_tpe_beats_random_on_quadratic():
+    space = {"x": hp.uniform("x", -10.0, 10.0), "y": hp.uniform("y", -10.0, 10.0)}
+
+    def obj(s):
+        return {"loss": (s["x"] - 3.0) ** 2 + (s["y"] + 2.0) ** 2, "status": STATUS_OK}
+
+    t_tpe = Trials()
+    best = fmin(obj, space, algo=tpe.suggest, max_evals=80, trials=t_tpe,
+                rstate=np.random.default_rng(0))
+    assert abs(best["x"] - 3.0) < 2.0 and abs(best["y"] + 2.0) < 2.0
+
+    t_rand = Trials()
+    fmin(obj, space, algo=rand.suggest, max_evals=80, trials=t_rand,
+         rstate=np.random.default_rng(0))
+    assert min(t_tpe.losses) <= min(t_rand.losses) * 1.5
+
+
+def test_tpe_distributions():
+    space = {
+        "n": hp.quniform("n", 10, 100, 1),
+        "lam": hp.qloguniform("lam", np.log(1.0), np.log(1e4), 1),
+        "u": hp.uniform("u", 0.0, 1.0),
+    }
+    seen = []
+
+    def obj(s):
+        seen.append(s)
+        return {"loss": 0.0, "status": STATUS_OK}
+
+    fmin(obj, space, max_evals=50, trials=Trials(), rstate=np.random.default_rng(1))
+    for s in seen:
+        assert 10 <= s["n"] <= 100 and s["n"] == round(s["n"])
+        assert 1.0 <= s["lam"] <= 1e4 + 1 and s["lam"] == round(s["lam"])
+        assert 0.0 <= s["u"] <= 1.0
+    # qloguniform should produce log-spread values
+    lams = [s["lam"] for s in seen]
+    assert min(lams) < 50 and max(lams) > 500
+
+
+def test_tpe_handles_failed_trials():
+    space = {"x": hp.uniform("x", 0.0, 1.0)}
+
+    def obj(s):
+        if s["x"] < 0.5:
+            return {"loss": np.inf, "status": STATUS_FAIL}
+        return {"loss": (s["x"] - 0.9) ** 2, "status": STATUS_OK}
+
+    trials = Trials()
+    best = fmin(obj, space, max_evals=60, trials=trials,
+                rstate=np.random.default_rng(2))
+    assert best["x"] >= 0.5
+    assert any(t["result"]["status"] == STATUS_FAIL for t in trials.trials)
+
+
+def test_trials_pickle_roundtrip(tmp_path):
+    space = {"x": hp.uniform("x", 0.0, 1.0)}
+    trials = Trials()
+    fmin(lambda s: {"loss": s["x"], "status": STATUS_OK}, space,
+         max_evals=5, trials=trials, rstate=np.random.default_rng(3))
+    p = tmp_path / "trials.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(trials, f)
+    with open(p, "rb") as f:
+        loaded = pickle.load(f)
+    assert len(loaded.trials) == 5
+    # resume adds on top
+    fmin(lambda s: {"loss": s["x"], "status": STATUS_OK}, space,
+         max_evals=8, trials=loaded, rstate=np.random.default_rng(4))
+    assert len(loaded.trials) == 8
+
+
+# ---------------------------------------------------------------- scoring
+
+
+def test_leiden_separates_blobs():
+    r = np.random.default_rng(0)
+    emb = np.vstack([r.normal(0, 0.3, (80, 4)), r.normal(5, 0.3, (80, 4))])
+    labels = scoring.leiden(emb, seed=0)
+    # no cluster may span both blobs (homogeneity of truth given clusters)
+    truth = np.array(["a"] * 80 + ["b"] * 80, dtype=object)
+    score = scoring.embedding_score(labels, truth)
+    from sklearn.metrics.cluster import homogeneity_score
+    assert homogeneity_score(truth.astype(str), labels.astype(str)) > 0.95
+    assert score > 0.9
+
+
+def test_embedding_score_masks_nan():
+    clusters = np.array([0, 0, 1, 1])
+    vals = np.array(["a", None, "b", "b"], dtype=object)
+    s = scoring.embedding_score(clusters, vals)
+    assert np.isfinite(s)
+
+
+def test_python_louvain_fallback_matches_native_quality():
+    r = np.random.default_rng(1)
+    emb = np.vstack([r.normal(0, 0.3, (60, 3)), r.normal(5, 0.3, (60, 3))])
+    src, dst, w = scoring.knn_graph(emb)
+    lab = scoring._python_louvain(120, src, dst, w, seed=0)
+    truth = np.array(["a"] * 60 + ["b"] * 60, dtype=object)
+    from sklearn.metrics.cluster import homogeneity_score
+    assert homogeneity_score(truth.astype(str), lab.astype(str)) > 0.95
+
+
+# ------------------------------------------------------ ComponentOptimizer
+
+
+@pytest.fixture(scope="module")
+def small_adata():
+    return make_synthetic_adata(n_cells=90, n_genes=25,
+                                covariates=(("batch", 2),), seed=11)
+
+
+def test_component_optimizer_search(small_adata, tmp_path):
+    from alpine_tpu import ComponentOptimizer
+
+    co = ComponentOptimizer(small_adata, ["batch"], max_iter=8, device="cpu",
+                            random_state=0)
+    best = co.search_hyperparams(
+        n_total_components_range=(8, 16),
+        lam_range=(1.0, 100.0),
+        n_splits=2,
+        max_evals=4,
+    )
+    assert set(best) == {"n_components", "n_covariate_components", "lam",
+                         "alpha_W", "orth_W", "l1_ratio_W", "random_state"}
+    assert best["n_components"] >= 2
+    assert len(best["n_covariate_components"]) == 1
+
+    hist = co.get_train_history()
+    assert "n_total_components" in hist.columns
+    assert "n_covariate_components_0" in hist.columns
+    assert "lam_0" in hist.columns
+    # sorted by score descending (reference quirk, optimization.py:473-475)
+    assert (hist["score"].values[:-1] >= hist["score"].values[1:] - 1e-12).all()
+
+    params = co.get_hyperparameter(0)
+    assert "n_components" in params and "score" in params
+
+    # trials persistence + resume
+    fn = str(tmp_path / "t.pkl")
+    co.save_trials(fn)
+    co2 = ComponentOptimizer(small_adata, ["batch"], max_iter=8, device="cpu",
+                             random_state=0)
+    co2.search_hyperparams(
+        n_total_components_range=(8, 16), lam_range=(1.0, 100.0),
+        n_splits=2, max_evals=2, trials_filename=fn,
+    )
+    assert len(co2.trials.trials) == len(co.trials.trials) + 2
+
+    # extend_training continues in place
+    n_before = len(co.trials.trials)
+    co.extend_training(extra_evals=2)
+    assert len(co.trials.trials) == n_before + 2
+
+    model = co.fit_the_best_param()
+    assert hasattr(model, "matrices")
+
+
+def test_component_optimizer_auto_max_iter(small_adata):
+    from alpine_tpu import ComponentOptimizer
+
+    co = ComponentOptimizer(small_adata, ["batch"], max_iter=None, device="cpu",
+                            random_state=0)
+    co.search_hyperparams(
+        n_total_components_range=(8, 12), lam_range=(1.0, 10.0),
+        n_splits=2, max_evals=2,
+    )
+    # after >= n_splits fold fits, max_iter freezes to the average elbow
+    assert co.max_iter is not None and co.max_iter > 0
+
+
+def test_optimizer_validation(small_adata):
+    from alpine_tpu import ComponentOptimizer
+
+    with pytest.raises(TypeError, match="adata must be an instance of AnnData"):
+        ComponentOptimizer("x", ["batch"])
+    with pytest.raises(ValueError, match="must be present in adata.obs"):
+        ComponentOptimizer(small_adata, ["nope"])
+    with pytest.raises(ValueError, match="loss_type"):
+        ComponentOptimizer(small_adata, ["batch"], loss_type="huber")
+
+    co = ComponentOptimizer(small_adata, ["batch"], max_iter=5, device="cpu")
+    with pytest.raises(ValueError, match="first element less than the second"):
+        co.search_hyperparams(n_total_components_range=(20, 10))
+    with pytest.raises(ValueError, match="n_splits"):
+        co.search_hyperparams(n_splits=1)
+    with pytest.raises(ValueError, match="max_evals"):
+        co.search_hyperparams(max_evals=0)
