@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import warnings
 from copy import copy, deepcopy
+from dataclasses import replace
 from typing import Dict, List, Optional, Union
 
 import jax
@@ -37,7 +38,7 @@ import numpy as np
 import pandas as pd
 
 from alpine_tpu.models.state import AlpineMatrices, split_h, split_w
-from alpine_tpu.ops import mu
+from alpine_tpu.ops import mu, pallas_kernels
 from alpine_tpu.ops.elbow import find_elbow
 from alpine_tpu.parallel.mesh import Placement, resolve_device
 from alpine_tpu.utils import sampling
@@ -327,8 +328,19 @@ class ALPINE:
             adata.varm[covariate] = copy(self.matrices["Ws"][i])
 
     # ------------------------------------------------------------ internals
+    def _use_tpu_kernels(self) -> bool:
+        """Fused Pallas kernels apply on a single (unsharded) TPU device."""
+        import os
+
+        if os.environ.get("ALPINE_TPU_DISABLE_PALLAS"):
+            return False
+        dev = self.device
+        return (not isinstance(dev, type(None))
+                and hasattr(dev, "platform")
+                and dev.platform == "tpu")
+
     def _make_cfg(self, Ys: List[Float32Array], n_sample: int, n_iter: int) -> mu.MUConfig:
-        return mu.MUConfig(
+        cfg = mu.MUConfig(
             blocks=tuple(self.n_all_components),
             n_labels=tuple(y.shape[0] for y in Ys),
             n_cells=n_sample,
@@ -339,6 +351,14 @@ class ALPINE:
             max_iter=n_iter,
             precision=self.matmul_precision,
         )
+        if (
+            cfg.full_batch
+            and not cfg.use_als
+            and self._use_tpu_kernels()
+            and pallas_kernels.h_update_supported(self.n_features)
+        ):
+            cfg = replace(cfg, backend="pallas")
+        return cfg
 
     def _hyper(self):
         return (
@@ -370,10 +390,21 @@ class ALPINE:
             jnp.asarray(np.concatenate(self.matrices["Ws"], axis=1))
         )
 
-        H = mu.transform_scan(
-            W, X, H0, jnp.float32(self.eps), n_iter=n_iter,
-            precision=self.matmul_precision,
-        )
+        if self._use_tpu_kernels() and not placement.is_sharded:
+            # fused path: 2WᵀX once, then all iterations in VMEM per tile
+            prec = {"precision": (jax.lax.Precision.HIGHEST
+                                  if self.matmul_precision == "highest"
+                                  else jax.lax.Precision.DEFAULT)}
+            num2 = 2.0 * jnp.matmul(W.T, X, **prec)
+            WtW2 = 2.0 * jnp.matmul(W.T, W, **prec)
+            H = pallas_kernels.fused_transform(
+                num2, H0, WtW2, jnp.float32(self.eps), n_iter=n_iter
+            )
+        else:
+            H = mu.transform_scan(
+                W, X, H0, jnp.float32(self.eps), n_iter=n_iter,
+                precision=self.matmul_precision,
+            )
         H_np = np.asarray(jax.device_get(H), dtype=np.float32)
         Hs = split_h(H_np, self.n_all_components)
 

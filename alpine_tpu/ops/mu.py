@@ -72,6 +72,11 @@ class MUConfig:
     weighted: bool = False  # weighted (balanced, with-replacement) sampling
     max_iter: int = 200
     precision: str = "highest"  # matmul precision ("highest" | "default")
+    # "xla" | "pallas" | "pallas_interpret".  "pallas" runs the fused
+    # one-X-pass-per-iteration kernel path (full-batch joint mode only; the
+    # model layer selects it when on an unsharded TPU, see
+    # ALPINE._make_cfg); "pallas_interpret" is the CPU-debuggable variant.
+    backend: str = "xla"
 
     @property
     def n_cov(self) -> int:
@@ -104,6 +109,10 @@ class MUConfig:
     @property
     def num_batches(self) -> int:
         return -(-self.n_cells // self.eff_batch_size)
+
+    @property
+    def use_pallas(self) -> bool:
+        return self.backend in ("pallas", "pallas_interpret")
 
 
 def _clamp(x: Array, eps: Array) -> Array:
@@ -282,6 +291,11 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     fresh permutation per iteration; "weighted" draws n balanced samples with
     replacement.  `weights` is the normalized per-cell probability vector for
     weighted mode (ignored otherwise)."""
+    if cfg.use_pallas:
+        if cfg.use_als or not cfg.full_batch:
+            raise ValueError("pallas backend requires full-batch joint mode")
+        return _fit_scan_pallas(cfg, W0, H0, Bs0, X, Ys, hyper)
+
     update = als_batch_update if cfg.use_als else joint_batch_update
     normX2 = jnp.sum(X * X)
     n = cfg.n_cells
@@ -325,6 +339,91 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
 
     keys = jax.random.split(key, cfg.max_iter)
     (W, H, Bs), losses = lax.scan(iteration, (W0, H0, Bs0), keys)
+    return W, H, Bs, losses
+
+
+def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
+    """Full-batch joint MU via the fused Pallas H-update kernel
+    (ops/pallas_kernels.py): each iteration reads X exactly ONCE.  The scan
+    carries (W, H, Bs, XHt, HHt) where XHt = X@Hᵀ and HHt = H@Hᵀ are
+    produced by the previous iteration's kernel, so the W update
+    (reference main.py:592-612) needs no X access at all."""
+    from alpine_tpu.ops import pallas_kernels as pk
+
+    dot = partial(_dot, precision=cfg.precision)
+    lam, orth_w, alpha_w, l1_ratio, eps = hyper
+    interpret = cfg.backend == "pallas_interpret"
+    normX2 = jnp.sum(X * X)
+
+    XHt0 = dot(X, H0.T)
+    HHt0 = dot(H0, H0.T)
+
+    def iteration(carry, _):
+        W, H, Bs, XHt, HHt = carry
+
+        # --- W update from carried XHt/HHt (main.py:592-612) ---
+        num = 2.0 * XHt
+        den = (
+            2.0 * dot(W, HHt)
+            + (1.0 - l1_ratio) * alpha_w * W
+            + orth_w * (jnp.sum(W, axis=1, keepdims=True) - W)
+            + l1_ratio * alpha_w
+        )
+        W = W * (num / _clamp(den, eps))
+
+        # --- B updates on pre-update H (main.py:614-628) ---
+        newBs = []
+        for i in range(cfg.n_cov):
+            o, k = cfg.offsets[i], cfg.blocks[i]
+            newBs.append(
+                _update_b(cfg, i, Bs[i], H[o:o + k], Ys[i], lam[i], eps,
+                          HHt_ii=HHt[o:o + k, o:o + k])
+            )
+        Bs = tuple(newBs)
+
+        # --- guided contributions to the H update (main.py:637-650) ---
+        if cfg.n_cov:
+            gnums, gdens = [], []
+            for i in range(cfg.n_cov):
+                o, k = cfg.offsets[i], cfg.blocks[i]
+                gnum, gden = _guided_h_terms(cfg, i, Bs[i], H[o:o + k], Ys[i],
+                                             lam[i], eps)
+                gnums.append(gnum)
+                gdens.append(gden)
+            zero = jnp.zeros((cfg.blocks[-1], cfg.n_cells), X.dtype)
+            extra_num = jnp.concatenate(gnums + [zero], axis=0)
+            extra_den = jnp.concatenate(gdens + [zero], axis=0)
+        else:
+            extra_num = extra_den = None
+
+        # --- fused H update + next-iteration XHt/HHt + loss partial ---
+        WtW = dot(W.T, W)
+        H, XHt, HHt, lossdot = pk.fused_h_update(
+            X, W, H, WtW, extra_num, extra_den, eps, interpret=interpret
+        )
+
+        # --- loss on the post-update state (main.py:726-753) ---
+        recon = normX2 - 2.0 * lossdot + jnp.sum(WtW * HHt)
+        parts = [recon]
+        total = recon
+        for i in range(cfg.n_cov):
+            o, k = cfg.offsets[i], cfg.blocks[i]
+            yhat = dot(Bs[i], H[o:o + k])
+            if cfg.loss_kl:
+                yh = _clamp(yhat, eps)
+                pred = jnp.sum(Ys[i] * jnp.log(_clamp(Ys[i] / yh, eps)) - Ys[i] + yh)
+            else:
+                d = Ys[i] - yhat
+                pred = jnp.sum(d * d)
+            parts.append(pred)
+            total = total + lam[i] * pred
+        loss = jnp.stack([total] + parts)
+
+        return (W, H, Bs, XHt, HHt), loss
+
+    (W, H, Bs, _, _), losses = lax.scan(
+        iteration, (W0, H0, Bs0, XHt0, HHt0), None, length=cfg.max_iter
+    )
     return W, H, Bs, losses
 
 

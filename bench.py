@@ -52,10 +52,20 @@ def bench_tpu(X, Ys):
     Xd = jnp.asarray(X)
     Ysd = tuple(jnp.asarray(y) for y in Ys)
 
+    from alpine_tpu.ops import pallas_kernels as pk
+
+    backend = os.environ.get("ALPINE_BENCH_BACKEND")
+    if backend is None:
+        backend = ("pallas"
+                   if jax.default_backend() == "tpu"
+                   and pk.h_update_supported(N_GENES)
+                   else "xla")
+
     def run(n_iter):
         cfg = mu.MUConfig(
             blocks=BLOCKS, n_labels=N_LABELS, n_cells=N_CELLS,
             loss_kl=True, use_als=False, max_iter=n_iter, precision=precision,
+            backend=backend,
         )
         W0, H0, Bs0 = mu.init_matrices(cfg, N_GENES, key, 1e-6)
         out = mu.fit_scan(cfg, W0, H0, Bs0, Xd, Ysd, hyper, key, None)

@@ -1,0 +1,110 @@
+"""Pallas kernel parity vs the XLA path (interpret mode on CPU; the same
+kernels run compiled on TPU — see bench.py / verify skill)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alpine_tpu.ops import mu
+from alpine_tpu.ops import pallas_kernels as pk
+
+BLOCKS = (3, 4, 6)
+N_LABELS = (2, 3)
+G, N = 30, 300
+EPS = 1e-6
+
+
+def _problem(seed=0):
+    r = np.random.default_rng(seed)
+    X = jnp.asarray(r.random((G, N), dtype=np.float32))
+    Ys = []
+    for nl in N_LABELS:
+        y = np.zeros((nl, N), np.float32)
+        y[r.integers(0, nl, N), np.arange(N)] = 1.0
+        Ys.append(jnp.asarray(y))
+    return X, tuple(Ys)
+
+
+def test_fused_h_update_matches_jnp():
+    r = np.random.default_rng(1)
+    X = jnp.asarray(r.random((G, N), dtype=np.float32))
+    W = jnp.asarray(r.random((G, 13), dtype=np.float32))
+    H = jnp.asarray(r.random((13, N), dtype=np.float32) + 0.1)
+    WtW = W.T @ W
+    en = jnp.asarray(r.random((13, N), dtype=np.float32))
+    ed = jnp.asarray(r.random((13, N), dtype=np.float32))
+    eps = jnp.float32(EPS)
+
+    for extras in (None, (en, ed)):
+        e_n, e_d = extras if extras else (None, None)
+        Hn, XHt, HHt, ld = pk.fused_h_update(X, W, H, WtW, e_n, e_d, eps,
+                                             interpret=True)
+        WtX = W.T @ X
+        num = 2 * WtX + (e_n if extras else 0)
+        den = 2 * (WtW @ H) + (e_d if extras else 0)
+        Hn_ref = H * num / jnp.maximum(den, eps)
+        np.testing.assert_allclose(np.asarray(Hn), np.asarray(Hn_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(XHt), np.asarray(X @ Hn_ref.T),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(HHt), np.asarray(Hn_ref @ Hn_ref.T),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(ld), float(jnp.sum(WtX * Hn_ref)),
+                                   rtol=1e-4)
+
+
+def test_fused_transform_matches_loop():
+    r = np.random.default_rng(2)
+    W = jnp.asarray(r.random((G, 11), dtype=np.float32))
+    X = jnp.asarray(r.random((G, N), dtype=np.float32))
+    H0 = jnp.asarray(r.random((11, N), dtype=np.float32) + 0.1)
+    num2 = 2.0 * (W.T @ X)
+    WtW2 = 2.0 * (W.T @ W)
+    got = pk.fused_transform(num2, H0, WtW2, jnp.float32(EPS), n_iter=12,
+                             interpret=True)
+    want = H0
+    for _ in range(12):
+        want = want * (num2 / jnp.maximum(WtW2 @ want, EPS))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_cov", [0, 2])
+def test_pallas_fit_scan_matches_xla(n_cov):
+    """The full pallas training path (carried XHt/HHt, fused H update, fused
+    loss) must reproduce the XLA scan trajectory."""
+    X, Ys = _problem()
+    if n_cov == 0:
+        blocks, n_labels, Ys_use, lam = (6,), (), (), jnp.zeros((0,), jnp.float32)
+    else:
+        blocks, n_labels, Ys_use = BLOCKS, N_LABELS, Ys
+        lam = jnp.asarray([3.0, 1.5], jnp.float32)
+    hyper = (lam, jnp.float32(0.2), jnp.float32(0.4), jnp.float32(0.3),
+             jnp.float32(EPS))
+    key = jax.random.PRNGKey(0)
+
+    cfg_x = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=N,
+                        loss_kl=True, max_iter=15, backend="xla")
+    W0, H0, Bs0 = mu.init_matrices(cfg_x, G, key, EPS)
+    Wx, Hx, Bsx, Lx = mu.fit_scan(cfg_x, W0, H0, Bs0, X, Ys_use, hyper, key, None)
+
+    cfg_p = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=N,
+                        loss_kl=True, max_iter=15, backend="pallas_interpret")
+    Wp, Hp, Bsp, Lp = mu.fit_scan(cfg_p, W0, H0, Bs0, X, Ys_use, hyper, key, None)
+
+    np.testing.assert_allclose(np.asarray(Lx), np.asarray(Lp), rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(Wx), np.asarray(Wp), rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Hx), np.asarray(Hp), rtol=5e-3, atol=1e-5)
+
+
+def test_pallas_rejects_unsupported_modes():
+    cfg = mu.MUConfig(blocks=(4,), n_labels=(), n_cells=N, use_als=True,
+                      backend="pallas_interpret", max_iter=2)
+    X, _ = _problem()
+    key = jax.random.PRNGKey(0)
+    W0, H0, Bs0 = mu.init_matrices(cfg, G, key, EPS)
+    with pytest.raises(ValueError, match="full-batch joint"):
+        mu.fit_scan(cfg, W0, H0, Bs0, X, (),
+                    (jnp.zeros((0,)), jnp.float32(0), jnp.float32(0),
+                     jnp.float32(0), jnp.float32(EPS)), key, None)
