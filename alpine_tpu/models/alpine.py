@@ -37,6 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from alpine_tpu import profiling
+from alpine_tpu.io.checkpoint import FitCheckpointer, load_model, save_model
 from alpine_tpu.models.state import AlpineMatrices, split_h, split_w
 from alpine_tpu.ops import mu, pallas_kernels
 from alpine_tpu.ops.elbow import find_elbow
@@ -95,10 +97,16 @@ class ALPINE:
         max_iter: Optional[int] = None,
         sampling_method: str = "random",
         verbose: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 50,
     ) -> "ALPINE":
         self._validate_fit_args(
             adata, covariate_keys, batch_size, max_iter, sampling_method, verbose
         )
+        if checkpoint_dir is not None and not isinstance(checkpoint_dir, str):
+            raise TypeError("checkpoint_dir must be a string or None.")
+        if not isinstance(checkpoint_every, int) or checkpoint_every <= 0:
+            raise ValueError("checkpoint_every must be a positive integer.")
         self.feature_names: List[str] = adata.var_names.tolist()
         self.n_features: int = adata.shape[1]
         self.covariate_keys: List[str] = covariate_keys
@@ -128,26 +136,83 @@ class ALPINE:
                 jnp.asarray(sampling.balanced_sample_probabilities(ids))
             )
 
-        def run(n_iter: int):
-            cfg = self._make_cfg(Ys, n_sample, n_iter)
+        self.timings_: Dict[str, float] = {}
+        timer = profiling.StepTimer(self.timings_)
+        hyper = self._hyper()
+
+        def init_state(cfg):
             key = jax.random.PRNGKey(self.random_state)
             init_key, fit_key = jax.random.split(key)
             W0, H0, Bs0 = mu.init_matrices(cfg, self.n_features, init_key, self.eps)
             W0 = placement.put_replicated(W0)
             H0 = placement.put_cells_matrix(H0)
             Bs0 = tuple(placement.put_replicated(b) for b in Bs0)
-            hyper = self._hyper()
+            return W0, H0, Bs0, fit_key
+
+        def run(n_iter: int):
+            cfg = self._make_cfg(Ys, n_sample, n_iter)
+            W0, H0, Bs0, fit_key = init_state(cfg)
             return cfg, mu.fit_scan(cfg, W0, H0, Bs0, Xd, Ysd, hyper, fit_key, weights)
+
+        def run_checkpointed(n_iter: int):
+            """Chunked scan with periodic snapshots (SURVEY.md §5 failure
+            recovery).  Resume is deterministic: chunk c always uses
+            fold_in(fit_key, c), so a restarted fit replays the identical
+            key schedule."""
+            ckpt = FitCheckpointer(
+                checkpoint_dir,
+                config_key={
+                    "blocks": self.n_all_components,
+                    "n_labels": [y.shape[0] for y in Ys],
+                    "n_cells": n_sample,
+                    "lam": self.lam, "orth_W": self.orth_W,
+                    "alpha_W": self.alpha_W, "l1_ratio_W": self.l1_ratio_W,
+                    "loss_type": self.loss_type, "use_als": self.use_als,
+                    "batch_size": self.batch_size,
+                    "sampling": self.sampling_method,
+                    "seed": self.random_state, "max_iter": n_iter,
+                },
+            )
+            cfg0 = self._make_cfg(Ys, n_sample, n_iter)
+            W, H, Bs, fit_key = init_state(cfg0)
+            done, losses_parts = 0, []
+            resumed = ckpt.load()
+            if resumed is not None:
+                done, W_np, H_np, Bs_np, losses0 = resumed
+                W = placement.put_replicated(jnp.asarray(W_np))
+                H = placement.put_cells_matrix(jnp.asarray(H_np))
+                Bs = tuple(placement.put_replicated(jnp.asarray(b)) for b in Bs_np)
+                losses_parts.append(losses0)
+                if verbose:
+                    print(f"ALPINE fit: resumed from iteration {done}")
+            chunk_idx = done // checkpoint_every
+            cfg = None
+            while done < n_iter:
+                chunk = min(checkpoint_every, n_iter - done)
+                cfg = self._make_cfg(Ys, n_sample, chunk)
+                ck = jax.random.fold_in(fit_key, chunk_idx)
+                W, H, Bs, L = mu.fit_scan(cfg, W, H, Bs, Xd, Ysd, hyper, ck, weights)
+                losses_parts.append(np.asarray(jax.device_get(L)))
+                done += chunk
+                chunk_idx += 1
+                ckpt.save(done, W, H, Bs, np.concatenate(losses_parts))
+            ckpt.clear()
+            return cfg, (W, H, Bs, np.concatenate(losses_parts))
 
         # warm-up elbow search (reference main.py:114-131)
         if max_iter is None:
-            _, (_, _, _, losses) = run(200)
-            recon = np.asarray(losses[:, 1])
+            with timer.phase("warmup"):
+                _, (_, _, _, losses) = run(200)
+                recon = np.asarray(losses[:, 1])
             self.max_iter: int = self._compute_best_iter(recon)
         else:
             self.max_iter = max_iter
 
-        cfg, (Wd, Hd, Bsd, losses) = run(self.max_iter)
+        with timer.phase("fit"):
+            if checkpoint_dir is not None:
+                cfg, (Wd, Hd, Bsd, losses) = run_checkpointed(self.max_iter)
+            else:
+                cfg, (Wd, Hd, Bsd, losses) = run(self.max_iter)
 
         if self.scale_needed:
             Wd, Hd, Bsd = mu.scale_matrices(cfg, Wd, Hd, Bsd)
@@ -253,6 +318,18 @@ class ALPINE:
             ]
 
         return recon_loss + sum(self.lam[i] * pl for i, pl in enumerate(pred_loss))
+
+    # --------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        """Serialize the fitted model to `<path>.npz` (+ encoder sidecar).
+        Model-level persistence is new vs the reference, which relied on
+        users pickling the whole object (README.md:212-215)."""
+        save_model(self, path)
+
+    @classmethod
+    def load(cls, path: str, device="auto") -> "ALPINE":
+        """Reconstruct a fitted model saved with `save`."""
+        return load_model(path, device=device)
 
     # ----------------------------------------------------------- accessors
     def get_decomposed_matrices(self):

@@ -1,0 +1,139 @@
+"""vmap-batched cross-validation folds for the ComponentOptimizer.
+
+The reference runs each trial's k CV folds sequentially — k complete ALPINE
+trainings one after another in a Python loop
+(`/root/reference/alpine/optimization.py:241-283`).  At CV-fold sizes a TPU
+is badly underutilized by a single fit, so here all folds of a trial run as
+ONE jitted program via `jax.vmap` over the fold axis (SURVEY.md §2
+"TPU-native equivalents (b)": batched trials/folds via vmap over the W/H/B
+pytrees).
+
+Mechanics:
+- train/validation matrices are zero-padded to the max fold size and
+  stacked on a leading fold axis.  Zero cell-columns are exactly neutral in
+  every MU numerator/denominator (the same argument as the minibatch
+  padding in ops/mu.py), so padded fits follow the same trajectories as
+  unpadded ones up to the shared initialization.
+- W0/H0/Bs0 are drawn once from the trial seed and broadcast across folds
+  (the reference also re-seeds identically per fold, main.py:440-442, but
+  draws shapes per fold; a shared padded init is the documented batched
+  equivalent).
+- the per-fold validation transform is vmapped the same way; only the
+  unguided embeddings return to host, where Leiden scoring runs per fold.
+
+TPE itself stays sequential (it conditions on all previous trials —
+batching across trials would change the algorithm; the reference has the
+same property)."""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alpine_tpu.ops import mu
+from alpine_tpu.utils import sampling
+
+
+def batched_fold_embeddings(
+    X_cells_by_genes: np.ndarray,
+    Ys_cells_by_labels: Sequence[np.ndarray],
+    folds: Sequence[Tuple[np.ndarray, np.ndarray]],
+    *,
+    blocks: Tuple[int, ...],
+    lam: Sequence[float],
+    orth_w: float,
+    alpha_w: float,
+    l1_ratio: float,
+    eps: float,
+    loss_kl: bool,
+    use_als: bool,
+    batch_size,
+    weighted: bool,
+    max_iter: int,
+    scale: bool,
+    seed: int,
+    precision: str = "highest",
+) -> List[np.ndarray]:
+    """Fit one model per fold (batched) and return each fold's validation
+    unguided embedding as (n_val_fold, k_unguided) numpy arrays."""
+    n_folds = len(folds)
+    g = X_cells_by_genes.shape[1]
+    X_all = X_cells_by_genes.astype(np.float32)
+    Ys_all = [y.astype(np.float32) for y in Ys_cells_by_labels]
+    n_labels = tuple(y.shape[1] for y in Ys_all)
+
+    n_tr = max(len(tr) for tr, _ in folds)
+    n_va = max(len(va) for _, va in folds)
+
+    # stacked, zero-padded (genes x cells) fold tensors
+    Xtr = np.zeros((n_folds, g, n_tr), np.float32)
+    Xva = np.zeros((n_folds, g, n_va), np.float32)
+    Ystr = [np.zeros((n_folds, nl, n_tr), np.float32) for nl in n_labels]
+    weights = np.zeros((n_folds, n_tr), np.float32) if weighted else None
+    for f, (tr, va) in enumerate(folds):
+        Xtr[f, :, : len(tr)] = X_all[tr].T
+        Xva[f, :, : len(va)] = X_all[va].T
+        for i, y in enumerate(Ys_all):
+            Ystr[i][f, :, : len(tr)] = y[tr].T
+        if weighted:
+            ids = sampling.joint_label_ids([y[tr].T for y in Ys_all])
+            w = sampling.balanced_sample_probabilities(ids)
+            weights[f, : len(tr)] = w / w.sum()
+
+    cfg = mu.MUConfig(
+        blocks=blocks,
+        n_labels=n_labels,
+        n_cells=n_tr,
+        loss_kl=loss_kl,
+        use_als=use_als,
+        batch_size=None if (batch_size is None or batch_size >= n_tr) else batch_size,
+        weighted=weighted,
+        max_iter=max_iter,
+        precision=precision,
+        backend="xla",  # the fused pallas path is single-program; vmap uses XLA
+    )
+    key = jax.random.PRNGKey(seed)
+    init_key, fit_key = jax.random.split(key)
+    W0, H0, Bs0 = mu.init_matrices(cfg, g, init_key, eps)
+    hyper = (
+        jnp.asarray(np.asarray(lam, np.float32)),
+        jnp.float32(orth_w), jnp.float32(alpha_w), jnp.float32(l1_ratio),
+        jnp.float32(eps),
+    )
+
+    in_axes = (None, None, None, 0, 0, None, None, 0 if weighted else None)
+    vfit = jax.vmap(
+        lambda W, H, Bs, X, Ys, hy, k, w: mu.fit_scan(cfg, W, H, Bs, X, Ys, hy, k, w),
+        in_axes=in_axes,
+    )
+    Ws, Hs, Bss, _ = vfit(
+        W0, H0, Bs0, jnp.asarray(Xtr),
+        tuple(jnp.asarray(y) for y in Ystr), hyper, fit_key,
+        jnp.asarray(weights) if weighted else None,
+    )
+
+    if scale:
+        Ws, Hs, Bss = jax.vmap(lambda W, H, Bs: mu.scale_matrices(cfg, W, H, Bs))(
+            Ws, Hs, Bss
+        )
+
+    # batched validation transform (reference main.py:678-724 per fold)
+    t_key = jax.random.fold_in(key, 1)
+    H0v = jnp.maximum(
+        jax.random.uniform(t_key, (sum(blocks), n_va), dtype=jnp.float32), eps
+    )
+    vtrans = jax.vmap(
+        lambda W, X: mu.transform_scan(W, X, H0v, jnp.float32(eps),
+                                       n_iter=max_iter, precision=precision),
+        in_axes=(0, 0),
+    )
+    Hva = np.asarray(jax.device_get(vtrans(Ws, jnp.asarray(Xva))))
+
+    k_unguided = blocks[-1]
+    out = []
+    for f, (_, va) in enumerate(folds):
+        out.append(Hva[f, -k_unguided:, : len(va)].T.copy())
+    return out

@@ -56,10 +56,13 @@ class ComponentOptimizer:
         sampling_method: str = "random",
         device="auto",
         random_state: int = 42,
+        fold_batching: bool = True,
     ):
         self._validate_init_args(
             adata, covariate_keys, loss_type, max_iter, batch_size, device, random_state
         )
+        if not isinstance(fold_batching, bool):
+            raise TypeError("fold_batching must be a boolean")
 
         self.adata = adata.copy()
         self.covariate_keys: List[str] = covariate_keys
@@ -70,6 +73,12 @@ class ComponentOptimizer:
         self.sampling_method: str = sampling_method
         self.device = device
         self.random_state: int = random_state
+        # vmap-batch the CV folds of each trial into one XLA program
+        # (new capability vs the reference's sequential fold loop,
+        # optimization.py:241-283; see optimize/batched.py).  Requires a
+        # frozen max_iter, so the first trial under max_iter auto-detection
+        # still runs sequentially.
+        self.fold_batching: bool = fold_batching
         self.best_param: dict = {}
 
         if self.max_iter is None:
@@ -261,11 +270,16 @@ class ComponentOptimizer:
             for key in self.covariate_keys[1:]:
                 joint_labels = joint_labels + "_" + self.adata.obs[key].astype(str)
 
-        scores = []
         skf = StratifiedKFold(
             n_splits=self.n_splits, shuffle=True, random_state=self.random_state
         )
-        for train_idx, val_idx in skf.split(self.adata.X, joint_labels):
+        folds = list(skf.split(self.adata.X, joint_labels))
+
+        if self.fold_batching and self.max_iter is not None:
+            return self._calc_score_batched(args, folds)
+
+        scores = []
+        for train_idx, val_idx in folds:
             train_adata = self.adata[train_idx].copy()
             val_adata = self.adata[val_idx].copy()
 
@@ -312,6 +326,48 @@ class ComponentOptimizer:
             if self.max_iter_detect:
                 self.iter_records.append(model.max_iter)
 
+        return float(np.mean(scores))
+
+    def _calc_score_batched(self, args, folds) -> float:
+        """All CV folds of this trial as one vmapped program
+        (optimize/batched.py); scoring stays host-side per fold."""
+        from alpine_tpu.optimize.batched import batched_fold_embeddings
+        from alpine_tpu.utils.encoder import FeatureEncoders
+
+        fe = FeatureEncoders(self.covariate_keys)
+        Ys = fe.fit_transform(self.adata.obs)  # (cells x labels) each
+
+        blocks = tuple(args["n_covariate_components"]) + (args["n_components"],)
+        embeddings = batched_fold_embeddings(
+            np.asarray(self.adata.X, dtype=np.float32),
+            Ys,
+            folds,
+            blocks=blocks,
+            lam=[float(l) for l in args["lam"]],
+            orth_w=float(args["orth_W"]),
+            alpha_w=float(args["alpha_W"]),
+            l1_ratio=float(args["l1_ratio_W"]),
+            eps=1e-6,
+            loss_kl=(self.loss_type == "kl-divergence"),
+            use_als=self.use_als,
+            batch_size=self.batch_size,
+            weighted=(self.sampling_method == "weighted"),
+            max_iter=self.max_iter,
+            scale=True,
+            seed=self.random_state,
+        )
+
+        scores = []
+        for (_, val_idx), emb in zip(folds, embeddings):
+            clusters = scoring.leiden(
+                emb, n_neighbors=15, resolution=1.0, seed=self.random_state
+            )
+            s = 0.0
+            for key in self.covariate_keys:
+                s += scoring.embedding_score(
+                    clusters, self.adata.obs[key].to_numpy()[val_idx]
+                )
+            scores.append(s / len(self.covariate_keys))
         return float(np.mean(scores))
 
     # ------------------------------------------------------- continuation

@@ -1,0 +1,129 @@
+"""Tests: model save/load roundtrip, mid-fit snapshots + deterministic
+resume, profiling hooks."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from alpine_tpu import ALPINE
+from alpine_tpu import profiling
+
+from .conftest import make_synthetic_adata
+
+
+def _model(**kw):
+    defaults = dict(n_components=6, n_covariate_components=[2], lam=[5.0],
+                    device="cpu", random_state=0)
+    defaults.update(kw)
+    return ALPINE(**defaults)
+
+
+def test_save_load_roundtrip(tmp_path, synthetic_adata):
+    model = _model(n_covariate_components=[2, 3], lam=[1.0, 2.0])
+    model.fit(synthetic_adata, ["batch", "condition"], max_iter=10)
+    path = str(tmp_path / "model")
+    model.save(path)
+
+    loaded = ALPINE.load(path, device="cpu")
+    for name in ("Ws", "Hs", "Bs", "Ys"):
+        for a, b in zip(model.matrices[name], loaded.matrices[name]):
+            np.testing.assert_array_equal(a, b)
+    pd.testing.assert_frame_equal(model.loss_history, loaded.loss_history)
+    assert loaded.max_iter == model.max_iter
+    assert loaded.covariate_keys == ["batch", "condition"]
+
+    # loaded model must transform new data identically
+    fresh_a = make_synthetic_adata(n_cells=40, seed=9)
+    fresh_b = make_synthetic_adata(n_cells=40, seed=9)
+    model.transform(fresh_a, n_iter=5)
+    loaded.transform(fresh_b, n_iter=5)
+    np.testing.assert_allclose(fresh_a.obsm["ALPINE_embedding"],
+                               fresh_b.obsm["ALPINE_embedding"], rtol=1e-5)
+
+    # encoder survives: gene scores identical
+    sa = model.get_covariate_gene_scores()
+    sb = loaded.get_covariate_gene_scores()
+    pd.testing.assert_frame_equal(sa["batch"], sb["batch"])
+
+
+def test_save_unfitted_raises(tmp_path):
+    with pytest.raises(RuntimeError, match="not trained"):
+        _model().save(str(tmp_path / "x"))
+
+
+def test_checkpointed_fit_matches_plain(tmp_path, synthetic_adata):
+    """Chunked+snapshotted full-batch fit must equal the single-scan fit
+    (full-batch ignores the per-chunk key schedule)."""
+    a1, a2 = synthetic_adata.copy(), synthetic_adata.copy()
+    plain = _model()
+    plain.fit(a1, ["batch"], max_iter=12)
+
+    ck = _model()
+    ck.fit(a2, ["batch"], max_iter=12,
+           checkpoint_dir=str(tmp_path), checkpoint_every=5)
+    np.testing.assert_allclose(plain.loss_history.values,
+                               ck.loss_history.values, rtol=1e-4)
+    np.testing.assert_allclose(a1.obsm["ALPINE_embedding"],
+                               a2.obsm["ALPINE_embedding"], rtol=2e-3, atol=1e-5)
+    # snapshot cleared on success
+    assert not any(f.startswith("fit_snapshot") for f in os.listdir(tmp_path))
+
+
+def test_checkpoint_resume(tmp_path, synthetic_adata):
+    """Simulate preemption: run 5 of 12 iterations, then a fresh model must
+    resume from the snapshot and finish with the identical trajectory."""
+    from alpine_tpu.io.checkpoint import FitCheckpointer
+
+    a1, a2 = synthetic_adata.copy(), synthetic_adata.copy()
+
+    full = _model()
+    full.fit(a1, ["batch"], max_iter=12,
+             checkpoint_dir=str(tmp_path / "full"), checkpoint_every=4)
+
+    # partial run: monkeypatch FitCheckpointer.clear to keep the snapshot,
+    # and run only 8 iterations' worth of chunks by interrupting via
+    # an exception after the 2nd chunk
+    partial_dir = str(tmp_path / "partial")
+    calls = {"n": 0}
+    orig_save = FitCheckpointer.save
+
+    def interrupting_save(self, iteration, W, H, Bs, losses):
+        orig_save(self, iteration, W, H, Bs, losses)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+
+    FitCheckpointer.save = interrupting_save
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            _model().fit(a2, ["batch"], max_iter=12,
+                         checkpoint_dir=partial_dir, checkpoint_every=4)
+    finally:
+        FitCheckpointer.save = orig_save
+
+    resumed = _model()
+    resumed.fit(a2, ["batch"], max_iter=12,
+                checkpoint_dir=partial_dir, checkpoint_every=4)
+    np.testing.assert_allclose(full.loss_history.values,
+                               resumed.loss_history.values, rtol=1e-4)
+
+
+def test_profiling_timer(synthetic_adata):
+    profiling.enable(True)
+    try:
+        model = _model()
+        model.fit(synthetic_adata, ["batch"], max_iter=5)
+        assert "fit" in model.timings_ and model.timings_["fit"] > 0
+    finally:
+        profiling.enable(False)
+
+
+def test_trace_context(tmp_path, synthetic_adata):
+    with profiling.trace(str(tmp_path / "trace")):
+        model = _model()
+        model.fit(synthetic_adata, ["batch"], max_iter=3)
+    # a profile directory should have been produced
+    assert any("plugins" in r or "profile" in r.lower() or d
+               for r, d, _ in os.walk(tmp_path / "trace"))
