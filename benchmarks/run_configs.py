@@ -1,0 +1,113 @@
+"""The five BASELINE.md benchmark configs as runnable scenarios.
+
+Each prints one JSON line: {"config": i, "desc": ..., "seconds": ...,
+"final_loss": ...}.  Data is synthetic (PBMC3k-shaped for configs 1-4,
+atlas-shaped for config 5) since the repo ships no datasets.
+
+Usage:  python benchmarks/run_configs.py [1 2 3 4 5]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from alpine_tpu import ALPINE, AnnData, ComponentOptimizer  # noqa: E402
+
+
+def pbmc_like(n_cells=2700, n_genes=2000, n_cov=2, seed=0):
+    r = np.random.default_rng(seed)
+    k = 12
+    X = (r.gamma(2.0, 1.0, (n_genes, k)) @ r.gamma(2.0, 1.0, (k, n_cells))
+         + r.random((n_genes, n_cells))).astype(np.float32).T
+    obs = pd.DataFrame(index=[f"c{i}" for i in range(n_cells)])
+    names = ["batch", "condition"][:n_cov]
+    for j, name in enumerate(names):
+        obs[name] = np.array(
+            [f"{name}_{v}" for v in r.integers(0, 2 + j, n_cells)], dtype=object
+        )
+    return AnnData(X, obs=obs), names
+
+
+def report(i, desc, seconds, extra=None):
+    out = {"config": i, "desc": desc, "seconds": round(seconds, 3)}
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
+
+
+def config_1():
+    adata, _ = pbmc_like(n_cov=0)
+    model = ALPINE(n_components=30, n_covariate_components=[], lam=[],
+                   loss_type="frobenius", random_state=0)
+    t0 = time.perf_counter()
+    model.fit(adata, [], max_iter=200)
+    dt = time.perf_counter() - t0
+    report(1, "unguided NMF, n_components=30, frobenius, PBMC3k-scale", dt,
+           {"final_loss": float(model.loss_history['total loss'].iloc[-1])})
+
+
+def config_2():
+    adata, keys = pbmc_like(n_cov=1)
+    model = ALPINE(n_components=30, n_covariate_components=[5], lam=[1e3],
+                   random_state=0)
+    t0 = time.perf_counter()
+    model.fit(adata, keys, max_iter=200)
+    dt = time.perf_counter() - t0
+    report(2, "single-covariate semi-supervised, lam=1e3, k_cov=5", dt,
+           {"final_loss": float(model.loss_history['total loss'].iloc[-1])})
+
+
+def config_3():
+    adata, keys = pbmc_like(n_cov=2)
+    model = ALPINE(n_components=30, n_covariate_components=[4, 5],
+                   lam=[1e3, 1e3], orth_W=0.5, alpha_W=1.0, l1_ratio_W=0.3,
+                   random_state=0)
+    t0 = time.perf_counter()
+    model.fit(adata, keys, max_iter=200)
+    dt = time.perf_counter() - t0
+    report(3, "multi-covariate disentangle, orth_W + elastic net", dt,
+           {"final_loss": float(model.loss_history['total loss'].iloc[-1])})
+
+
+def config_4(max_evals=10):
+    adata, keys = pbmc_like(n_cells=1200, n_genes=800, n_cov=2)
+    co = ComponentOptimizer(adata, keys, max_iter=60, random_state=0)
+    t0 = time.perf_counter()
+    co.search_hyperparams(
+        n_total_components_range=(50, 100), lam_range=(1.0, 1e4),
+        n_splits=3, max_evals=max_evals,
+    )
+    dt = time.perf_counter() - t0
+    hist = co.get_train_history()
+    report(4, f"ComponentOptimizer TPE sweep, {max_evals} evals x 3 folds", dt,
+           {"best_score": float(hist['score'].iloc[-1]),
+            "trials": len(co.trials.trials)})
+
+
+def config_5(n_cells=100_000, n_genes=2_000):
+    adata, keys = pbmc_like(n_cells=n_cells, n_genes=n_genes, n_cov=1, seed=1)
+    model = ALPINE(n_components=30, n_covariate_components=[5], lam=[1e3],
+                   random_state=0)
+    t0 = time.perf_counter()
+    model.fit(adata, keys, max_iter=100)
+    fit_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    model.transform(adata, n_iter=100)
+    model.get_normalized_expression(adata, library_size=1e4)
+    post_dt = time.perf_counter() - t0
+    report(5, f"atlas-scale ({n_cells} cells) fit + batch-corrected expression",
+           fit_dt + post_dt,
+           {"fit_seconds": round(fit_dt, 3),
+            "transform_normalize_seconds": round(post_dt, 3),
+            "final_loss": float(model.loss_history['total loss'].iloc[-1])})
+
+
+if __name__ == "__main__":
+    chosen = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    for i in chosen:
+        {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5}[i]()
