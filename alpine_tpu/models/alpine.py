@@ -67,6 +67,7 @@ class ALPINE:
         eps: float = 1e-6,
         random_state: int = 42,
         matmul_precision: str = "highest",
+        data_dtype: str = "float32",
     ):
         self.n_components = n_components
         self.n_covariate_components = n_covariate_components
@@ -81,6 +82,7 @@ class ALPINE:
         self.eps = eps
         self.random_state = random_state
         self.matmul_precision = matmul_precision
+        self.data_dtype = data_dtype
 
         self._validate_init_args()
 
@@ -427,6 +429,7 @@ class ALPINE:
             weighted=(self.sampling_method == "weighted"),
             max_iter=n_iter,
             precision=self.matmul_precision,
+            x_dtype=self.data_dtype,
         )
         if (
             cfg.full_batch
@@ -555,6 +558,9 @@ class ALPINE:
 
         if self.matmul_precision not in ("highest", "default"):
             raise ValueError("matmul_precision must be 'highest' or 'default'.")
+
+        if self.data_dtype not in ("float32", "bfloat16"):
+            raise ValueError("data_dtype must be 'float32' or 'bfloat16'.")
 
     def _validate_fit_args(
         self, adata, covariate_keys, batch_size, max_iter, sampling_method, verbose

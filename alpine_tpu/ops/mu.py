@@ -54,6 +54,15 @@ def _dot(a: Array, b: Array, precision: str = "highest") -> Array:
     return jnp.matmul(a, b, precision=_prec(precision))
 
 
+def _dot_x(cfg: "MUConfig", a: Array, b: Array) -> Array:
+    """Matmul where one operand is (a slice of) X: run in cfg.xdt with
+    float32 accumulation so bfloat16 X storage halves the HBM read."""
+    dt = cfg.xdt
+    return jnp.matmul(a.astype(dt), b.astype(dt),
+                      precision=_prec(cfg.precision),
+                      preferred_element_type=jnp.float32)
+
+
 @dataclass(frozen=True)
 class MUConfig:
     """Static (shape/branch) configuration for one compiled fit.
@@ -72,6 +81,12 @@ class MUConfig:
     weighted: bool = False  # weighted (balanced, with-replacement) sampling
     max_iter: int = 200
     precision: str = "highest"  # matmul precision ("highest" | "default")
+    # Storage dtype for X (and Ys) inside the fit: "float32" | "bfloat16".
+    # bfloat16 halves the HBM traffic of the X passes that dominate each
+    # iteration (counts data tolerates the ~3-digit mantissa; opt-in via
+    # ALPINE(data_dtype="bfloat16")).  W/H/B stay float32; all matmuls
+    # accumulate in float32 via preferred_element_type.
+    x_dtype: str = "float32"
     # "xla" | "pallas" | "pallas_interpret".  "pallas" runs the fused
     # one-X-pass-per-iteration kernel path (full-batch joint mode only; the
     # model layer selects it when on an unsharded TPU, see
@@ -113,6 +128,10 @@ class MUConfig:
     @property
     def use_pallas(self) -> bool:
         return self.backend in ("pallas", "pallas_interpret")
+
+    @property
+    def xdt(self):
+        return jnp.bfloat16 if self.x_dtype == "bfloat16" else jnp.float32
 
 
 def _clamp(x: Array, eps: Array) -> Array:
@@ -163,7 +182,7 @@ def joint_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
 
     # --- W update (main.py:592-612) ---
     HHt = dot(H_b, H_b.T)
-    num = 2.0 * dot(X_b, H_b.T)
+    num = 2.0 * _dot_x(cfg, X_b, H_b.T)
     den = (
         2.0 * dot(W, HHt)
         + (1.0 - l1_ratio) * alpha_w * W
@@ -183,7 +202,7 @@ def joint_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
     Bs = tuple(newBs)
 
     # --- H update (main.py:630-663) ---
-    WtX = dot(W.T, X_b)
+    WtX = _dot_x(cfg, W.T, X_b)
     WtW = dot(W.T, W)
     num = 2.0 * WtX
     den = 2.0 * dot(WtW, H_b)
@@ -211,7 +230,7 @@ def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
         Hi = H_b[o:o + k]
         Wi = W[:, o:o + k]
         cross = dot(H_b, Hi.T)  # H_cat @ H_idxᵀ, (K, k)
-        num = 2.0 * dot(X_b, Hi.T)
+        num = 2.0 * _dot_x(cfg, X_b, Hi.T)
         den = (
             2.0 * dot(W, cross)
             + (1.0 - l1_ratio) * alpha_w * Wi
@@ -227,7 +246,7 @@ def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
             Bs = Bs[:idx] + (B,) + Bs[idx + 1:]
 
         # --- H[idx] (main.py:564-588); Wᵀ(W@H) -> (WᵢᵀW)@H ---
-        unum = 2.0 * dot(Wi.T, X_b)
+        unum = 2.0 * _dot_x(cfg, Wi.T, X_b)
         uden = 2.0 * dot(dot(Wi.T, W), H_b)
         if idx < cfg.n_cov:
             gnum, gden = _guided_h_terms(cfg, idx, Bs[idx], Hi, Ys_b[idx], lam[idx], eps)
@@ -255,7 +274,7 @@ def compute_loss_parts(cfg: MUConfig, hyper, W, H, Bs, X, Ys, normX2,
     dot = partial(_dot, precision=cfg.precision)
     lam, _, _, _, eps = hyper
     if WtX is None:
-        WtX = dot(W.T, X)
+        WtX = _dot_x(cfg, W.T, X)
     if WtW is None:
         WtW = dot(W.T, W)
     HHt = dot(H, H.T)
@@ -297,7 +316,9 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
         return _fit_scan_pallas(cfg, W0, H0, Bs0, X, Ys, hyper)
 
     update = als_batch_update if cfg.use_als else joint_batch_update
-    normX2 = jnp.sum(X * X)
+    normX2 = jnp.sum(X.astype(jnp.float32) * X.astype(jnp.float32))
+    X = X.astype(cfg.xdt)
+    Ys = tuple(Y.astype(cfg.xdt) for Y in Ys)
     n = cfg.n_cells
     bs = cfg.eff_batch_size
     nb = cfg.num_batches
@@ -353,9 +374,11 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     dot = partial(_dot, precision=cfg.precision)
     lam, orth_w, alpha_w, l1_ratio, eps = hyper
     interpret = cfg.backend == "pallas_interpret"
-    normX2 = jnp.sum(X * X)
+    normX2 = jnp.sum(X.astype(jnp.float32) * X.astype(jnp.float32))
+    X = X.astype(cfg.xdt)
+    Ys = tuple(Y.astype(cfg.xdt) for Y in Ys)
 
-    XHt0 = dot(X, H0.T)
+    XHt0 = _dot_x(cfg, X, H0.T)
     HHt0 = dot(H0, H0.T)
 
     def iteration(carry, _):

@@ -45,9 +45,9 @@ _X_TILE_BYTES = 4 * 1024 * 1024
 _LANE = 128
 
 
-def _choose_tile_n(n_genes: int, n_cells: int) -> Optional[int]:
+def _choose_tile_n(n_genes: int, n_cells: int, itemsize: int = 4) -> Optional[int]:
     """Cell-tile width so the (genes x tile) X block fits the VMEM budget."""
-    per_col = 4 * n_genes
+    per_col = itemsize * n_genes
     tile = (_X_TILE_BYTES // per_col) // _LANE * _LANE
     tile = min(tile, max(_LANE, (n_cells + _LANE - 1) // _LANE * _LANE))
     if tile < _LANE:
@@ -76,11 +76,12 @@ def _h_kernel(has_extras, tile_n, n_cells, eps_ref, X_ref, W_ref, H_ref,
 
     Xm = _mask_cols(X_ref[:], i, tile_n, n_cells)
     Hm = _mask_cols(H_ref[:], i, tile_n, n_cells)
+    xdt = X_ref.dtype  # bfloat16 X halves the dominant HBM read
 
     WtX = jax.lax.dot_general(
-        W_ref[:], Xm, (((0,), (0,)), ((), ())),
+        W_ref[:].astype(xdt), Xm, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (K, tile_n)
+    )  # (K, tile_n), float32
 
     num = 2.0 * WtX
     den = 2.0 * jnp.dot(WtW_ref[:], Hm, preferred_element_type=jnp.float32)
@@ -98,7 +99,8 @@ def _h_kernel(has_extras, tile_n, n_cells, eps_ref, X_ref, W_ref, H_ref,
         ld_ref[0, 0] = 0.0
 
     XHt_ref[:] += jax.lax.dot_general(
-        Xm, Hn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        Xm, Hn.astype(xdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     HHt_ref[:] += jax.lax.dot_general(
         Hn, Hn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -125,7 +127,7 @@ def fused_h_update(
     covariates to skip their HBM traffic entirely."""
     g, n = X.shape
     K = H.shape[0]
-    tile_n = _choose_tile_n(g, n)
+    tile_n = _choose_tile_n(g, n, X.dtype.itemsize)
     if tile_n is None:
         raise ValueError(f"n_genes={g} too large for the fused H kernel")
     grid = (pl.cdiv(n, tile_n),)

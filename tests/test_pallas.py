@@ -108,3 +108,38 @@ def test_pallas_rejects_unsupported_modes():
         mu.fit_scan(cfg, W0, H0, Bs0, X, (),
                     (jnp.zeros((0,)), jnp.float32(0), jnp.float32(0),
                      jnp.float32(0), jnp.float32(EPS)), key, None)
+
+
+def test_bfloat16_data_mode_close_to_f32():
+    """bfloat16 X storage must track the float32 trajectory closely
+    (opt-in throughput mode; X quantization is the only difference)."""
+    X, Ys = _problem()
+    hyper = (jnp.asarray([2.0, 1.0], jnp.float32), jnp.float32(0),
+             jnp.float32(0), jnp.float32(0), jnp.float32(EPS))
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=N,
+                          loss_kl=True, max_iter=20, x_dtype=dt)
+        W0, H0, Bs0 = mu.init_matrices(cfg, G, key, EPS)
+        out[dt] = mu.fit_scan(cfg, W0, H0, Bs0, X.astype(cfg.xdt), Ys,
+                              hyper, key, None)
+    L32 = np.asarray(out["float32"][3])
+    L16 = np.asarray(out["bfloat16"][3])
+    np.testing.assert_allclose(L16, L32, rtol=5e-3)
+
+
+def test_data_dtype_model_kwarg():
+    import pandas as pd
+    from alpine_tpu import ALPINE
+    from .conftest import make_synthetic_adata
+
+    adata = make_synthetic_adata(n_cells=60, n_genes=20,
+                                 covariates=(("batch", 2),))
+    m = ALPINE(n_components=5, n_covariate_components=[2], lam=[1.0],
+               device="cpu", data_dtype="bfloat16", random_state=0)
+    m.fit(adata, ["batch"], max_iter=8)
+    assert np.isfinite(m.loss_history.values).all()
+    with pytest.raises(ValueError, match="data_dtype"):
+        ALPINE(n_components=5, n_covariate_components=[], lam=[],
+               data_dtype="fp8")
