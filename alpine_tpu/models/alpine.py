@@ -201,20 +201,45 @@ class ALPINE:
             ckpt.clear()
             return cfg, (W, H, Bs, np.concatenate(losses_parts))
 
-        # warm-up elbow search (reference main.py:114-131)
-        if max_iter is None:
-            with timer.phase("warmup"):
-                _, (_, _, _, losses) = run(200)
-                recon = np.asarray(losses[:, 1])
-            self.max_iter: int = self._compute_best_iter(recon)
-        else:
-            self.max_iter = max_iter
+        # progress bar contract (reference main.py:489-494, 669-671):
+        # per-iteration tqdm updates with the objective loss, fed by a host
+        # callback from inside the jitted scan when verbose=True
+        pbar = None
+        if verbose and self._callbacks_supported():
+            try:
+                from tqdm import tqdm
 
-        with timer.phase("fit"):
-            if checkpoint_dir is not None:
-                cfg, (Wd, Hd, Bsd, losses) = run_checkpointed(self.max_iter)
+                pbar = tqdm(total=max_iter or 200, desc="Iteration", ncols=100)
+
+                def _hook(loss):
+                    pbar.set_postfix({"objective loss": float(loss[0])})
+                    pbar.update(1)
+
+                mu.set_progress_hook(_hook)
+            except Exception:
+                pbar = None
+
+        try:
+            # warm-up elbow search (reference main.py:114-131)
+            if max_iter is None:
+                with timer.phase("warmup"):
+                    _, (_, _, _, losses) = run(200)
+                    recon = np.asarray(losses[:, 1])
+                self.max_iter: int = self._compute_best_iter(recon)
+                if pbar is not None:
+                    pbar.reset(total=self.max_iter)
             else:
-                cfg, (Wd, Hd, Bsd, losses) = run(self.max_iter)
+                self.max_iter = max_iter
+
+            with timer.phase("fit"):
+                if checkpoint_dir is not None:
+                    cfg, (Wd, Hd, Bsd, losses) = run_checkpointed(self.max_iter)
+                else:
+                    cfg, (Wd, Hd, Bsd, losses) = run(self.max_iter)
+        finally:
+            if pbar is not None:
+                mu.set_progress_hook(None)
+                pbar.close()
 
         if self.scale_needed:
             Wd, Hd, Bsd = mu.scale_matrices(cfg, Wd, Hd, Bsd)
@@ -407,6 +432,30 @@ class ALPINE:
             adata.varm[covariate] = copy(self.matrices["Ws"][i])
 
     # ------------------------------------------------------------ internals
+    def _callbacks_supported(self) -> bool:
+        """Some PJRT backends (e.g. tunneled TPUs) lack host callbacks; probe
+        once per device so verbose fits degrade to a summary line instead of
+        crashing."""
+        dev = self.device
+        target = dev if hasattr(dev, "platform") else None
+        key = getattr(target, "id", "mesh"), getattr(target, "platform", "mesh")
+        cache = ALPINE._callback_probe_cache
+        if key not in cache:
+            try:
+                x = jnp.zeros(())
+                if target is not None:
+                    x = jax.device_put(x, target)
+                val = jax.jit(
+                    lambda v: (jax.debug.callback(lambda _: None, v), v)[1]
+                )(x)
+                np.asarray(val)
+                cache[key] = True
+            except Exception:
+                cache[key] = False
+        return cache[key]
+
+    _callback_probe_cache: Dict = {}
+
     def _use_tpu_kernels(self) -> bool:
         """Fused Pallas kernels apply on a single (unsharded) TPU device."""
         import os
@@ -430,6 +479,8 @@ class ALPINE:
             max_iter=n_iter,
             precision=self.matmul_precision,
             x_dtype=self.data_dtype,
+            progress=(getattr(self, "verbose", False)
+                      and self._callbacks_supported()),
         )
         if (
             cfg.full_batch

@@ -87,6 +87,9 @@ class MUConfig:
     # ALPINE(data_dtype="bfloat16")).  W/H/B stay float32; all matmuls
     # accumulate in float32 via preferred_element_type.
     x_dtype: str = "float32"
+    # emit per-iteration losses to the host progress hook (tqdm bar when
+    # ALPINE.fit(verbose=True); reference main.py:489-494, 669-671)
+    progress: bool = False
     # "xla" | "pallas" | "pallas_interpret".  "pallas" runs the fused
     # one-X-pass-per-iteration kernel path (full-batch joint mode only; the
     # model layer selects it when on an unsharded TPU, see
@@ -136,6 +139,27 @@ class MUConfig:
 
 def _clamp(x: Array, eps: Array) -> Array:
     return jnp.maximum(x, eps)
+
+
+# Host-side progress reporting for verbose fits.  One fit runs at a time per
+# process; the model installs a tqdm-updating hook around fit_scan.
+_progress_hook = None
+
+
+def set_progress_hook(fn) -> None:
+    global _progress_hook
+    _progress_hook = fn
+
+
+def _emit_progress(loss) -> None:
+    hook = _progress_hook
+    if hook is not None:
+        hook(loss)
+
+
+def _maybe_report(cfg: "MUConfig", loss: Array) -> None:
+    if cfg.progress:
+        jax.debug.callback(_emit_progress, loss)
 
 
 # ---------------------------------------------------------------------------
@@ -356,6 +380,7 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
                                       WtX=aux[0], WtW=aux[1])
         else:
             loss = compute_loss_parts(cfg, hyper, W, H, Bs, X, Ys, normX2)
+        _maybe_report(cfg, loss)
         return (W, H, Bs), loss
 
     keys = jax.random.split(key, cfg.max_iter)
@@ -441,6 +466,7 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
             parts.append(pred)
             total = total + lam[i] * pred
         loss = jnp.stack([total] + parts)
+        _maybe_report(cfg, loss)
 
         return (W, H, Bs, XHt, HHt), loss
 

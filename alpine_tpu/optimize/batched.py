@@ -37,6 +37,18 @@ from alpine_tpu.ops import mu
 from alpine_tpu.utils import sampling
 
 
+def _fold_sharding(mesh, n_folds: int):
+    """NamedShardings placing the leading fold axis across the mesh's single
+    axis (at most n_folds devices participate)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = mesh.devices.ravel()[: n_folds]
+    sub = Mesh(devices, (mesh.axis_names[0],))
+    ax = sub.axis_names[0]
+    return (lambda ndim: NamedSharding(sub, P(ax, *([None] * (ndim - 1)))),
+            NamedSharding(sub, P()))
+
+
 def batched_fold_embeddings(
     X_cells_by_genes: np.ndarray,
     Ys_cells_by_labels: Sequence[np.ndarray],
@@ -56,6 +68,7 @@ def batched_fold_embeddings(
     scale: bool,
     seed: int,
     precision: str = "highest",
+    mesh=None,
 ) -> List[np.ndarray]:
     """Fit one model per fold (batched) and return each fold's validation
     unguided embedding as (n_val_fold, k_unguided) numpy arrays."""
@@ -104,15 +117,26 @@ def batched_fold_embeddings(
         jnp.float32(eps),
     )
 
+    # optional fold-axis device parallelism: shard the stacked fold tensors
+    # across a 1-D mesh so each device fits (a subset of) the folds — the
+    # TPU-slice equivalent of running the reference's sequential fold loop
+    # on k GPUs at once (SURVEY.md §2 equivalents (b))
+    put_fold = put_rep = lambda x: x
+    if mesh is not None and len(folds) > 1:
+        fold_sh, rep_sh = _fold_sharding(mesh, len(folds))
+        put_fold = lambda x: jax.device_put(x, fold_sh(x.ndim))
+        put_rep = lambda x: jax.device_put(x, rep_sh)
+
     in_axes = (None, None, None, 0, 0, None, None, 0 if weighted else None)
     vfit = jax.vmap(
         lambda W, H, Bs, X, Ys, hy, k, w: mu.fit_scan(cfg, W, H, Bs, X, Ys, hy, k, w),
         in_axes=in_axes,
     )
     Ws, Hs, Bss, _ = vfit(
-        W0, H0, Bs0, jnp.asarray(Xtr),
-        tuple(jnp.asarray(y) for y in Ystr), hyper, fit_key,
-        jnp.asarray(weights) if weighted else None,
+        put_rep(W0), put_rep(H0), tuple(put_rep(b) for b in Bs0),
+        put_fold(jnp.asarray(Xtr)),
+        tuple(put_fold(jnp.asarray(y)) for y in Ystr), hyper, fit_key,
+        put_fold(jnp.asarray(weights)) if weighted else None,
     )
 
     if scale:
@@ -130,7 +154,7 @@ def batched_fold_embeddings(
                                        n_iter=max_iter, precision=precision),
         in_axes=(0, 0),
     )
-    Hva = np.asarray(jax.device_get(vtrans(Ws, jnp.asarray(Xva))))
+    Hva = np.asarray(jax.device_get(vtrans(Ws, put_fold(jnp.asarray(Xva)))))
 
     k_unguided = blocks[-1]
     out = []

@@ -337,6 +337,13 @@ class ComponentOptimizer:
         fe = FeatureEncoders(self.covariate_keys)
         Ys = fe.fit_transform(self.adata.obs)  # (cells x labels) each
 
+        from jax.sharding import Mesh
+
+        from alpine_tpu.parallel.mesh import resolve_device
+
+        resolved = resolve_device(self.device)
+        mesh = resolved if isinstance(resolved, Mesh) else None
+
         blocks = tuple(args["n_covariate_components"]) + (args["n_components"],)
         embeddings = batched_fold_embeddings(
             np.asarray(self.adata.X, dtype=np.float32),
@@ -355,6 +362,7 @@ class ComponentOptimizer:
             max_iter=self.max_iter,
             scale=True,
             seed=self.random_state,
+            mesh=mesh,
         )
 
         scores = []

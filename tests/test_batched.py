@@ -95,3 +95,41 @@ def test_optimizer_search_with_batching():
     )
     assert best["n_components"] >= 2
     assert len(co.trials.trials) == 3
+
+
+def test_batched_folds_over_mesh():
+    """Fold-axis sharding over a device mesh gives the same embeddings as
+    the unsharded batched path."""
+    import jax
+
+    if len(jax.devices()) < 3:
+        pytest.skip("needs multiple devices")
+    from alpine_tpu.parallel.mesh import make_cell_mesh
+
+    adata, Ys, folds = _setup()
+    plain = batched_fold_embeddings(adata.X, Ys, folds, blocks=(2, 6), **COMMON)
+    mesh = make_cell_mesh(3)
+    sharded = batched_fold_embeddings(adata.X, Ys, folds, blocks=(2, 6),
+                                      mesh=mesh, **COMMON)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
+def test_optimizer_mesh_device_batched():
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from alpine_tpu import ComponentOptimizer
+    from alpine_tpu.parallel.mesh import make_cell_mesh
+
+    adata = make_synthetic_adata(n_cells=80, n_genes=20,
+                                 covariates=(("batch", 2),), seed=5)
+    co = ComponentOptimizer(adata, ["batch"], max_iter=6,
+                            device=make_cell_mesh(2), random_state=0)
+    args = {"n_components": 6, "n_covariate_components": [2], "lam": [5.0],
+            "orth_W": 0.0, "alpha_W": 0.0, "l1_ratio_W": 0.0}
+    co.n_splits = 2
+    co.iter_records = []
+    s = co.calc_score(args)
+    assert np.isfinite(s)
