@@ -55,12 +55,14 @@ def _dot(a: Array, b: Array, precision: str = "highest") -> Array:
 
 
 def _dot_x(cfg: "MUConfig", a: Array, b: Array) -> Array:
-    """Matmul where one operand is (a slice of) X: run in cfg.xdt with
-    float32 accumulation so bfloat16 X storage halves the HBM read."""
+    """Matmul where one operand is (a slice of) X: run in cfg.xdt so
+    bfloat16 X storage halves the HBM read; accumulate/return in float32
+    (float64 under the x64 exactness tests)."""
     dt = cfg.xdt
+    out_dt = jnp.float32 if dt == jnp.bfloat16 else dt
     return jnp.matmul(a.astype(dt), b.astype(dt),
                       precision=_prec(cfg.precision),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=out_dt)
 
 
 @dataclass(frozen=True)
@@ -134,7 +136,11 @@ class MUConfig:
 
     @property
     def xdt(self):
-        return jnp.bfloat16 if self.x_dtype == "bfloat16" else jnp.float32
+        if self.x_dtype == "bfloat16":
+            return jnp.bfloat16
+        if self.x_dtype == "float64":  # exactness testing under jax x64
+            return jnp.float64
+        return jnp.float32
 
 
 def _clamp(x: Array, eps: Array) -> Array:
