@@ -253,6 +253,13 @@ def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
     dot = partial(_dot, precision=cfg.precision)
     lam, orth_w, alpha_w, l1_ratio, eps = hyper
 
+    # All W-update numerators in ONE pass over X: block idx's H rows are
+    # only written by block idx's own H update, so at W[idx]-update time
+    # H_b[o:o+k] still equals its start-of-batch value — X @ H_idxᵀ is
+    # exactly a column slice of X @ H_startᵀ.  (The reference re-reads X per
+    # block, main.py:533; this hoist is bitwise-equivalent per block.)
+    XHt_start = _dot_x(cfg, X_b, H_b.T)  # (g, K)
+
     for idx in range(len(cfg.blocks)):
         o, k = cfg.offsets[idx], cfg.blocks[idx]
 
@@ -260,7 +267,7 @@ def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
         Hi = H_b[o:o + k]
         Wi = W[:, o:o + k]
         cross = dot(H_b, Hi.T)  # H_cat @ H_idxᵀ, (K, k)
-        num = 2.0 * _dot_x(cfg, X_b, Hi.T)
+        num = 2.0 * XHt_start[:, o:o + k]
         den = (
             2.0 * dot(W, cross)
             + (1.0 - l1_ratio) * alpha_w * Wi
