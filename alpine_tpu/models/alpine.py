@@ -126,7 +126,7 @@ class ALPINE:
         self.batch_size: int = batch_size if batch_size is not None else n_sample
 
         placement = Placement(self.device)
-        Xd = placement.put_cells_matrix(X)
+        Xd = placement.put_x_matrix(X)
         Ysd = tuple(placement.put_cells_matrix(y) for y in Ys)
 
         # weighted sampling probabilities (host-side, once; reference
@@ -146,7 +146,7 @@ class ALPINE:
             key = jax.random.PRNGKey(self.random_state)
             init_key, fit_key = jax.random.split(key)
             W0, H0, Bs0 = mu.init_matrices(cfg, self.n_features, init_key, self.eps)
-            W0 = placement.put_replicated(W0)
+            W0 = placement.put_w_matrix(W0)
             H0 = placement.put_cells_matrix(H0)
             Bs0 = tuple(placement.put_replicated(b) for b in Bs0)
             return W0, H0, Bs0, fit_key
@@ -181,7 +181,7 @@ class ALPINE:
             resumed = ckpt.load()
             if resumed is not None:
                 done, W_np, H_np, Bs_np, losses0 = resumed
-                W = placement.put_replicated(jnp.asarray(W_np))
+                W = placement.put_w_matrix(jnp.asarray(W_np))
                 H = placement.put_cells_matrix(jnp.asarray(H_np))
                 Bs = tuple(placement.put_replicated(jnp.asarray(b)) for b in Bs_np)
                 losses_parts.append(losses0)
@@ -508,7 +508,7 @@ class ALPINE:
             raise ValueError("All elements in adata.X must be non-negative.")
 
         placement = Placement(self.device)
-        X = placement.put_cells_matrix(X_array)
+        X = placement.put_x_matrix(X_array)
         n_sample = X_array.shape[1]
 
         key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), 1)
@@ -517,7 +517,7 @@ class ALPINE:
             self.eps,
         )
         H0 = placement.put_cells_matrix(H0)
-        W = placement.put_replicated(
+        W = placement.put_w_matrix(
             jnp.asarray(np.concatenate(self.matrices["Ws"], axis=1))
         )
 

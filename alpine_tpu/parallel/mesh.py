@@ -14,7 +14,12 @@ and routes over ICI.
 - "cpu" / "tpu" / "gpu"      -> first device of that backend
 - "cuda" / "mps" -> alias for the default accelerator (reference API compat)
 - a `jax.Device` -> itself
-- a `jax.sharding.Mesh` (1-D) -> sharded execution over its single axis
+- a 1-D `jax.sharding.Mesh` -> cell-axis sharding over its single axis
+- a 2-D `jax.sharding.Mesh` with axes ("genes", "cells") -> additionally
+  shard the gene axis: X (genes@genes, cells@cells), W (genes@genes, K),
+  H/Y cell-sharded, B replicated — the tensor-parallel analog for this
+  model class (useful when genes x K no longer fits replicated, e.g.
+  whole-transcriptome atlases)
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DeviceLike = Union[None, str, jax.Device, Mesh]
 
 CELL_AXIS = "cells"
+GENE_AXIS = "genes"
 
 
 def make_cell_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -39,17 +45,32 @@ def make_cell_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (CELL_AXIS,))
 
 
+def make_gene_cell_mesh(n_genes_axis: int, n_cells_axis: int, devices=None) -> Mesh:
+    """2-D (genes x cells) mesh for joint model/data sharding."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_genes_axis * n_cells_axis
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_genes_axis, n_cells_axis)
+    return Mesh(grid, (GENE_AXIS, CELL_AXIS))
+
+
 def resolve_device(device: DeviceLike):
     """Map the user-facing `device` argument to a jax.Device or Mesh."""
     if device is None or (isinstance(device, str) and device in ("auto", "cuda", "mps")):
         return jax.devices()[0]
     if isinstance(device, Mesh):
-        if len(device.axis_names) != 1:
-            raise ValueError(
-                "ALPINE expects a 1-D mesh (cell-axis sharding); got axes "
-                f"{device.axis_names}"
-            )
-        return device
+        if len(device.axis_names) == 1:
+            return device
+        if len(device.axis_names) == 2 and tuple(device.axis_names) == (
+            GENE_AXIS, CELL_AXIS,
+        ):
+            return device
+        raise ValueError(
+            "ALPINE expects a 1-D mesh (cell-axis sharding) or a 2-D mesh "
+            f"with axes ('genes', 'cells'); got axes {device.axis_names}"
+        )
     if isinstance(device, str):
         try:
             return jax.devices(device)[0]
@@ -74,15 +95,35 @@ class Placement:
     def _sharding(self, spec: P):
         return NamedSharding(self.mesh, spec)
 
+    @property
+    def _two_d(self) -> bool:
+        return self.mesh is not None and len(self.mesh.axis_names) == 2
+
     def put_cells_matrix(self, arr):
-        """(rows, cells) arrays: X, H, Y — shard the cell axis."""
+        """(rows, cells) arrays: H, Y — shard the cell axis only."""
         if self.mesh is None:
             return jax.device_put(arr, self.target)
-        axis = self.mesh.axis_names[0]
-        return jax.device_put(arr, self._sharding(P(None, axis)))
+        cell_ax = self.mesh.axis_names[-1]
+        return jax.device_put(arr, self._sharding(P(None, cell_ax)))
+
+    def put_x_matrix(self, arr):
+        """X (genes, cells): cell-sharded; on a 2-D mesh also gene-sharded."""
+        if self.mesh is None:
+            return jax.device_put(arr, self.target)
+        if self._two_d:
+            return jax.device_put(arr, self._sharding(P(GENE_AXIS, CELL_AXIS)))
+        return self.put_cells_matrix(arr)
+
+    def put_w_matrix(self, arr):
+        """W (genes, K): replicated on 1-D meshes; gene-sharded on 2-D."""
+        if self.mesh is None:
+            return jax.device_put(arr, self.target)
+        if self._two_d:
+            return jax.device_put(arr, self._sharding(P(GENE_AXIS, None)))
+        return self.put_replicated(arr)
 
     def put_replicated(self, arr):
-        """W, Bs, scalars — replicated."""
+        """Bs, scalars — replicated."""
         if self.mesh is None:
             return jax.device_put(arr, self.target)
         return jax.device_put(arr, self._sharding(P()))
