@@ -442,26 +442,20 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
             )
         Bs = tuple(newBs)
 
-        # --- guided contributions to the H update (main.py:637-650) ---
-        if cfg.n_cov:
-            gnums, gdens = [], []
-            for i in range(cfg.n_cov):
-                o, k = cfg.offsets[i], cfg.blocks[i]
-                gnum, gden = _guided_h_terms(cfg, i, Bs[i], H[o:o + k], Ys[i],
-                                             lam[i], eps)
-                gnums.append(gnum)
-                gdens.append(gden)
-            zero = jnp.zeros((cfg.blocks[-1], cfg.n_cells), X.dtype)
-            extra_num = jnp.concatenate(gnums + [zero], axis=0)
-            extra_den = jnp.concatenate(gdens + [zero], axis=0)
-        else:
-            extra_num = extra_den = None
-
         # --- fused H update + next-iteration XHt/HHt + loss partial ---
+        # guided-block numerators/denominators (main.py:637-650) are
+        # computed INSIDE the kernel from Ys/Bs/lam, so no (K, cells)
+        # extras arrays ever hit HBM
         WtW = dot(W.T, W)
-        H, XHt, HHt, lossdot = pk.fused_h_update(
-            X, W, H, WtW, extra_num, extra_den, eps, interpret=interpret
-        )
+        if cfg.n_cov:
+            H, XHt, HHt, lossdot = pk.fused_h_update_guided(
+                X, W, H, WtW, Ys, Bs, lam, eps,
+                blocks=cfg.blocks, loss_kl=cfg.loss_kl, interpret=interpret,
+            )
+        else:
+            H, XHt, HHt, lossdot = pk.fused_h_update(
+                X, W, H, WtW, None, None, eps, interpret=interpret
+            )
 
         # --- loss on the post-update state (main.py:726-753) ---
         recon = normX2 - 2.0 * lossdot + jnp.sum(WtW * HHt)
