@@ -133,6 +133,11 @@ class ALPINE:
         # recomputes per epoch on the host, sampling.py:18-33)
         weights = None
         if sampling_method == "weighted":
+            if not Ys:
+                raise ValueError(
+                    "weighted sampling requires at least one covariate "
+                    "(balancing is over the joint covariate labels)."
+                )
             ids = sampling.joint_label_ids(Ys)
             weights = placement.put_replicated(
                 jnp.asarray(sampling.balanced_sample_probabilities(ids))
