@@ -57,6 +57,8 @@ def save_model(model, path: str) -> None:
         "loss_type": model.loss_type,
         "eps": model.eps,
         "random_state": model.random_state,
+        "matmul_precision": model.matmul_precision,
+        "data_dtype": model.data_dtype,
         "max_iter": model.max_iter,
         "covariate_keys": model.covariate_keys,
         "feature_names": model.feature_names,
@@ -106,6 +108,8 @@ def load_model(path: str, device="auto"):
         eps=meta["eps"],
         random_state=meta["random_state"],
         device=device,
+        matmul_precision=meta.get("matmul_precision", "highest"),
+        data_dtype=meta.get("data_dtype", "float32"),
     )
     model.max_iter = meta["max_iter"]
     model.covariate_keys = meta["covariate_keys"]

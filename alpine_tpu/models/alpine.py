@@ -178,6 +178,9 @@ class ALPINE:
                     "batch_size": self.batch_size,
                     "sampling": self.sampling_method,
                     "seed": self.random_state, "max_iter": n_iter,
+                    # the chunk key schedule depends on the chunk size, so a
+                    # different checkpoint_every must not resume this snapshot
+                    "checkpoint_every": checkpoint_every,
                 },
             )
             cfg0 = self._make_cfg(Ys, n_sample, n_iter)
@@ -193,7 +196,10 @@ class ALPINE:
                 if verbose:
                     print(f"ALPINE fit: resumed from iteration {done}")
             chunk_idx = done // checkpoint_every
-            cfg = None
+            # cfg0 is a valid fallback (scale_matrices needs only the block
+            # structure) for the resume-after-complete case where the loop
+            # body never runs
+            cfg = cfg0
             while done < n_iter:
                 chunk = min(checkpoint_every, n_iter - done)
                 cfg = self._make_cfg(Ys, n_sample, chunk)
@@ -526,21 +532,11 @@ class ALPINE:
             jnp.asarray(np.concatenate(self.matrices["Ws"], axis=1))
         )
 
-        if self._use_tpu_kernels() and not placement.is_sharded:
-            # fused path: 2WᵀX once, then all iterations in VMEM per tile
-            prec = {"precision": (jax.lax.Precision.HIGHEST
-                                  if self.matmul_precision == "highest"
-                                  else jax.lax.Precision.DEFAULT)}
-            num2 = 2.0 * jnp.matmul(W.T, X, **prec)
-            WtW2 = 2.0 * jnp.matmul(W.T, W, **prec)
-            H = pallas_kernels.fused_transform(
-                num2, H0, WtW2, jnp.float32(self.eps), n_iter=n_iter
-            )
-        else:
-            H = mu.transform_scan(
-                W, X, H0, jnp.float32(self.eps), n_iter=n_iter,
-                precision=self.matmul_precision,
-            )
+        use_fused = self._use_tpu_kernels() and not placement.is_sharded
+        H = mu.run_transform(
+            W, X, H0, jnp.float32(self.eps), n_iter=n_iter,
+            precision=self.matmul_precision, fused=use_fused,
+        )
         H_np = np.asarray(jax.device_get(H), dtype=np.float32)
         Hs = split_h(H_np, self.n_all_components)
 

@@ -147,6 +147,13 @@ def _clamp(x: Array, eps: Array) -> Array:
     return jnp.maximum(x, eps)
 
 
+def _norm_x2(cfg: "MUConfig", X: Array) -> Array:
+    """||X||_F^2 in the accumulation dtype (f32; f64 in x64 exactness mode)."""
+    acc = jnp.float32 if cfg.xdt == jnp.bfloat16 else cfg.xdt
+    Xa = X.astype(acc)
+    return jnp.sum(Xa * Xa)
+
+
 # Host-side progress reporting for verbose fits.  One fit runs at a time per
 # process; the model installs a tqdm-updating hook around fit_scan.
 _progress_hook = None
@@ -353,7 +360,7 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
         return _fit_scan_pallas(cfg, W0, H0, Bs0, X, Ys, hyper)
 
     update = als_batch_update if cfg.use_als else joint_batch_update
-    normX2 = jnp.sum(X.astype(jnp.float32) * X.astype(jnp.float32))
+    normX2 = _norm_x2(cfg, X)
     X = X.astype(cfg.xdt)
     Ys = tuple(Y.astype(cfg.xdt) for Y in Ys)
     n = cfg.n_cells
@@ -412,7 +419,7 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     dot = partial(_dot, precision=cfg.precision)
     lam, orth_w, alpha_w, l1_ratio, eps = hyper
     interpret = cfg.backend == "pallas_interpret"
-    normX2 = jnp.sum(X.astype(jnp.float32) * X.astype(jnp.float32))
+    normX2 = _norm_x2(cfg, X)
     X = X.astype(cfg.xdt)
     Ys = tuple(Y.astype(cfg.xdt) for Y in Ys)
 
@@ -505,6 +512,21 @@ def transform_scan(W, X, H0, eps, *, n_iter: int, precision: str = "highest"):
 
     H, _ = lax.scan(body, H0, None, length=n_iter)
     return H
+
+
+def run_transform(W, X, H0, eps, *, n_iter: int, precision: str = "highest",
+                  fused: bool = False):
+    """Out-of-sample projection entry point: the fused Pallas kernel (all
+    iterations in VMEM per cell tile) on unsharded TPU, else the XLA scan.
+    Keeps ALL transform math in this module (repo invariant: the model
+    layer holds no numerics)."""
+    if fused:
+        from alpine_tpu.ops import pallas_kernels as pk
+
+        num2 = 2.0 * _dot(W.T, X, precision)
+        WtW2 = 2.0 * _dot(W.T, W, precision)
+        return pk.fused_transform(num2, H0, WtW2, eps, n_iter=n_iter)
+    return transform_scan(W, X, H0, eps, n_iter=n_iter, precision=precision)
 
 
 # ---------------------------------------------------------------------------

@@ -39,11 +39,16 @@ from alpine_tpu.utils import sampling
 
 def _fold_sharding(mesh, n_folds: int):
     """NamedShardings placing the leading fold axis across the mesh's single
-    axis (at most n_folds devices participate)."""
+    axis.  The device count must DIVIDE n_folds for an even partition, so we
+    use the largest divisor of n_folds that fits the mesh; returns None when
+    that is 1 (no useful sharding)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    devices = mesh.devices.ravel()[: n_folds]
-    sub = Mesh(devices, (mesh.axis_names[0],))
+    avail = mesh.devices.size
+    use = max(d for d in range(1, min(avail, n_folds) + 1) if n_folds % d == 0)
+    if use <= 1:
+        return None
+    sub = Mesh(mesh.devices.ravel()[:use], (mesh.axis_names[0],))
     ax = sub.axis_names[0]
     return (lambda ndim: NamedSharding(sub, P(ax, *([None] * (ndim - 1)))),
             NamedSharding(sub, P()))
@@ -111,6 +116,14 @@ def batched_fold_embeddings(
     key = jax.random.PRNGKey(seed)
     init_key, fit_key = jax.random.split(key)
     W0, H0, Bs0 = mu.init_matrices(cfg, g, init_key, eps)
+    # zero out H0's padded columns PER FOLD: a phantom cell with nonzero H
+    # would contribute to HHt / rowsum(H) on the first iteration, breaking
+    # the zero-padding neutrality argument.  With zero columns the padding
+    # is exactly neutral (see tests/test_batched.py padding-neutrality).
+    col = np.arange(n_tr)[None, None, :]
+    tr_sizes = np.asarray([len(tr) for tr, _ in folds])[:, None, None]
+    H0_stack = jnp.where(jnp.asarray(col < tr_sizes),
+                         jnp.broadcast_to(H0, (n_folds,) + H0.shape), 0.0)
     hyper = (
         jnp.asarray(np.asarray(lam, np.float32)),
         jnp.float32(orth_w), jnp.float32(alpha_w), jnp.float32(l1_ratio),
@@ -123,17 +136,19 @@ def batched_fold_embeddings(
     # on k GPUs at once (SURVEY.md §2 equivalents (b))
     put_fold = put_rep = lambda x: x
     if mesh is not None and len(folds) > 1:
-        fold_sh, rep_sh = _fold_sharding(mesh, len(folds))
-        put_fold = lambda x: jax.device_put(x, fold_sh(x.ndim))
-        put_rep = lambda x: jax.device_put(x, rep_sh)
+        sharding = _fold_sharding(mesh, len(folds))
+        if sharding is not None:
+            fold_sh, rep_sh = sharding
+            put_fold = lambda x: jax.device_put(x, fold_sh(x.ndim))
+            put_rep = lambda x: jax.device_put(x, rep_sh)
 
-    in_axes = (None, None, None, 0, 0, None, None, 0 if weighted else None)
+    in_axes = (None, 0, None, 0, 0, None, None, 0 if weighted else None)
     vfit = jax.vmap(
         lambda W, H, Bs, X, Ys, hy, k, w: mu.fit_scan(cfg, W, H, Bs, X, Ys, hy, k, w),
         in_axes=in_axes,
     )
     Ws, Hs, Bss, _ = vfit(
-        put_rep(W0), put_rep(H0), tuple(put_rep(b) for b in Bs0),
+        put_rep(W0), put_fold(H0_stack), tuple(put_rep(b) for b in Bs0),
         put_fold(jnp.asarray(Xtr)),
         tuple(put_fold(jnp.asarray(y)) for y in Ystr), hyper, fit_key,
         put_fold(jnp.asarray(weights)) if weighted else None,

@@ -67,9 +67,9 @@ def generate_epoch_indices(
     if sampling_method == "random":
         return rng.permutation(n)
     if sampling_method == "weighted":
-        ids = np.asarray(
-            [hash(l) for l in joint_labels] if joint_labels and isinstance(joint_labels[0], str) else joint_labels
-        )
+        # np.unique gives a deterministic, collision-free grouping of the
+        # string labels (hash() is process-salted and collision-prone)
+        _, ids = np.unique(np.asarray(joint_labels), return_inverse=True)
         p = balanced_sample_probabilities(ids)
         return rng.choice(n, size=n, replace=True, p=p.astype(np.float64) / p.sum())
     raise ValueError(

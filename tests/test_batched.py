@@ -44,18 +44,58 @@ def test_batched_weighted_and_minibatch():
     assert all(np.isfinite(e).all() for e in embs)
 
 
-def test_batched_padding_neutrality():
-    """Folds of unequal size: a fold padded by k zero-columns must produce
-    the same W as the same fold run alone at its padded size."""
-    adata, Ys, folds = _setup(n_cells=91)  # 91 -> folds of 60/61 train cells
+def test_padding_neutrality_exact():
+    """Direct neutrality check at the engine level: appending zero columns
+    to X/Y AND zero columns to H0 must leave W, the Bs, and the real H
+    columns bit-comparable to the unpadded fit (the argument the batched CV
+    stacking relies on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from alpine_tpu.ops import mu
+
+    r = np.random.default_rng(0)
+    g, n, pad = 18, 30, 7
+    X = r.random((g, n)).astype(np.float32)
+    Y = np.zeros((2, n), np.float32)
+    Y[r.integers(0, 2, n), np.arange(n)] = 1.0
+    hyper = (jnp.asarray([3.0], jnp.float32), jnp.float32(0.2),
+             jnp.float32(0.1), jnp.float32(0.4), jnp.float32(1e-6))
+    key = jax.random.PRNGKey(0)
+
+    cfg_a = mu.MUConfig(blocks=(2, 5), n_labels=(2,), n_cells=n, max_iter=8)
+    W0, H0, Bs0 = mu.init_matrices(cfg_a, g, key, 1e-6)
+    Wa, Ha, Bsa, La = mu.fit_scan(cfg_a, W0, H0, Bs0, jnp.asarray(X),
+                                  (jnp.asarray(Y),), hyper, key, None)
+
+    cfg_b = mu.MUConfig(blocks=(2, 5), n_labels=(2,), n_cells=n + pad,
+                        max_iter=8)
+    Xp = np.concatenate([X, np.zeros((g, pad), np.float32)], axis=1)
+    Yp = np.concatenate([Y, np.zeros((2, pad), np.float32)], axis=1)
+    H0p = jnp.concatenate([H0, jnp.zeros((7, pad), jnp.float32)], axis=1)
+    Wb, Hb, Bsb, Lb = mu.fit_scan(cfg_b, W0, H0p, Bs0, jnp.asarray(Xp),
+                                  (jnp.asarray(Yp),), hyper, key, None)
+
+    # exact in exact arithmetic; padded reductions use a different
+    # accumulation tree, so allow ~1-ulp f32 noise
+    np.testing.assert_allclose(np.asarray(Wa), np.asarray(Wb), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Bsa[0]), np.asarray(Bsb[0]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Ha), np.asarray(Hb)[:, :n], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(Hb)[:, n:], 0.0)
+
+
+def test_batched_ragged_folds_match_each_other():
+    """Ragged folds (91 cells / 3 folds): batched embeddings must be finite
+    and deterministic; the padded smaller folds follow genuinely neutral
+    trajectories (neutrality itself proven in test_padding_neutrality_exact)."""
+    adata, Ys, folds = _setup(n_cells=91)
     sizes = {len(tr) for tr, _ in folds}
     assert len(sizes) > 1  # genuinely ragged
     embs = batched_fold_embeddings(adata.X, Ys, folds, blocks=(2, 6), **COMMON)
-    single = batched_fold_embeddings(adata.X, Ys, folds[:1], blocks=(2, 6), **COMMON)
-    # fold 0 alone may have a smaller pad target; only compare when the max
-    # train size matches
-    if len(folds[0][0]) == max(len(tr) for tr, _ in folds):
-        np.testing.assert_allclose(embs[0], single[0], rtol=1e-4)
+    embs2 = batched_fold_embeddings(adata.X, Ys, folds, blocks=(2, 6), **COMMON)
+    for e1, e2 in zip(embs, embs2):
+        assert np.isfinite(e1).all()
+        np.testing.assert_array_equal(e1, e2)
 
 
 def test_optimizer_batched_vs_sequential_scores():
@@ -133,3 +173,22 @@ def test_optimizer_mesh_device_batched():
     co.iter_records = []
     s = co.calc_score(args)
     assert np.isfinite(s)
+
+
+def test_fold_sharding_divisibility():
+    """A mesh that does not divide n_folds must fall back gracefully
+    (regression: 3 folds over a 2-device mesh crashed device_put)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from alpine_tpu.parallel.mesh import make_cell_mesh
+
+    adata, Ys, folds = _setup()  # 3 folds
+    assert len(folds) == 3
+    mesh = make_cell_mesh(2)  # 2 does not divide 3
+    embs = batched_fold_embeddings(adata.X, Ys, folds, blocks=(2, 6),
+                                   mesh=mesh, **COMMON)
+    plain = batched_fold_embeddings(adata.X, Ys, folds, blocks=(2, 6), **COMMON)
+    for a, b in zip(embs, plain):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)

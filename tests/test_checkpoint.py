@@ -127,3 +127,36 @@ def test_trace_context(tmp_path, synthetic_adata):
     # a profile directory should have been produced
     assert any("plugins" in r or "profile" in r.lower() or d
                for r, d, _ in os.walk(tmp_path / "trace"))
+
+
+def test_save_load_preserves_precision_settings(tmp_path, synthetic_adata):
+    """Regression: matmul_precision/data_dtype must survive a round trip."""
+    m = _model(matmul_precision="default", data_dtype="bfloat16")
+    m.fit(synthetic_adata, ["batch"], max_iter=4)
+    p = str(tmp_path / "m")
+    m.save(p)
+    loaded = ALPINE.load(p, device="cpu")
+    assert loaded.matmul_precision == "default"
+    assert loaded.data_dtype == "bfloat16"
+
+
+def test_resume_after_complete_snapshot(tmp_path, synthetic_adata):
+    """Regression: a snapshot written at done == max_iter (killed before
+    clear()) must resume without crashing and produce the full history."""
+    from alpine_tpu.io.checkpoint import FitCheckpointer
+
+    d = str(tmp_path / "c")
+    orig_clear = FitCheckpointer.clear
+    FitCheckpointer.clear = lambda self: None  # simulate dying before clear
+    try:
+        m1 = _model()
+        m1.fit(synthetic_adata, ["batch"], max_iter=8,
+               checkpoint_dir=d, checkpoint_every=4)
+    finally:
+        FitCheckpointer.clear = orig_clear
+
+    m2 = _model()
+    m2.fit(synthetic_adata.copy(), ["batch"], max_iter=8,
+           checkpoint_dir=d, checkpoint_every=4)
+    np.testing.assert_allclose(m1.loss_history.values,
+                               m2.loss_history.values, rtol=1e-5)
