@@ -1,0 +1,131 @@
+"""Minimal .h5ad (AnnData HDF5) reader/writer.
+
+The reference ecosystem loads data with `scanpy.read_h5ad`; neither scanpy
+nor anndata is available here, so this module reads the standard h5ad layout
+directly with h5py into the bundled `alpine_tpu.AnnData` container:
+
+- ``/X``: dense dataset, or a group encoding a csr/csc sparse matrix
+  (``data``/``indices``/``indptr`` + ``shape`` attr) — densified on read
+  (ALPINE requires dense non-negative X, reference main.py:395-400)
+- ``/obs``, ``/var``: dataframe groups (``_index`` attr, per-column
+  datasets, categorical groups with ``categories``/``codes``)
+- ``/obsm``, ``/varm``, ``/layers``: groups of arrays
+
+``write_h5ad`` emits the same layout (dense X, plain/categorical columns)
+so models and corrected matrices can round-trip to scanpy sessions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from alpine_tpu.utils.adata import AnnData
+
+
+def _decode(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype.kind in ("S", "O"):
+        return np.asarray([
+            v.decode("utf-8") if isinstance(v, bytes) else v for v in arr
+        ], dtype=object)
+    return arr
+
+
+def _read_array(node) -> np.ndarray:
+    import h5py
+
+    if isinstance(node, h5py.Dataset):
+        return _decode(node[()])
+    enc = node.attrs.get("encoding-type", "")
+    if enc in ("csr_matrix", "csc_matrix") or (
+        "data" in node and "indices" in node and "indptr" in node
+    ):
+        from scipy import sparse
+
+        shape = tuple(node.attrs["shape"])
+        cls = sparse.csr_matrix if enc != "csc_matrix" else sparse.csc_matrix
+        mat = cls((node["data"][()], node["indices"][()], node["indptr"][()]),
+                  shape=shape)
+        return np.asarray(mat.todense())
+    if enc == "categorical" or ("categories" in node and "codes" in node):
+        cats = _decode(node["categories"][()])
+        codes = node["codes"][()]
+        out = np.empty(len(codes), dtype=object)
+        mask = codes >= 0
+        out[mask] = cats[codes[mask]]
+        out[~mask] = None  # NaN category (semi-supervised entry point)
+        return out
+    raise ValueError(f"unsupported h5ad node encoding: {enc!r}")
+
+
+def _read_dataframe(group) -> pd.DataFrame:
+    index_name = group.attrs.get("_index", "_index")
+    if isinstance(index_name, bytes):
+        index_name = index_name.decode("utf-8")
+    index = _decode(group[index_name][()]) if index_name in group else None
+    order = group.attrs.get("column-order", None)
+    if order is not None:
+        cols = [c.decode("utf-8") if isinstance(c, bytes) else c for c in order]
+    else:
+        cols = [k for k in group.keys() if k != index_name]
+    df = pd.DataFrame(index=index)
+    for c in cols:
+        if c in group:
+            df[c] = _read_array(group[c])
+    return df
+
+
+def read_h5ad(path: str) -> AnnData:
+    """Load an .h5ad file into an alpine_tpu AnnData (X densified)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        X = np.asarray(_read_array(f["X"]), dtype=np.float32)
+        obs = _read_dataframe(f["obs"]) if "obs" in f else None
+        var = _read_dataframe(f["var"]) if "var" in f else None
+        adata = AnnData(X, obs=obs, var=var)
+        for name in ("obsm", "varm", "layers"):
+            if name in f:
+                target = getattr(adata, name)
+                for k in f[name]:
+                    target[k] = _read_array(f[name][k])
+    return adata
+
+
+def write_h5ad(adata: AnnData, path: str) -> None:
+    """Write an AnnData-compatible object to .h5ad (dense X)."""
+    import h5py
+
+    def write_df(f, name, df: pd.DataFrame):
+        g = f.create_group(name)
+        g.attrs["_index"] = "_index"
+        g.attrs["encoding-type"] = "dataframe"
+        g.attrs["column-order"] = np.asarray(list(df.columns), dtype="S")
+        g.create_dataset("_index",
+                         data=np.asarray(df.index.astype(str), dtype="S"))
+        for c in df.columns:
+            col = df[c]
+            if col.dtype == object or str(col.dtype) == "category":
+                s = col.astype("category") if col.dtype == object else col
+                cg = g.create_group(c)
+                cg.attrs["encoding-type"] = "categorical"
+                cg.create_dataset(
+                    "categories",
+                    data=np.asarray(s.cat.categories.astype(str), dtype="S"),
+                )
+                cg.create_dataset("codes", data=s.cat.codes.to_numpy())
+            else:
+                g.create_dataset(c, data=col.to_numpy())
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset("X", data=np.asarray(adata.X, dtype=np.float32))
+        write_df(f, "obs", adata.obs)
+        write_df(f, "var", adata.var)
+        for name in ("obsm", "varm", "layers"):
+            src = getattr(adata, name)
+            if src:
+                g = f.create_group(name)
+                for k, v in src.items():
+                    g.create_dataset(k, data=np.asarray(v))

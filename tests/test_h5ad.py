@@ -1,0 +1,105 @@
+"""h5ad reader/writer: round trip, sparse X, categorical + NaN obs columns."""
+
+import h5py
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import sparse
+
+from alpine_tpu.io.h5ad import read_h5ad, write_h5ad
+from alpine_tpu.utils.adata import AnnData
+
+
+def _sample_adata():
+    r = np.random.default_rng(0)
+    X = r.random((12, 5)).astype(np.float32)
+    obs = pd.DataFrame(
+        {
+            "batch": pd.Categorical(["a", "b"] * 6),
+            "score": np.arange(12, dtype=np.float64),
+        },
+        index=[f"cell{i}" for i in range(12)],
+    )
+    var = pd.DataFrame(index=[f"g{i}" for i in range(5)])
+    ad = AnnData(X, obs=obs, var=var)
+    ad.obsm["emb"] = r.random((12, 3))
+    ad.varm["w"] = r.random((5, 3))
+    ad.layers["norm"] = X * 2
+    return ad
+
+
+def test_round_trip(tmp_path):
+    ad = _sample_adata()
+    p = str(tmp_path / "t.h5ad")
+    write_h5ad(ad, p)
+    back = read_h5ad(p)
+    np.testing.assert_allclose(back.X, ad.X)
+    assert list(back.obs.index) == list(ad.obs.index)
+    assert list(back.obs["batch"]) == list(ad.obs["batch"])
+    np.testing.assert_allclose(back.obs["score"], ad.obs["score"])
+    np.testing.assert_allclose(back.obsm["emb"], ad.obsm["emb"])
+    np.testing.assert_allclose(back.varm["w"], ad.varm["w"])
+    np.testing.assert_allclose(back.layers["norm"], ad.layers["norm"])
+
+
+def test_read_sparse_csr_x(tmp_path):
+    """anndata commonly stores X as CSR; reader must densify."""
+    r = np.random.default_rng(1)
+    dense = (r.random((8, 6)) * (r.random((8, 6)) > 0.5)).astype(np.float32)
+    mat = sparse.csr_matrix(dense)
+    p = str(tmp_path / "sparse.h5ad")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("X")
+        g.attrs["encoding-type"] = "csr_matrix"
+        g.attrs["shape"] = mat.shape
+        g.create_dataset("data", data=mat.data)
+        g.create_dataset("indices", data=mat.indices)
+        g.create_dataset("indptr", data=mat.indptr)
+        obs = f.create_group("obs")
+        obs.attrs["_index"] = "_index"
+        obs.create_dataset("_index", data=np.asarray([f"c{i}" for i in range(8)],
+                                                     dtype="S"))
+        var = f.create_group("var")
+        var.attrs["_index"] = "_index"
+        var.create_dataset("_index", data=np.asarray([f"g{i}" for i in range(6)],
+                                                     dtype="S"))
+    back = read_h5ad(p)
+    np.testing.assert_allclose(back.X, dense)
+
+
+def test_nan_categorical_codes(tmp_path):
+    """Category code -1 (pandas NaN) must decode to None — it drives the
+    semi-supervised zero-row one-hot path."""
+    p = str(tmp_path / "nan.h5ad")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("X", data=np.ones((4, 2), np.float32))
+        obs = f.create_group("obs")
+        obs.attrs["_index"] = "_index"
+        obs.create_dataset("_index", data=np.asarray(list("abcd"), dtype="S"))
+        obs.attrs["column-order"] = np.asarray(["lab"], dtype="S")
+        cg = obs.create_group("lab")
+        cg.attrs["encoding-type"] = "categorical"
+        cg.create_dataset("categories", data=np.asarray(["x", "y"], dtype="S"))
+        cg.create_dataset("codes", data=np.asarray([0, -1, 1, 0], dtype=np.int8))
+        var = f.create_group("var")
+        var.attrs["_index"] = "_index"
+        var.create_dataset("_index", data=np.asarray(["g0", "g1"], dtype="S"))
+    back = read_h5ad(p)
+    vals = back.obs["lab"]
+    assert list(vals[~vals.isna()]) == ["x", "y", "x"]
+    assert vals.isna().sum() == 1 and bool(vals.isna().iloc[1])
+
+
+def test_fit_from_h5ad(tmp_path):
+    """End-to-end: write, read, fit."""
+    from alpine_tpu import ALPINE
+
+    ad = _sample_adata()
+    p = str(tmp_path / "fit.h5ad")
+    write_h5ad(ad, p)
+    loaded = read_h5ad(p)
+    loaded.obs["batch"] = loaded.obs["batch"].astype(object)
+    m = ALPINE(n_components=3, n_covariate_components=[2], lam=[1.0],
+               device="cpu", random_state=0)
+    m.fit(loaded, ["batch"], max_iter=4)
+    assert loaded.obsm["ALPINE_embedding"].shape == (12, 3)
