@@ -409,11 +409,21 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
 
 
 def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
-    """Full-batch joint MU via the fused Pallas H-update kernel
-    (ops/pallas_kernels.py): each iteration reads X exactly ONCE.  The scan
-    carries (W, H, Bs, XHt, HHt) where XHt = X@Hᵀ and HHt = H@Hᵀ are
-    produced by the previous iteration's kernel, so the W update
-    (reference main.py:592-612) needs no X access at all."""
+    """Full-batch joint MU via fused Pallas kernels: each iteration reads X
+    exactly ONCE, and (with covariates) every per-iteration pass over H —
+    guided terms, prediction losses, and the NEXT iteration's B-update
+    statistics — happens inside the same kernel, leaving only K-sized XLA
+    ops between kernel calls.
+
+    The scan carries (W, H, Bs, XHt, HHt, bnums, bdens) where XHt = X@Hᵀ /
+    HHt = H@Hᵀ feed the W update (reference main.py:592-612) and
+    bnums/bdens are the B-update statistics over H_{t-1}
+    (main.py:614-628).
+
+    The cell axis is zero-padded to a tile multiple once up front — exactly
+    neutral for every update (tests/test_batched.py padding-neutrality);
+    the KL prediction loss picks up a constant labels·n_pad·eps absolute
+    bias (~1e-9 relative), documented here."""
     from alpine_tpu.ops import pallas_kernels as pk
 
     dot = partial(_dot, precision=cfg.precision)
@@ -423,11 +433,54 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     X = X.astype(cfg.xdt)
     Ys = tuple(Y.astype(cfg.xdt) for Y in Ys)
 
+    n = cfg.n_cells
+    g = X.shape[0]
+    if cfg.n_cov:
+        tile = pk._choose_tile_n(g, n, jnp.dtype(cfg.xdt).itemsize)
+        n_pad = (-n) % tile
+        if n_pad:
+            X = jnp.pad(X, ((0, 0), (0, n_pad)))
+            Ys = tuple(jnp.pad(y, ((0, 0), (0, n_pad))) for y in Ys)
+            H0 = jnp.pad(H0, ((0, 0), (0, n_pad)))
+
     XHt0 = _dot_x(cfg, X, H0.T)
     HHt0 = dot(H0, H0.T)
 
+    # prologue B statistics on (B_init, H_init) (main.py:617-626)
+    def b_stats(Bs_cur, H_cur):
+        bnums, bdens = [], []
+        for i in range(cfg.n_cov):
+            o, k = cfg.offsets[i], cfg.blocks[i]
+            Hi = H_cur[o:o + k]
+            Yi = Ys[i].astype(jnp.float32)
+            if cfg.loss_kl:
+                ratio = Yi / _clamp(dot(Bs_cur[i], Hi), eps)
+                bnums.append(dot(ratio, Hi.T))
+                bdens.append(jnp.sum(Hi, axis=1))
+            else:
+                bnums.append(dot(Yi, Hi.T))
+                bdens.append(jnp.zeros((cfg.blocks[i],), jnp.float32))
+        return tuple(bnums), tuple(bdens)
+
+    bnums0, bdens0 = b_stats(Bs0, H0) if cfg.n_cov else ((), ())
+
+    def update_bs(Bs_cur, bnums, bdens, HHt):
+        """B_t from carried statistics (main.py:614-628)."""
+        out = []
+        for i in range(cfg.n_cov):
+            o, k = cfg.offsets[i], cfg.blocks[i]
+            B = Bs_cur[i]
+            if cfg.loss_kl:
+                num = lam[i] * bnums[i]
+                den = lam[i] * jnp.broadcast_to(bdens[i][None, :], B.shape)
+            else:
+                num = 2.0 * bnums[i]
+                den = 2.0 * dot(B, HHt[o:o + k, o:o + k])
+            out.append(B * (num / _clamp(den, eps)))
+        return tuple(out)
+
     def iteration(carry, _):
-        W, H, Bs, XHt, HHt = carry
+        W, H, Bs, XHt, HHt, bnums, bdens = carry
 
         # --- W update from carried XHt/HHt (main.py:592-612) ---
         num = 2.0 * XHt
@@ -438,24 +491,11 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
             + l1_ratio * alpha_w
         )
         W = W * (num / _clamp(den, eps))
-
-        # --- B updates on pre-update H (main.py:614-628) ---
-        newBs = []
-        for i in range(cfg.n_cov):
-            o, k = cfg.offsets[i], cfg.blocks[i]
-            newBs.append(
-                _update_b(cfg, i, Bs[i], H[o:o + k], Ys[i], lam[i], eps,
-                          HHt_ii=HHt[o:o + k, o:o + k])
-            )
-        Bs = tuple(newBs)
-
-        # --- fused H update + next-iteration XHt/HHt + loss partial ---
-        # guided-block numerators/denominators (main.py:637-650) are
-        # computed INSIDE the kernel from Ys/Bs/lam, so no (K, cells)
-        # extras arrays ever hit HBM
         WtW = dot(W.T, W)
+
         if cfg.n_cov:
-            H, XHt, HHt, lossdot = pk.fused_h_update_guided(
+            Bs = update_bs(Bs, bnums, bdens, HHt)
+            H, XHt, HHt, lossdot, preds, bnums, bdens = pk.fused_iteration(
                 X, W, H, WtW, Ys, Bs, lam, eps,
                 blocks=cfg.blocks, loss_kl=cfg.loss_kl, interpret=interpret,
             )
@@ -463,30 +503,23 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
             H, XHt, HHt, lossdot = pk.fused_h_update(
                 X, W, H, WtW, None, None, eps, interpret=interpret
             )
+            preds = ()
 
-        # --- loss on the post-update state (main.py:726-753) ---
         recon = normX2 - 2.0 * lossdot + jnp.sum(WtW * HHt)
-        parts = [recon]
         total = recon
         for i in range(cfg.n_cov):
-            o, k = cfg.offsets[i], cfg.blocks[i]
-            yhat = dot(Bs[i], H[o:o + k])
-            if cfg.loss_kl:
-                yh = _clamp(yhat, eps)
-                pred = jnp.sum(Ys[i] * jnp.log(_clamp(Ys[i] / yh, eps)) - Ys[i] + yh)
-            else:
-                d = Ys[i] - yhat
-                pred = jnp.sum(d * d)
-            parts.append(pred)
-            total = total + lam[i] * pred
-        loss = jnp.stack([total] + parts)
+            total = total + lam[i] * preds[i]
+        loss = jnp.stack([total, recon] + list(preds))
         _maybe_report(cfg, loss)
 
-        return (W, H, Bs, XHt, HHt), loss
+        return (W, H, Bs, XHt, HHt, bnums, bdens), loss
 
-    (W, H, Bs, _, _), losses = lax.scan(
-        iteration, (W0, H0, Bs0, XHt0, HHt0), None, length=cfg.max_iter
+    (W, H, Bs, *_), losses = lax.scan(
+        iteration, (W0, H0, Bs0, XHt0, HHt0, bnums0, bdens0), None,
+        length=cfg.max_iter,
     )
+    if cfg.n_cov and H.shape[1] != n:
+        H = H[:, :n]
     return W, H, Bs, losses
 
 

@@ -333,6 +333,211 @@ def fused_h_update_guided(
     return Hn, XHt, HHt, ld[0, 0]
 
 
+def _iter_kernel(blocks, n_labels, loss_kl, *refs):
+    """Whole-iteration kernel (cell axis pre-padded to a tile multiple, so
+    no edge masking): H update with in-kernel guided terms, PLUS
+    per-covariate prediction-loss partials and the B-update statistics for
+    the NEXT iteration — eliminating every per-iteration XLA pass over H.
+
+    refs layout:
+      inputs : eps(SMEM), lam(SMEM), X, W, H, WtW, Y_0..Y_{c-1}, B_0..B_{c-1}
+      outputs: Hn, XHt, HHt, ld(SMEM), then per covariate:
+               pred_c(SMEM 1x1), Bnum_c(labels,k), Bden_c(1,k)
+    """
+    n_cov = len(n_labels)
+    eps_ref, lam_ref = refs[0], refs[1]
+    X_ref, W_ref, H_ref, WtW_ref = refs[2:6]
+    Y_refs = refs[6:6 + n_cov]
+    B_refs = refs[6 + n_cov:6 + 2 * n_cov]
+    out = refs[6 + 2 * n_cov:]
+    Hn_ref, XHt_ref, HHt_ref, ld_ref = out[:4]
+    pred_refs = out[4:4 + n_cov]
+    bnum_refs = out[4 + n_cov:4 + 2 * n_cov]
+    bden_refs = out[4 + 2 * n_cov:4 + 3 * n_cov]
+
+    offsets = []
+    acc = 0
+    for k in blocks:
+        offsets.append(acc)
+        acc += k
+
+    i = pl.program_id(0)
+    eps = eps_ref[0, 0]
+    Xm = X_ref[:]
+    Hm = H_ref[:]
+    xdt = X_ref.dtype
+
+    WtX = jax.lax.dot_general(
+        W_ref[:].astype(xdt), Xm, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    num = 2.0 * WtX
+    den = 2.0 * jnp.dot(WtW_ref[:], Hm, preferred_element_type=jnp.float32)
+
+    Ys_f32, Bs, yhats = [], [], []
+    gnum_rows, gden_rows = [], []
+    for c in range(n_cov):
+        o, k = offsets[c], blocks[c]
+        lam_c = lam_ref[c, 0]
+        Hi = Hm[o:o + k]
+        Yi = Y_refs[c][:].astype(jnp.float32)
+        B = B_refs[c][:]
+        BHi = jnp.dot(B, Hi, preferred_element_type=jnp.float32)
+        if loss_kl:
+            gnum = lam_c * jnp.dot(B.T, Yi / jnp.maximum(BHi, eps),
+                                   preferred_element_type=jnp.float32)
+            gden = lam_c * jnp.broadcast_to(
+                jnp.sum(B, axis=0)[:, None], Hi.shape)
+        else:
+            gnum = 2.0 * lam_c * jnp.dot(B.T, Yi,
+                                         preferred_element_type=jnp.float32)
+            gden = 2.0 * lam_c * jnp.dot(B.T, BHi,
+                                         preferred_element_type=jnp.float32)
+        gnum_rows.append(gnum)
+        gden_rows.append(gden)
+        Ys_f32.append(Yi)
+        Bs.append(B)
+    zero = jnp.zeros((blocks[-1], Hm.shape[1]), jnp.float32)
+    num = num + jnp.concatenate(gnum_rows + [zero], axis=0)
+    den = den + jnp.concatenate(gden_rows + [zero], axis=0)
+
+    Hn = Hm * (num / jnp.maximum(den, eps))
+    Hn_ref[:] = Hn
+
+    @pl.when(i == 0)
+    def _():
+        XHt_ref[:] = jnp.zeros_like(XHt_ref)
+        HHt_ref[:] = jnp.zeros_like(HHt_ref)
+        ld_ref[0, 0] = 0.0
+        for c in range(n_cov):
+            pred_refs[c][0, 0] = 0.0
+            bnum_refs[c][:] = jnp.zeros_like(bnum_refs[c])
+            bden_refs[c][:] = jnp.zeros_like(bden_refs[c])
+
+    XHt_ref[:] += jax.lax.dot_general(
+        Xm, Hn.astype(xdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    HHt_ref[:] += jax.lax.dot_general(
+        Hn, Hn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ld_ref[0, 0] += jnp.sum(WtX * Hn)
+
+    # prediction loss on (B_t, H_t) + B_{t+1} statistics (main.py:614-628,
+    # :740-748).  yhat = B_t @ H_t_i serves both.
+    for c in range(n_cov):
+        o, k = offsets[c], blocks[c]
+        Hni = Hn[o:o + k]
+        Yi, B = Ys_f32[c], Bs[c]
+        yhat = jnp.dot(B, Hni, preferred_element_type=jnp.float32)
+        if loss_kl:
+            yh = jnp.maximum(yhat, eps)
+            pred_refs[c][0, 0] += jnp.sum(
+                Yi * jnp.log(jnp.maximum(Yi / yh, eps)) - Yi + yh
+            )
+            ratio = Yi / yh
+            bnum_refs[c][:] += jnp.dot(ratio, Hni.T,
+                                       preferred_element_type=jnp.float32)
+            bden_refs[c][:] += jnp.sum(Hni, axis=1)[None, :]
+        else:
+            d = Yi - yhat
+            pred_refs[c][0, 0] += jnp.sum(d * d)
+            bnum_refs[c][:] += jnp.dot(Yi, Hni.T,
+                                       preferred_element_type=jnp.float32)
+            # Frobenius B-den uses HHt_ii, already accumulated
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blocks", "loss_kl", "interpret")
+)
+def fused_iteration(
+    X: Array,
+    W: Array,
+    H: Array,
+    WtW: Array,
+    Ys: Tuple[Array, ...],
+    Bs: Tuple[Array, ...],
+    lam: Array,
+    eps: Array,
+    *,
+    blocks: Tuple[int, ...],
+    loss_kl: bool,
+    interpret: bool = False,
+):
+    """One full H-update pass with in-kernel guided terms, prediction-loss
+    partials and next-iteration B statistics.  REQUIRES the cell axis to be
+    zero-padded to a multiple of the tile width (see mu._fit_scan_pallas).
+
+    Returns (Hn, XHt, HHt, lossdot, preds(tuple), Bnums(tuple), Bdens(tuple))
+    where Bdens are the KL rowsum statistics (ignored for Frobenius)."""
+    g, n = X.shape
+    K = H.shape[0]
+    n_cov = len(Ys)
+    n_labels = tuple(y.shape[0] for y in Ys)
+    tile_n = _choose_tile_n(g, n, X.dtype.itemsize)
+    if tile_n is None or n % tile_n:
+        raise ValueError(f"cell axis {n} must be padded to a multiple of {tile_n}")
+    grid = (n // tile_n,)
+
+    full = lambda i: (0, 0)
+    by_cells = lambda i: (0, i)
+
+    in_specs = [
+        pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),              # eps
+        pl.BlockSpec((max(n_cov, 1), 1), full, memory_space=pltpu.SMEM),  # lam
+        pl.BlockSpec((g, tile_n), by_cells),
+        pl.BlockSpec((g, K), full),
+        pl.BlockSpec((K, tile_n), by_cells),
+        pl.BlockSpec((K, K), full),
+    ]
+    lam_arr = (jnp.reshape(lam.astype(jnp.float32), (n_cov, 1)) if n_cov
+               else jnp.zeros((1, 1), jnp.float32))
+    args = [eps.reshape(1, 1).astype(jnp.float32), lam_arr, X, W, H, WtW]
+    for y in Ys:
+        in_specs.append(pl.BlockSpec((y.shape[0], tile_n), by_cells))
+        args.append(y)
+    for b in Bs:
+        in_specs.append(pl.BlockSpec(b.shape, full))
+        args.append(b)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((K, n), jnp.float32),
+        jax.ShapeDtypeStruct((g, K), jnp.float32),
+        jax.ShapeDtypeStruct((K, K), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((K, tile_n), by_cells),
+        pl.BlockSpec((g, K), full),
+        pl.BlockSpec((K, K), full),
+        pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+    ]
+    for c in range(n_cov):
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM))
+    for c in range(n_cov):
+        out_shape.append(jax.ShapeDtypeStruct((n_labels[c], blocks[c]), jnp.float32))
+        out_specs.append(pl.BlockSpec((n_labels[c], blocks[c]), full))
+    for c in range(n_cov):
+        out_shape.append(jax.ShapeDtypeStruct((1, blocks[c]), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, blocks[c]), full))
+
+    kernel = functools.partial(_iter_kernel, blocks, n_labels, loss_kl)
+    results = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*args)
+    Hn, XHt, HHt, ld = results[:4]
+    preds = tuple(r[0, 0] for r in results[4:4 + n_cov])
+    bnums = tuple(results[4 + n_cov:4 + 2 * n_cov])
+    bdens = tuple(r[0] for r in results[4 + 2 * n_cov:4 + 3 * n_cov])
+    return Hn, XHt, HHt, ld[0, 0], preds, bnums, bdens
+
+
 # ---------------------------------------------------------------------------
 # Transform
 # ---------------------------------------------------------------------------
