@@ -341,8 +341,14 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
 
     refs layout:
       inputs : eps(SMEM), lam(SMEM), X, W, H, WtW, Y_0..Y_{c-1}, B_0..B_{c-1}
-      outputs: Hn, XHt, HHt, ld(SMEM), then per covariate:
-               pred_c(SMEM 1x1), Bnum_c(labels,k), Bden_c(1,k)
+      outputs: Hn, XHt, HHt, ld(SMEM), stats (R, K) — per covariate, in
+               row order: labels_c rows of Bnum (block columns o:o+k are
+               the meaningful ones), 1 Bden row (rowsum of Hn), 1 row with
+               the pred-loss partial replicated across lanes.  Tiny
+               per-covariate outputs are PACKED into one block at natural
+               width K: separate (labels, k)/(1, k) outputs hung the Mosaic
+               compiler, and lane-padding small rows hits an unimplemented
+               relayout.
     """
     n_cov = len(n_labels)
     eps_ref, lam_ref = refs[0], refs[1]
@@ -350,10 +356,7 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
     Y_refs = refs[6:6 + n_cov]
     B_refs = refs[6 + n_cov:6 + 2 * n_cov]
     out = refs[6 + 2 * n_cov:]
-    Hn_ref, XHt_ref, HHt_ref, ld_ref = out[:4]
-    pred_refs = out[4:4 + n_cov]
-    bnum_refs = out[4 + n_cov:4 + 2 * n_cov]
-    bden_refs = out[4 + 2 * n_cov:4 + 3 * n_cov]
+    Hn_ref, XHt_ref, HHt_ref, ld_ref, stats_ref = out
 
     offsets = []
     acc = 0
@@ -409,10 +412,7 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
         XHt_ref[:] = jnp.zeros_like(XHt_ref)
         HHt_ref[:] = jnp.zeros_like(HHt_ref)
         ld_ref[0, 0] = 0.0
-        for c in range(n_cov):
-            pred_refs[c][0, 0] = 0.0
-            bnum_refs[c][:] = jnp.zeros_like(bnum_refs[c])
-            bden_refs[c][:] = jnp.zeros_like(bden_refs[c])
+        stats_ref[:] = jnp.zeros_like(stats_ref)
 
     XHt_ref[:] += jax.lax.dot_general(
         Xm, Hn.astype(xdt), (((1,), (1,)), ((), ())),
@@ -424,7 +424,12 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
     ld_ref[0, 0] += jnp.sum(WtX * Hn)
 
     # prediction loss on (B_t, H_t) + B_{t+1} statistics (main.py:614-628,
-    # :740-748).  yhat = B_t @ H_t_i serves both.
+    # :740-748).  yhat = B_t @ H_t_i serves both.  All rows are built at
+    # natural width K (dots against the FULL Hn; the caller slices the
+    # meaningful o:o+k columns), avoiding tiny-lane relayouts.
+    K_total = Hn.shape[0]
+    rowsum_Hn = jnp.sum(Hn, axis=1)[None, :]  # (1, K), shared Bden row
+    stat_rows = []
     for c in range(n_cov):
         o, k = offsets[c], blocks[c]
         Hni = Hn[o:o + k]
@@ -432,19 +437,18 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
         yhat = jnp.dot(B, Hni, preferred_element_type=jnp.float32)
         if loss_kl:
             yh = jnp.maximum(yhat, eps)
-            pred_refs[c][0, 0] += jnp.sum(
-                Yi * jnp.log(jnp.maximum(Yi / yh, eps)) - Yi + yh
-            )
-            ratio = Yi / yh
-            bnum_refs[c][:] += jnp.dot(ratio, Hni.T,
-                                       preferred_element_type=jnp.float32)
-            bden_refs[c][:] += jnp.sum(Hni, axis=1)[None, :]
+            pred = jnp.sum(Yi * jnp.log(jnp.maximum(Yi / yh, eps)) - Yi + yh)
+            bnum = jnp.dot(Yi / yh, Hn.T, preferred_element_type=jnp.float32)
         else:
             d = Yi - yhat
-            pred_refs[c][0, 0] += jnp.sum(d * d)
-            bnum_refs[c][:] += jnp.dot(Yi, Hni.T,
-                                       preferred_element_type=jnp.float32)
-            # Frobenius B-den uses HHt_ii, already accumulated
+            pred = jnp.sum(d * d)
+            bnum = jnp.dot(Yi, Hn.T, preferred_element_type=jnp.float32)
+        stat_rows.append(bnum)                                   # (labels, K)
+        stat_rows.append(rowsum_Hn)                              # (1, K)
+        stat_rows.append(jnp.broadcast_to(jnp.reshape(pred, (1, 1)),
+                                          (1, K_total)))          # (1, K)
+    if stat_rows:
+        stats_ref[:] += jnp.concatenate(stat_rows, axis=0)
 
 
 @functools.partial(
@@ -512,15 +516,9 @@ def fused_iteration(
         pl.BlockSpec((K, K), full),
         pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
     ]
-    for c in range(n_cov):
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM))
-    for c in range(n_cov):
-        out_shape.append(jax.ShapeDtypeStruct((n_labels[c], blocks[c]), jnp.float32))
-        out_specs.append(pl.BlockSpec((n_labels[c], blocks[c]), full))
-    for c in range(n_cov):
-        out_shape.append(jax.ShapeDtypeStruct((1, blocks[c]), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, blocks[c]), full))
+    stat_rows = sum(n_labels) + 2 * n_cov
+    out_shape.append(jax.ShapeDtypeStruct((max(stat_rows, 1), K), jnp.float32))
+    out_specs.append(pl.BlockSpec((max(stat_rows, 1), K), full))
 
     kernel = functools.partial(_iter_kernel, blocks, n_labels, loss_kl)
     results = pl.pallas_call(
@@ -531,11 +529,21 @@ def fused_iteration(
         out_shape=tuple(out_shape),
         interpret=interpret,
     )(*args)
-    Hn, XHt, HHt, ld = results[:4]
-    preds = tuple(r[0, 0] for r in results[4:4 + n_cov])
-    bnums = tuple(results[4 + n_cov:4 + 2 * n_cov])
-    bdens = tuple(r[0] for r in results[4 + 2 * n_cov:4 + 3 * n_cov])
-    return Hn, XHt, HHt, ld[0, 0], preds, bnums, bdens
+    Hn, XHt, HHt, ld, stats = results
+    preds, bnums, bdens = [], [], []
+    row = 0
+    offsets = []
+    acc = 0
+    for k in blocks:
+        offsets.append(acc)
+        acc += k
+    for c in range(n_cov):
+        nl, o, k = n_labels[c], offsets[c], blocks[c]
+        bnums.append(stats[row:row + nl, o:o + k])
+        bdens.append(stats[row + nl, o:o + k])
+        preds.append(stats[row + nl + 1, 0])
+        row += nl + 2
+    return Hn, XHt, HHt, ld[0, 0], tuple(preds), tuple(bnums), tuple(bdens)
 
 
 # ---------------------------------------------------------------------------
