@@ -1,27 +1,35 @@
 """Pallas TPU kernels for the MU hot path.
 
-Two kernels, both motivated by HBM bandwidth (the bottleneck at atlas scale,
-where X is (genes x cells) >> VMEM):
+All motivated by HBM bandwidth (the bottleneck at atlas scale, where X is
+(genes x cells) >> VMEM):
 
-1. ``fused_h_update``: one joint-mode H update in a single pass over X.
-   For each cell tile, in VMEM: compute ``WᵀX`` on the MXU, apply the
-   multiplicative Hadamard update ``H ∘ num/max(den, eps)``, then — the key
+1. ``fused_h_update`` / ``fused_h_update_guided``: one joint-mode H update
+   in a single pass over X.  For each cell tile, in VMEM: compute ``WᵀX``
+   on the MXU, apply the multiplicative Hadamard update
+   ``H ∘ num/max(den, eps)`` (the guided variant builds the per-covariate
+   numerators/denominators in-kernel from Ys/Bs/lam), then — the key
    trick — immediately accumulate ``X @ H_newᵀ`` and ``H_new @ H_newᵀ``
    for the NEXT iteration's W update, and the loss partial ``Σ (WᵀX)∘H_new``.
    The reference evaluates the same math as 4+ separate X-sized GEMMs per
    iteration (`/root/reference/alpine/main.py:596,:653-654,:736`); a plain
-   XLA lowering still reads X twice per iteration (X@Hᵀ and WᵀX).  This
-   kernel makes one iteration cost ONE read of X — the bandwidth floor.
+   XLA lowering still reads X twice per iteration (X@Hᵀ and WᵀX).  These
+   kernels make one iteration cost ONE read of X — the bandwidth floor.
+   They handle ragged edges by masking (grid = cdiv).
 
-2. ``fused_transform``: the entire out-of-sample projection loop
+2. ``fused_iteration``: the production training kernel — (1) plus
+   per-covariate prediction-loss partials and the NEXT iteration's B-update
+   statistics, all packed into one natural-width accumulator, leaving only
+   K-sized XLA ops between kernel calls.  Requires the cell axis pre-padded
+   to a tile multiple (ops/mu.py pads once; provably neutral).
+
+3. ``fused_transform``: the entire out-of-sample projection loop
    (`main.py:705-709`) in one pass: per cell tile, run all n_iter
    iterations of ``H ∘ (2WᵀX) / max(2(WᵀW)H, eps)`` in VMEM (columns are
    independent, so no cross-tile communication).  The numerator and WᵀW are
    loop-invariant and computed once outside.
 
-Both kernels handle ragged edges by masking (grid = cdiv) and fall back to
-the XLA path (ops/mu.py) for shapes that exceed the VMEM tile budget or
-non-TPU backends.
+The model layer falls back to the XLA path (ops/mu.py) for shapes that
+exceed the VMEM tile budget or non-TPU backends.
 """
 
 from __future__ import annotations
