@@ -452,6 +452,13 @@ class ComponentOptimizer:
                 trial_info["tid"] = trial["tid"]
                 history.append(trial_info)
 
+        if not history:
+            # the reference crashes with an opaque KeyError here; fail clearly
+            raise RuntimeError(
+                "No successful trials recorded yet — run search_hyperparams "
+                "(all trials may have failed the component-distribution check)."
+            )
+
         history_df = pd.DataFrame(history)
 
         n_covariate_df = pd.DataFrame(

@@ -211,3 +211,13 @@ def test_optimizer_validation(small_adata):
         co.search_hyperparams(n_splits=1)
     with pytest.raises(ValueError, match="max_evals"):
         co.search_hyperparams(max_evals=0)
+
+
+def test_train_history_empty_raises(small_adata):
+    from alpine_tpu import ComponentOptimizer
+    from alpine_tpu.optimize.tpe import Trials
+
+    co = ComponentOptimizer(small_adata, ["batch"], max_iter=5, device="cpu")
+    co.trials = Trials()
+    with pytest.raises(RuntimeError, match="No successful trials"):
+        co.get_train_history()
