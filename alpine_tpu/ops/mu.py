@@ -501,7 +501,7 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
             )
         else:
             H, XHt, HHt, lossdot = pk.fused_h_update(
-                X, W, H, WtW, None, None, eps, interpret=interpret
+                X, W, H, WtW, eps, interpret=interpret
             )
             preds = ()
 

@@ -3,12 +3,10 @@
 All motivated by HBM bandwidth (the bottleneck at atlas scale, where X is
 (genes x cells) >> VMEM):
 
-1. ``fused_h_update`` / ``fused_h_update_guided``: one joint-mode H update
-   in a single pass over X.  For each cell tile, in VMEM: compute ``WᵀX``
-   on the MXU, apply the multiplicative Hadamard update
-   ``H ∘ num/max(den, eps)`` (the guided variant builds the per-covariate
-   numerators/denominators in-kernel from Ys/Bs/lam), then — the key
-   trick — immediately accumulate ``X @ H_newᵀ`` and ``H_new @ H_newᵀ``
+1. ``fused_h_update``: one unguided joint-mode H update in a single pass
+   over X.  For each cell tile, in VMEM: compute ``WᵀX`` on the MXU, apply
+   the multiplicative Hadamard update ``H ∘ num/max(den, eps)``, then —
+   the key trick — immediately accumulate ``X @ H_newᵀ`` and ``H_new @ H_newᵀ``
    for the NEXT iteration's W update, and the loss partial ``Σ (WᵀX)∘H_new``.
    The reference evaluates the same math as 4+ separate X-sized GEMMs per
    iteration (`/root/reference/alpine/main.py:596,:653-654,:736`); a plain
@@ -75,12 +73,9 @@ def _mask_cols(x, i, tile_n, n_valid):
     return jnp.where(col + i * tile_n < n_valid, x, 0.0)
 
 
-def _h_kernel(has_extras, tile_n, n_cells, eps_ref, X_ref, W_ref, H_ref,
+def _h_kernel(tile_n, n_cells, eps_ref, X_ref, W_ref, H_ref,
               WtW_ref, *rest):
-    if has_extras:
-        en_ref, ed_ref, Hn_ref, XHt_ref, HHt_ref, ld_ref = rest
-    else:
-        Hn_ref, XHt_ref, HHt_ref, ld_ref = rest
+    Hn_ref, XHt_ref, HHt_ref, ld_ref = rest
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
 
@@ -95,9 +90,6 @@ def _h_kernel(has_extras, tile_n, n_cells, eps_ref, X_ref, W_ref, H_ref,
 
     num = 2.0 * WtX
     den = 2.0 * jnp.dot(WtW_ref[:], Hm, preferred_element_type=jnp.float32)
-    if has_extras:
-        num = num + en_ref[:]
-        den = den + ed_ref[:]
     Hn = Hm * (num / jnp.maximum(den, eps))
     Hn = _mask_cols(Hn, i, tile_n, n_cells)
     Hn_ref[:] = Hn
@@ -124,24 +116,19 @@ def fused_h_update(
     W: Array,
     H: Array,
     WtW: Array,
-    extra_num: Optional[Array],
-    extra_den: Optional[Array],
     eps: Array,
     *,
     interpret: bool = False,
 ) -> Tuple[Array, Array, Array, Array]:
-    """Returns (H_new, X @ H_newᵀ, H_new @ H_newᵀ, Σ (WᵀX)∘H_new).
-
-    extra_num/extra_den are the guided-block contributions to the H update
-    (zeros rows for the unguided block); pass None when there are no
-    covariates to skip their HBM traffic entirely."""
+    """Unguided (no-covariate) H update pass.
+    Returns (H_new, X @ H_newᵀ, H_new @ H_newᵀ, Σ (WᵀX)∘H_new).
+    Covariate configurations use ``fused_iteration`` instead."""
     g, n = X.shape
     K = H.shape[0]
     tile_n = _choose_tile_n(g, n, X.dtype.itemsize)
     if tile_n is None:
         raise ValueError(f"n_genes={g} too large for the fused H kernel")
     grid = (pl.cdiv(n, tile_n),)
-    has_extras = extra_num is not None
 
     full = lambda i: (0, 0)
     by_cells = lambda i: (0, i)
@@ -154,12 +141,6 @@ def fused_h_update(
         pl.BlockSpec((K, K), full),                            # WtW
     ]
     args = [eps.reshape(1, 1), X, W, H, WtW]
-    if has_extras:
-        in_specs += [
-            pl.BlockSpec((K, tile_n), by_cells),
-            pl.BlockSpec((K, tile_n), by_cells),
-        ]
-        args += [extra_num, extra_den]
 
     out_shape = (
         jax.ShapeDtypeStruct((K, n), jnp.float32),   # H_new
@@ -174,162 +155,7 @@ def fused_h_update(
         pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
     )
 
-    kernel = functools.partial(_h_kernel, has_extras, tile_n, n)
-    Hn, XHt, HHt, ld = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*args)
-    return Hn, XHt, HHt, ld[0, 0]
-
-
-def _h_kernel_guided(blocks, n_labels, loss_kl, tile_n, n_cells,
-                     eps_ref, lam_ref, X_ref, W_ref, H_ref, WtW_ref, *rest):
-    """H update with the guided-block numerators/denominators computed
-    in-kernel (reference main.py:637-650), so no (K, cells) extras arrays
-    ever touch HBM.  rest = Y_0..Y_{ncov-1}, B_0..B_{ncov-1}, then the four
-    outputs of _h_kernel."""
-    n_cov = len(n_labels)
-    Y_refs = rest[:n_cov]
-    B_refs = rest[n_cov:2 * n_cov]
-    Hn_ref, XHt_ref, HHt_ref, ld_ref = rest[2 * n_cov:]
-    offsets = []
-    acc = 0
-    for k in blocks:
-        offsets.append(acc)
-        acc += k
-
-    i = pl.program_id(0)
-    eps = eps_ref[0, 0]
-
-    Xm = _mask_cols(X_ref[:], i, tile_n, n_cells)
-    Hm = _mask_cols(H_ref[:], i, tile_n, n_cells)
-    xdt = X_ref.dtype
-
-    WtX = jax.lax.dot_general(
-        W_ref[:].astype(xdt), Xm, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    num = 2.0 * WtX
-    den = 2.0 * jnp.dot(WtW_ref[:], Hm, preferred_element_type=jnp.float32)
-
-    gnum_rows, gden_rows = [], []
-    for c in range(n_cov):
-        o, k = offsets[c], blocks[c]
-        lam_c = lam_ref[c, 0]
-        Hi = Hm[o:o + k]
-        # NOTE: Y tiles are deliberately NOT edge-masked — Mosaic lacks
-        # sublane broadcast for the tiny (labels, tile) shapes, and garbage
-        # in padded columns can only reach padded output columns, which the
-        # final _mask_cols on Hn replaces with zeros.
-        Yi = Y_refs[c][:].astype(jnp.float32)
-        B = B_refs[c][:]
-        BHi = jnp.dot(B, Hi, preferred_element_type=jnp.float32)
-        if loss_kl:
-            ratio = Yi / jnp.maximum(BHi, eps)
-            gnum = lam_c * jnp.dot(B.T, ratio, preferred_element_type=jnp.float32)
-            gden = lam_c * jnp.broadcast_to(
-                jnp.sum(B, axis=0)[:, None], Hi.shape)
-        else:
-            gnum = 2.0 * lam_c * jnp.dot(B.T, Yi,
-                                         preferred_element_type=jnp.float32)
-            gden = 2.0 * lam_c * jnp.dot(B.T, BHi,
-                                         preferred_element_type=jnp.float32)
-        gnum_rows.append(gnum)
-        gden_rows.append(gden)
-    zero = jnp.zeros((blocks[-1], Hm.shape[1]), jnp.float32)
-    num = num + jnp.concatenate(gnum_rows + [zero], axis=0)
-    den = den + jnp.concatenate(gden_rows + [zero], axis=0)
-
-    Hn = Hm * (num / jnp.maximum(den, eps))
-    Hn = _mask_cols(Hn, i, tile_n, n_cells)
-    Hn_ref[:] = Hn
-
-    @pl.when(i == 0)
-    def _():
-        XHt_ref[:] = jnp.zeros_like(XHt_ref)
-        HHt_ref[:] = jnp.zeros_like(HHt_ref)
-        ld_ref[0, 0] = 0.0
-
-    XHt_ref[:] += jax.lax.dot_general(
-        Xm, Hn.astype(xdt), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    HHt_ref[:] += jax.lax.dot_general(
-        Hn, Hn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ld_ref[0, 0] += jnp.sum(WtX * Hn)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("blocks", "loss_kl", "interpret")
-)
-def fused_h_update_guided(
-    X: Array,
-    W: Array,
-    H: Array,
-    WtW: Array,
-    Ys: Tuple[Array, ...],
-    Bs: Tuple[Array, ...],
-    lam: Array,
-    eps: Array,
-    *,
-    blocks: Tuple[int, ...],
-    loss_kl: bool,
-    interpret: bool = False,
-) -> Tuple[Array, Array, Array, Array]:
-    """fused_h_update with the per-covariate guided terms computed inside
-    the kernel (Ys/Bs/lam passed directly)."""
-    g, n = X.shape
-    K = H.shape[0]
-    n_cov = len(Ys)
-    n_labels = tuple(y.shape[0] for y in Ys)
-    tile_n = _choose_tile_n(g, n, X.dtype.itemsize)
-    if tile_n is None:
-        raise ValueError(f"n_genes={g} too large for the fused H kernel")
-    grid = (pl.cdiv(n, tile_n),)
-
-    full = lambda i: (0, 0)
-    by_cells = lambda i: (0, i)
-
-    in_specs = [
-        pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),        # eps
-        pl.BlockSpec((max(n_cov, 1), 1), full, memory_space=pltpu.SMEM),  # lam
-        pl.BlockSpec((g, tile_n), by_cells),                        # X
-        pl.BlockSpec((g, K), full),                                 # W
-        pl.BlockSpec((K, tile_n), by_cells),                        # H
-        pl.BlockSpec((K, K), full),                                 # WtW
-    ]
-    lam_arr = jnp.reshape(
-        lam.astype(jnp.float32), (n_cov, 1)
-    ) if n_cov else jnp.zeros((1, 1), jnp.float32)
-    args = [eps.reshape(1, 1), lam_arr, X, W, H, WtW]
-    for y in Ys:
-        in_specs.append(pl.BlockSpec((y.shape[0], tile_n), by_cells))
-        args.append(y)
-    for b in Bs:
-        in_specs.append(pl.BlockSpec(b.shape, full))
-        args.append(b)
-
-    out_shape = (
-        jax.ShapeDtypeStruct((K, n), jnp.float32),
-        jax.ShapeDtypeStruct((g, K), jnp.float32),
-        jax.ShapeDtypeStruct((K, K), jnp.float32),
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
-    )
-    out_specs = (
-        pl.BlockSpec((K, tile_n), by_cells),
-        pl.BlockSpec((g, K), full),
-        pl.BlockSpec((K, K), full),
-        pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
-    )
-
-    kernel = functools.partial(_h_kernel_guided, blocks, n_labels, loss_kl,
-                               tile_n, n)
+    kernel = functools.partial(_h_kernel, tile_n, n)
     Hn, XHt, HHt, ld = pl.pallas_call(
         kernel,
         grid=grid,

@@ -32,26 +32,64 @@ def test_fused_h_update_matches_jnp():
     W = jnp.asarray(r.random((G, 13), dtype=np.float32))
     H = jnp.asarray(r.random((13, N), dtype=np.float32) + 0.1)
     WtW = W.T @ W
-    en = jnp.asarray(r.random((13, N), dtype=np.float32))
-    ed = jnp.asarray(r.random((13, N), dtype=np.float32))
     eps = jnp.float32(EPS)
 
-    for extras in (None, (en, ed)):
-        e_n, e_d = extras if extras else (None, None)
-        Hn, XHt, HHt, ld = pk.fused_h_update(X, W, H, WtW, e_n, e_d, eps,
-                                             interpret=True)
-        WtX = W.T @ X
-        num = 2 * WtX + (e_n if extras else 0)
-        den = 2 * (WtW @ H) + (e_d if extras else 0)
-        Hn_ref = H * num / jnp.maximum(den, eps)
-        np.testing.assert_allclose(np.asarray(Hn), np.asarray(Hn_ref),
-                                   rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(XHt), np.asarray(X @ Hn_ref.T),
-                                   rtol=1e-4, atol=1e-4)
-        np.testing.assert_allclose(np.asarray(HHt), np.asarray(Hn_ref @ Hn_ref.T),
-                                   rtol=1e-4, atol=1e-4)
-        np.testing.assert_allclose(float(ld), float(jnp.sum(WtX * Hn_ref)),
-                                   rtol=1e-4)
+    Hn, XHt, HHt, ld = pk.fused_h_update(X, W, H, WtW, eps, interpret=True)
+    WtX = W.T @ X
+    Hn_ref = H * (2 * WtX) / jnp.maximum(2 * (WtW @ H), eps)
+    np.testing.assert_allclose(np.asarray(Hn), np.asarray(Hn_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(XHt), np.asarray(X @ Hn_ref.T),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(HHt), np.asarray(Hn_ref @ Hn_ref.T),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(ld), float(jnp.sum(WtX * Hn_ref)),
+                               rtol=1e-4)
+
+
+def test_fused_iteration_matches_jnp():
+    """The production whole-iteration kernel: H update, guided terms, loss
+    partials and next-iteration B statistics vs a jnp reference."""
+    r = np.random.default_rng(4)
+    n = 256  # tile multiple on CPU interpret path
+    blocks, n_labels = (3, 9), (2,)
+    K = sum(blocks)
+    X = jnp.asarray(r.random((G, n), dtype=np.float32))
+    W = jnp.asarray(r.random((G, K), dtype=np.float32))
+    H = jnp.asarray(r.random((K, n), dtype=np.float32) + 0.1)
+    WtW = W.T @ W
+    Y = np.zeros((2, n), np.float32)
+    Y[r.integers(0, 2, n), np.arange(n)] = 1.0
+    Ys = (jnp.asarray(Y),)
+    Bs = (jnp.asarray(r.random((2, 3)).astype(np.float32) + 0.1),)
+    lam = jnp.asarray([7.0], jnp.float32)
+    eps = jnp.float32(EPS)
+
+    Hn, XHt, HHt, ld, preds, bnums, bdens = pk.fused_iteration(
+        X, W, H, WtW, Ys, Bs, lam, eps, blocks=blocks, loss_kl=True,
+        interpret=True)
+
+    WtX = W.T @ X
+    Hi = H[0:3]
+    num = (2 * WtX).at[0:3].add(
+        lam[0] * (Bs[0].T @ (Ys[0] / jnp.maximum(Bs[0] @ Hi, eps))))
+    den = (2 * (WtW @ H)).at[0:3].add(
+        lam[0] * jnp.broadcast_to(jnp.sum(Bs[0], axis=0)[:, None], Hi.shape))
+    Hn_ref = H * num / jnp.maximum(den, eps)
+    np.testing.assert_allclose(np.asarray(Hn), np.asarray(Hn_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    Hni = Hn_ref[0:3]
+    yh = jnp.maximum(Bs[0] @ Hni, eps)
+    pred_ref = jnp.sum(Ys[0] * jnp.log(jnp.maximum(Ys[0] / yh, eps))
+                       - Ys[0] + yh)
+    np.testing.assert_allclose(float(preds[0]), float(pred_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(bnums[0]),
+                               np.asarray((Ys[0] / yh) @ Hni.T),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bdens[0]),
+                               np.asarray(jnp.sum(Hni, axis=1)),
+                               rtol=1e-4)
 
 
 def test_fused_transform_matches_loop():
