@@ -108,10 +108,11 @@ def test_fused_transform_matches_loop():
                                rtol=2e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("n_cov", [0, 2])
-def test_pallas_fit_scan_matches_xla(n_cov):
-    """The full pallas training path (carried XHt/HHt, fused H update, fused
-    loss) must reproduce the XLA scan trajectory."""
+@pytest.mark.parametrize("n_cov,loss_kl", [(0, True), (2, True), (2, False)])
+def test_pallas_fit_scan_matches_xla(n_cov, loss_kl):
+    """The full pallas training path (carried XHt/HHt and B statistics,
+    fused H update, fused loss) must reproduce the XLA scan trajectory, for
+    both prediction-loss types."""
     X, Ys = _problem()
     if n_cov == 0:
         blocks, n_labels, Ys_use, lam = (6,), (), (), jnp.zeros((0,), jnp.float32)
@@ -123,12 +124,12 @@ def test_pallas_fit_scan_matches_xla(n_cov):
     key = jax.random.PRNGKey(0)
 
     cfg_x = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=N,
-                        loss_kl=True, max_iter=15, backend="xla")
+                        loss_kl=loss_kl, max_iter=15, backend="xla")
     W0, H0, Bs0 = mu.init_matrices(cfg_x, G, key, EPS)
     Wx, Hx, Bsx, Lx = mu.fit_scan(cfg_x, W0, H0, Bs0, X, Ys_use, hyper, key, None)
 
     cfg_p = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=N,
-                        loss_kl=True, max_iter=15, backend="pallas_interpret")
+                        loss_kl=loss_kl, max_iter=15, backend="pallas_interpret")
     Wp, Hp, Bsp, Lp = mu.fit_scan(cfg_p, W0, H0, Bs0, X, Ys_use, hyper, key, None)
 
     np.testing.assert_allclose(np.asarray(Lx), np.asarray(Lp), rtol=5e-4)
