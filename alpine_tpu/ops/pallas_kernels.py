@@ -47,9 +47,10 @@ except Exception:  # pragma: no cover
 Array = jax.Array
 
 # VMEM budget for the X tile (bytes); double buffering doubles this.
-# Swept on a v5e chip at 100k cells x 2k genes (bf16 X): 1MB -> 864 it/s,
-# 2MB -> 957, 3MB -> 992, 4MB -> ~770, 8MB -> VMEM OOM at compile.
-_X_TILE_BYTES = 3 * 1024 * 1024
+# Swept on a v5e chip at 100k cells x 2k genes (bf16 X) with the scoped
+# vmem limit raised to 64MB: 3MB -> 1082 it/s, 6MB -> 1125, 12MB -> 1126.
+# (With the default 16MB scoped limit, budgets above ~3MB fail to compile.)
+_X_TILE_BYTES = 6 * 1024 * 1024
 _LANE = 128
 
 
@@ -156,6 +157,11 @@ def fused_h_update(
     )
 
     kernel = functools.partial(_h_kernel, tile_n, n)
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
     Hn, XHt, HHt, ld = pl.pallas_call(
         kernel,
         grid=grid,
@@ -163,6 +169,7 @@ def fused_h_update(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **kwargs,
     )(*args)
     return Hn, XHt, HHt, ld[0, 0]
 
@@ -355,6 +362,13 @@ def fused_iteration(
     out_specs.append(pl.BlockSpec((max(stat_rows, 1), K), full))
 
     kernel = functools.partial(_iter_kernel, blocks, n_labels, loss_kl)
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        # v5e has ~128MB of VMEM; the default 16MB scoped limit throttles
+        # double-buffering of the X tiles
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
     results = pl.pallas_call(
         kernel,
         grid=grid,
@@ -362,6 +376,7 @@ def fused_iteration(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
+        **kwargs,
     )(*args)
     Hn, XHt, HHt, ld, stats = results
     preds, bnums, bdens = [], [], []
