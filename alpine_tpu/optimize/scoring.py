@@ -6,11 +6,10 @@ resolution=1)`) and summing ARI + homogeneity between the clusters and each
 covariate's labels (`/root/reference/alpine/optimization.py:271-278`).
 scanpy/igraph/leidenalg are unavailable here; this module provides:
 
-- `knn_graph`: 15-NN graph on the embedding with UMAP-style symmetrization
-  (union of directed kNN edges), approximating scanpy's default neighbors
-  graph closely enough for clustering purposes (documented divergence:
-  scanpy weights edges with UMAP connectivities; we use the symmetrized
-  membership weight max(w_ij, w_ji) of a Gaussian kernel).
+- `knn_graph`: 15-NN graph on the embedding weighted with UMAP
+  fuzzy-simplicial-set connectivities (smooth-kNN bandwidth search per
+  point, fuzzy union symmetrization W + Wᵀ − W∘Wᵀ) — the same construction
+  scanpy's default `sc.pp.neighbors` uses.
 - `leiden`: Leiden clustering via the native C++ library
   (`alpine_tpu/native/leiden.cpp`) with a pure-Python Louvain fallback.
 - `embedding_score`: the ARI + homogeneity sum, NA rows masked
@@ -28,11 +27,37 @@ from sklearn.neighbors import NearestNeighbors
 from alpine_tpu.native import leiden_native
 
 
+def _smooth_knn_bandwidths(dist: np.ndarray, n_iter: int = 64):
+    """UMAP smooth-kNN distances (McInnes et al.): per point, rho = distance
+    to the nearest neighbor and sigma solving
+    sum_j exp(-max(0, d_ij - rho)/sigma) = log2(n_neighbors).
+    `dist` is (n, k) sorted ascending, self excluded."""
+    n, k = dist.shape
+    target = np.log2(k + 1)
+    rho = dist[:, 0].copy()
+    lo = np.zeros(n)
+    hi = np.full(n, np.inf)
+    mid = np.ones(n)
+    for _ in range(n_iter):
+        psum = np.exp(-np.maximum(dist - rho[:, None], 0.0) / mid[:, None]).sum(axis=1)
+        too_high = psum > target
+        hi = np.where(too_high, mid, hi)
+        lo = np.where(too_high, lo, mid)
+        mid = np.where(too_high, (lo + hi) / 2.0,
+                       np.where(np.isinf(hi), mid * 2.0, (lo + hi) / 2.0))
+    # scanpy/umap floor sigma at a fraction of the mean distance
+    mean_d = np.maximum(dist.mean(axis=1), 1e-12)
+    return rho, np.maximum(mid, 1e-3 * mean_d)
+
+
 def knn_graph(
     emb: np.ndarray, n_neighbors: int = 15, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Build a symmetric weighted kNN graph on the (cells x dims) embedding.
-    Returns (src, dst, weight) with each undirected edge listed once."""
+    """Symmetric weighted kNN graph on the (cells x dims) embedding using
+    UMAP fuzzy-simplicial-set connectivities (scanpy's default neighbors
+    weighting).  Returns (src, dst, weight), each undirected edge once."""
+    from scipy import sparse
+
     n = emb.shape[0]
     k = min(n_neighbors, n - 1)
     if k <= 0:
@@ -41,23 +66,18 @@ def knn_graph(
     dist, idx = nn.kneighbors(emb)
     dist, idx = dist[:, 1:], idx[:, 1:]  # drop self
 
-    # Gaussian kernel weights with per-point bandwidth (median nn distance)
-    sigma = np.maximum(np.median(dist, axis=1, keepdims=True), 1e-12)
-    w = np.exp(-((dist / sigma) ** 2))
+    rho, sigma = _smooth_knn_bandwidths(dist.astype(np.float64))
+    w = np.exp(-np.maximum(dist - rho[:, None], 0.0) / sigma[:, None])
 
-    src = np.repeat(np.arange(n, dtype=np.int64), k)
-    dst = idx.astype(np.int64).ravel()
-    wt = w.astype(np.float64).ravel()
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = idx.astype(np.int64).ravel()
+    W = sparse.coo_matrix((w.ravel(), (rows, cols)), shape=(n, n)).tocsr()
+    Wt = W.T.tocsr()
+    conn = (W + Wt - W.multiply(Wt)).tocoo()  # fuzzy union
 
-    # symmetrize: keep each undirected pair once with the max weight
-    a = np.minimum(src, dst)
-    b = np.maximum(src, dst)
-    key = a * n + b
-    order = np.argsort(key, kind="stable")
-    key, a, b, wt = key[order], a[order], b[order], wt[order]
-    uniq, start = np.unique(key, return_index=True)
-    wmax = np.maximum.reduceat(wt, start)
-    return a[start], b[start], wmax
+    mask = conn.row < conn.col  # each undirected edge once
+    return (conn.row[mask].astype(np.int64), conn.col[mask].astype(np.int64),
+            conn.data[mask].astype(np.float64))
 
 
 def _python_louvain(

@@ -221,3 +221,25 @@ def test_train_history_empty_raises(small_adata):
     co.trials = Trials()
     with pytest.raises(RuntimeError, match="No successful trials"):
         co.get_train_history()
+
+
+def test_umap_connectivities_properties():
+    """The UMAP fuzzy-simplicial connectivities must be in (0, 1], symmetric
+    by construction, and give each point's nearest neighbor weight 1
+    (d - rho == 0)."""
+    r = np.random.default_rng(0)
+    emb = r.random((50, 4))
+    src, dst, w = scoring.knn_graph(emb, n_neighbors=10)
+    assert (w > 0).all() and (w <= 1.0 + 1e-9).all()
+    assert (src < dst).all()
+    # every node appears in the union graph
+    assert len(np.union1d(src, dst)) == 50
+    # each point's nearest neighbor edge has membership 1 (before union the
+    # directed weight is exp(0); the fuzzy union keeps it at 1)
+    from sklearn.neighbors import NearestNeighbors
+    nn = NearestNeighbors(n_neighbors=2).fit(emb)
+    _, idx = nn.kneighbors(emb)
+    for i, j in enumerate(idx[:, 1]):
+        a, b = min(i, j), max(i, j)
+        hit = w[(src == a) & (dst == b)]
+        assert hit.size == 1 and hit[0] > 0.999
