@@ -135,19 +135,46 @@ def load_model(path: str, device="auto"):
 
 
 class FitCheckpointer:
-    """Periodic snapshots of the training carry for preemption-safe fits."""
+    """Periodic snapshots of the training carry for preemption-safe fits.
 
-    def __init__(self, directory: str, config_key: Dict[str, Any]):
+    backend="npz" (default) writes a single atomic .npz; backend="orbax"
+    uses orbax-checkpoint's PyTreeCheckpointer (async-capable, handles
+    sharded arrays natively — preferable on multi-host TPU pods)."""
+
+    def __init__(self, directory: str, config_key: Dict[str, Any],
+                 backend: str = "npz"):
+        if backend not in ("npz", "orbax"):
+            raise ValueError("checkpoint backend must be 'npz' or 'orbax'")
         self.directory = directory
+        self.backend = backend
         os.makedirs(directory, exist_ok=True)
         blob = json.dumps(config_key, sort_keys=True, default=str).encode("utf-8")
         self.tag = hashlib.sha256(blob).hexdigest()[:16]
 
     @property
     def path(self) -> str:
-        return os.path.join(self.directory, f"fit_snapshot_{self.tag}.npz")
+        suffix = "" if self.backend == "orbax" else ".npz"
+        return os.path.join(self.directory, f"fit_snapshot_{self.tag}{suffix}")
+
+    def _pytree(self, iteration, W, H, Bs, losses):
+        return {
+            "iteration": np.asarray(iteration),
+            "W": np.asarray(W),
+            "H": np.asarray(H),
+            "losses": np.asarray(losses),
+            "Bs": [np.asarray(b) for b in Bs],
+        }
 
     def save(self, iteration: int, W, H, Bs, losses: np.ndarray) -> None:
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(ocp.test_utils.erase_and_create_empty(self.path)
+                           if os.path.exists(self.path) else self.path,
+                           self._pytree(iteration, W, H, Bs, losses),
+                           force=True)
+            return
         arrays = {
             "iteration": np.asarray(iteration),
             "W": np.asarray(W),
@@ -165,6 +192,13 @@ class FitCheckpointer:
         if not os.path.exists(self.path):
             return None
         try:
+            if self.backend == "orbax":
+                import orbax.checkpoint as ocp
+
+                with ocp.PyTreeCheckpointer() as ckptr:
+                    t = ckptr.restore(self.path)
+                return (int(t["iteration"]), t["W"], t["H"],
+                        tuple(t["Bs"]), t["losses"])
             data = np.load(self.path, allow_pickle=False)
             n_bs = int(data["n_bs"])
             return (
@@ -178,5 +212,11 @@ class FitCheckpointer:
             return None
 
     def clear(self) -> None:
-        if os.path.exists(self.path):
+        if not os.path.exists(self.path):
+            return
+        if self.backend == "orbax":
+            import shutil
+
+            shutil.rmtree(self.path, ignore_errors=True)
+        else:
             os.remove(self.path)

@@ -101,6 +101,7 @@ class ALPINE:
         verbose: bool = False,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 50,
+        checkpoint_backend: str = "npz",
     ) -> "ALPINE":
         self._validate_fit_args(
             adata, covariate_keys, batch_size, max_iter, sampling_method, verbose
@@ -182,6 +183,7 @@ class ALPINE:
                     # different checkpoint_every must not resume this snapshot
                     "checkpoint_every": checkpoint_every,
                 },
+                backend=checkpoint_backend,
             )
             cfg0 = self._make_cfg(Ys, n_sample, n_iter)
             W, H, Bs, fit_key = init_state(cfg0)

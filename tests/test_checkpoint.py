@@ -160,3 +160,17 @@ def test_resume_after_complete_snapshot(tmp_path, synthetic_adata):
            checkpoint_dir=d, checkpoint_every=4)
     np.testing.assert_allclose(m1.loss_history.values,
                                m2.loss_history.values, rtol=1e-5)
+
+
+def test_orbax_checkpoint_backend(tmp_path, synthetic_adata):
+    """Orbax-backed mid-fit snapshots: same results as the npz backend."""
+    a1, a2 = synthetic_adata.copy(), synthetic_adata.copy()
+    m_npz = _model()
+    m_npz.fit(a1, ["batch"], max_iter=8,
+              checkpoint_dir=str(tmp_path / "n"), checkpoint_every=4)
+    m_orb = _model()
+    m_orb.fit(a2, ["batch"], max_iter=8,
+              checkpoint_dir=str(tmp_path / "o"), checkpoint_every=4,
+              checkpoint_backend="orbax")
+    np.testing.assert_allclose(m_npz.loss_history.values,
+                               m_orb.loss_history.values, rtol=1e-6)
