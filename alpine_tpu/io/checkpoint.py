@@ -145,9 +145,10 @@ class FitCheckpointer:
                  backend: str = "npz"):
         if backend not in ("npz", "orbax"):
             raise ValueError("checkpoint backend must be 'npz' or 'orbax'")
-        self.directory = directory
+        # orbax requires absolute paths; absolutize for both backends
+        self.directory = os.path.abspath(directory)
         self.backend = backend
-        os.makedirs(directory, exist_ok=True)
+        os.makedirs(self.directory, exist_ok=True)
         blob = json.dumps(config_key, sort_keys=True, default=str).encode("utf-8")
         self.tag = hashlib.sha256(blob).hexdigest()[:16]
 
@@ -167,13 +168,22 @@ class FitCheckpointer:
 
     def save(self, iteration: int, W, H, Bs, losses: np.ndarray) -> None:
         if self.backend == "orbax":
+            import shutil
+
             import orbax.checkpoint as ocp
 
+            # write to a sibling temp dir, then atomically swap in, so the
+            # previous snapshot survives a preemption mid-write
+            tmp = self.path + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
             with ocp.PyTreeCheckpointer() as ckptr:
-                ckptr.save(ocp.test_utils.erase_and_create_empty(self.path)
-                           if os.path.exists(self.path) else self.path,
-                           self._pytree(iteration, W, H, Bs, losses),
-                           force=True)
+                ckptr.save(tmp, self._pytree(iteration, W, H, Bs, losses))
+            old = self.path + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(self.path):
+                os.rename(self.path, old)
+            os.rename(tmp, self.path)
+            shutil.rmtree(old, ignore_errors=True)
             return
         arrays = {
             "iteration": np.asarray(iteration),

@@ -95,26 +95,30 @@ def read_h5ad(path: str) -> AnnData:
 
 
 def write_h5ad(adata: AnnData, path: str) -> None:
-    """Write an AnnData-compatible object to .h5ad (dense X)."""
+    """Write an AnnData-compatible object to .h5ad (dense X).  Strings are
+    stored as UTF-8 variable-length (matching anndata; plain "S" dtype would
+    crash on non-ASCII labels/barcodes)."""
     import h5py
+
+    str_dt = h5py.string_dtype(encoding="utf-8")
+
+    def utf8(values):
+        return np.asarray([str(v) for v in values], dtype=object)
 
     def write_df(f, name, df: pd.DataFrame):
         g = f.create_group(name)
         g.attrs["_index"] = "_index"
         g.attrs["encoding-type"] = "dataframe"
-        g.attrs["column-order"] = np.asarray(list(df.columns), dtype="S")
-        g.create_dataset("_index",
-                         data=np.asarray(df.index.astype(str), dtype="S"))
+        g.attrs.create("column-order", utf8(df.columns), dtype=str_dt)
+        g.create_dataset("_index", data=utf8(df.index), dtype=str_dt)
         for c in df.columns:
             col = df[c]
             if col.dtype == object or str(col.dtype) == "category":
                 s = col.astype("category") if col.dtype == object else col
                 cg = g.create_group(c)
                 cg.attrs["encoding-type"] = "categorical"
-                cg.create_dataset(
-                    "categories",
-                    data=np.asarray(s.cat.categories.astype(str), dtype="S"),
-                )
+                cg.create_dataset("categories",
+                                  data=utf8(s.cat.categories), dtype=str_dt)
                 cg.create_dataset("codes", data=s.cat.codes.to_numpy())
             else:
                 g.create_dataset(c, data=col.to_numpy())

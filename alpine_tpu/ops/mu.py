@@ -437,6 +437,11 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     g = X.shape[0]
     if cfg.n_cov:
         tile = pk._choose_tile_n(g, n, jnp.dtype(cfg.xdt).itemsize)
+        if tile is None:
+            raise ValueError(
+                f"n_genes={g} too large for the fused iteration kernel; "
+                "use backend='xla'"
+            )
         n_pad = (-n) % tile
         if n_pad:
             X = jnp.pad(X, ((0, 0), (0, n_pad)))

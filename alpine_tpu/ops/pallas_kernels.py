@@ -46,6 +46,14 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
+
+def _block_offsets(blocks):
+    out, acc = [], 0
+    for k in blocks:
+        out.append(acc)
+        acc += k
+    return out
+
 # VMEM budget for the X tile (bytes); double buffering doubles this.
 # Swept on a v5e chip at 100k cells x 2k genes (bf16 X) with the scoped
 # vmem limit raised to 64MB: 3MB -> 1082 it/s, 6MB -> 1125, 12MB -> 1126.
@@ -198,12 +206,7 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
     B_refs = refs[6 + n_cov:6 + 2 * n_cov]
     out = refs[6 + 2 * n_cov:]
     Hn_ref, XHt_ref, HHt_ref, ld_ref, stats_ref = out
-
-    offsets = []
-    acc = 0
-    for k in blocks:
-        offsets.append(acc)
-        acc += k
+    offsets = _block_offsets(blocks)
 
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
@@ -218,7 +221,7 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
     num = 2.0 * WtX
     den = 2.0 * jnp.dot(WtW_ref[:], Hm, preferred_element_type=jnp.float32)
 
-    Ys_f32, Bs, yhats = [], [], []
+    Ys_f32, Bs = [], []
     gnum_rows, gden_rows = [], []
     for c in range(n_cov):
         o, k = offsets[c], blocks[c]
@@ -381,11 +384,7 @@ def fused_iteration(
     Hn, XHt, HHt, ld, stats = results
     preds, bnums, bdens = [], [], []
     row = 0
-    offsets = []
-    acc = 0
-    for k in blocks:
-        offsets.append(acc)
-        acc += k
+    offsets = _block_offsets(blocks)
     for c in range(n_cov):
         nl, o, k = n_labels[c], offsets[c], blocks[c]
         bnums.append(stats[row:row + nl, o:o + k])

@@ -30,8 +30,10 @@ from alpine_tpu.native import leiden_native
 def _smooth_knn_bandwidths(dist: np.ndarray, n_iter: int = 64):
     """UMAP smooth-kNN distances (McInnes et al.): per point, rho = distance
     to the nearest neighbor and sigma solving
-    sum_j exp(-max(0, d_ij - rho)/sigma) = log2(n_neighbors).
-    `dist` is (n, k) sorted ascending, self excluded."""
+    sum_j exp(-max(0, d_ij - rho)/sigma) = log2(n_neighbors), where
+    n_neighbors counts the point itself (umap/scanpy convention).
+    `dist` is (n, k) sorted ascending, self excluded — so the target is
+    log2(k + 1)."""
     n, k = dist.shape
     target = np.log2(k + 1)
     rho = dist[:, 0].copy()
@@ -59,7 +61,9 @@ def knn_graph(
     from scipy import sparse
 
     n = emb.shape[0]
-    k = min(n_neighbors, n - 1)
+    # scanpy/umap count the query point itself among n_neighbors: the graph
+    # has n_neighbors - 1 directed non-self edges per point
+    k = min(n_neighbors - 1, n - 1)
     if k <= 0:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),)
     nn = NearestNeighbors(n_neighbors=k + 1).fit(emb)

@@ -1,8 +1,8 @@
 """Atlas-scale fits over a TPU slice: shard the cell axis across a mesh.
 
-On a v5e-8 this runs one fit across all 8 chips; on this machine it can be
-exercised with 8 virtual CPU devices:
-  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+On a v5e-8 this runs one fit across all 8 chips; it can also be exercised
+with 8 virtual CPU devices:
+  ALPINE_EXAMPLE_CPU=1 XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     python examples/atlas_sharded.py
 """
 
@@ -11,9 +11,15 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+import os
+
 import jax
 
-if jax.default_backend() != "tpu" and len(jax.devices()) < 2:
+# Platform must be chosen BEFORE any call that initializes backends
+# (jax.devices()/default_backend() lock it in).  Set ALPINE_EXAMPLE_CPU=1
+# together with XLA_FLAGS=--xla_force_host_platform_device_count=8 to run
+# the virtual multi-device version on CPU.
+if os.environ.get("ALPINE_EXAMPLE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np

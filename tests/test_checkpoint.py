@@ -164,6 +164,7 @@ def test_resume_after_complete_snapshot(tmp_path, synthetic_adata):
 
 def test_orbax_checkpoint_backend(tmp_path, synthetic_adata):
     """Orbax-backed mid-fit snapshots: same results as the npz backend."""
+    pytest.importorskip("orbax.checkpoint")
     a1, a2 = synthetic_adata.copy(), synthetic_adata.copy()
     m_npz = _model()
     m_npz.fit(a1, ["batch"], max_iter=8,
@@ -174,3 +175,20 @@ def test_orbax_checkpoint_backend(tmp_path, synthetic_adata):
               checkpoint_backend="orbax")
     np.testing.assert_allclose(m_npz.loss_history.values,
                                m_orb.loss_history.values, rtol=1e-6)
+
+
+def test_orbax_relative_path_and_overwrite(tmp_path, monkeypatch):
+    """Regression: orbax requires absolute paths (we absolutize), and saves
+    must never destroy the previous snapshot before the new one commits."""
+    pytest.importorskip("orbax.checkpoint")
+    from alpine_tpu.io.checkpoint import FitCheckpointer
+
+    monkeypatch.chdir(tmp_path)
+    ck = FitCheckpointer("relative_dir", {"x": 1}, backend="orbax")
+    W = np.ones((2, 2), np.float32)
+    ck.save(1, W, W, (), np.zeros((1, 2), np.float32))
+    assert ck.load()[0] == 1
+    ck.save(2, W, W, (), np.zeros((2, 2), np.float32))
+    assert ck.load()[0] == 2
+    ck.clear()
+    assert ck.load() is None

@@ -1,9 +1,10 @@
 """h5ad reader/writer: round trip, sparse X, categorical + NaN obs columns."""
 
-import h5py
 import numpy as np
-import pandas as pd
 import pytest
+
+h5py = pytest.importorskip("h5py")
+import pandas as pd
 from scipy import sparse
 
 from alpine_tpu.io.h5ad import read_h5ad, write_h5ad
@@ -103,3 +104,16 @@ def test_fit_from_h5ad(tmp_path):
                device="cpu", random_state=0)
     m.fit(loaded, ["batch"], max_iter=4)
     assert loaded.obsm["ALPINE_embedding"].shape == (12, 3)
+
+
+def test_non_ascii_strings_round_trip(tmp_path):
+    """Real datasets have UTF-8 labels/barcodes; 'S' dtype would crash."""
+    X = np.ones((3, 2), np.float32)
+    obs = pd.DataFrame({"célл": pd.Categorical(["naïve", "naïve", "Tγδ"])},
+                       index=["バー1", "バー2", "バー3"])
+    ad = AnnData(X, obs=obs)
+    p = str(tmp_path / "utf8.h5ad")
+    write_h5ad(ad, p)
+    back = read_h5ad(p)
+    assert list(back.obs.index) == ["バー1", "バー2", "バー3"]
+    assert list(back.obs["célл"]) == ["naïve", "naïve", "Tγδ"]
