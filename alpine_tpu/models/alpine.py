@@ -102,6 +102,7 @@ class ALPINE:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 50,
         checkpoint_backend: str = "npz",
+        n_restarts: int = 1,
     ) -> "ALPINE":
         self._validate_fit_args(
             adata, covariate_keys, batch_size, max_iter, sampling_method, verbose
@@ -110,6 +111,10 @@ class ALPINE:
             raise TypeError("checkpoint_dir must be a string or None.")
         if not isinstance(checkpoint_every, int) or checkpoint_every <= 0:
             raise ValueError("checkpoint_every must be a positive integer.")
+        if not isinstance(n_restarts, int) or n_restarts <= 0:
+            raise ValueError("n_restarts must be a positive integer.")
+        if n_restarts > 1 and checkpoint_dir is not None:
+            raise ValueError("n_restarts > 1 is incompatible with checkpointing.")
         self.feature_names: List[str] = adata.var_names.tolist()
         self.n_features: int = adata.shape[1]
         self.covariate_keys: List[str] = covariate_keys
@@ -159,6 +164,9 @@ class ALPINE:
 
         def run(n_iter: int):
             cfg = self._make_cfg(Ys, n_sample, n_iter)
+            if n_restarts > 1:
+                return cfg, self._run_restarts(cfg, n_restarts, Xd, Ysd, hyper,
+                                               weights, placement)
             W0, H0, Bs0, fit_key = init_state(cfg)
             return cfg, mu.fit_scan(cfg, W0, H0, Bs0, Xd, Ysd, hyper, fit_key, weights)
 
@@ -282,6 +290,35 @@ class ALPINE:
 
         self.store_embeddings(adata)
         return self
+
+    def _run_restarts(self, cfg, n_restarts, Xd, Ysd, hyper, weights, placement):
+        """Multi-restart fitting, batched via vmap over independent
+        initializations (NMF is non-convex; restarts are the standard
+        remedy).  Restart r draws from fold_in(key, r); the restart with the
+        lowest final total loss wins.  New capability vs the reference — on
+        TPU the k restarts cost barely more than one fit at small sizes.
+        Uses the XLA backend (the fused kernel path is single-program)."""
+        from dataclasses import replace as dc_replace
+
+        cfg = dc_replace(cfg, backend="xla")
+        base = jax.random.PRNGKey(self.random_state)
+        keys = jnp.stack([jax.random.fold_in(base, r) for r in range(n_restarts)])
+
+        def one_init(k):
+            ik, fk = jax.random.split(k)
+            W0, H0, Bs0 = mu.init_matrices(cfg, self.n_features, ik, self.eps)
+            return W0, H0, Bs0, fk
+
+        W0s, H0s, Bs0s, fks = jax.vmap(one_init)(keys)
+        vfit = jax.vmap(
+            lambda W, H, Bs, k: mu.fit_scan(cfg, W, H, Bs, Xd, Ysd, hyper, k,
+                                            weights),
+            in_axes=(0, 0, 0, 0),
+        )
+        Ws, Hs, Bss, losses = vfit(W0s, H0s, Bs0s, fks)
+        best = int(np.argmin(np.asarray(jax.device_get(losses[:, -1, 0]))))
+        pick = lambda a: jax.tree_util.tree_map(lambda x: x[best], a)
+        return pick(Ws), pick(Hs), pick(Bss), losses[best]
 
     # ------------------------------------------------------------ transform
     def transform(self, adata, n_iter: Optional[int] = None) -> None:

@@ -252,3 +252,22 @@ def test_transform_errors(synthetic_adata):
     model.transform(fresh, n_iter=3)
     with pytest.raises(ValueError, match="library_size must be a positive float."):
         model.get_normalized_expression(fresh, library_size=-1.0)
+
+
+def test_multi_restart_fit(synthetic_adata):
+    """n_restarts vmaps independent initializations and keeps the best;
+    the result can never be worse than the single default fit."""
+    a1, a2 = synthetic_adata.copy(), synthetic_adata.copy()
+    single = _model()
+    single.fit(a1, ["batch", "condition"], max_iter=10)
+    multi = _model()
+    multi.fit(a2, ["batch", "condition"], max_iter=10, n_restarts=4)
+    assert len(multi.loss_history) == 10
+    assert (multi.loss_history["total loss"].iloc[-1]
+            <= single.loss_history["total loss"].iloc[-1] * (1 + 1e-6))
+
+    with pytest.raises(ValueError, match="n_restarts"):
+        _model().fit(a2, ["batch", "condition"], max_iter=2, n_restarts=0)
+    with pytest.raises(ValueError, match="incompatible"):
+        _model().fit(a2, ["batch", "condition"], max_iter=2, n_restarts=2,
+                     checkpoint_dir="/tmp/x")
