@@ -206,3 +206,51 @@ def test_transform_matches_reference_recurrence():
         den = np.maximum(2 * W64.T @ (W64 @ H), EPS)
         H = H * num / den
     np.testing.assert_allclose(got, H, rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("trial", range(5))
+def test_fuzz_random_configs_match_oracle(trial):
+    """Randomized block structures, label counts, hyperparameters, and loss
+    types: every sampled configuration's batch update must match the
+    float64 oracle."""
+    r = np.random.default_rng(1000 + trial)
+    n_cov = int(r.integers(0, 4))
+    blocks = tuple(int(r.integers(1, 7)) for _ in range(n_cov)) + (
+        int(r.integers(2, 12)),)
+    n_labels = tuple(int(r.integers(1, 6)) for _ in range(n_cov))
+    g = int(r.integers(5, 40))
+    n = int(r.integers(8, 60))
+    loss_kl = bool(r.integers(0, 2))
+    use_als = bool(r.integers(0, 2))
+    lam = [float(x) for x in r.random(n_cov) * 100]
+    orth_w, alpha_w = float(r.random() * 2), float(r.random() * 3)
+    l1 = float(r.random())
+
+    X = r.random((g, n)).astype(np.float32) * 5
+    Ys = []
+    for nl in n_labels:
+        y = np.zeros((nl, n), np.float32)
+        y[r.integers(0, nl, n), np.arange(n)] = 1.0
+        Ys.append(y)
+    Ws = [r.random((g, k)).astype(np.float32) + 0.05 for k in blocks]
+    Hs = [r.random((k, n)).astype(np.float32) + 0.05 for k in blocks]
+    Bs = [r.random((nl, k)).astype(np.float32) + 0.05
+          for nl, k in zip(n_labels, blocks)]
+
+    cfg = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=n,
+                      loss_kl=loss_kl, use_als=use_als)
+    hyper = (jnp.asarray(lam, jnp.float32), jnp.float32(orth_w),
+             jnp.float32(alpha_w), jnp.float32(l1), jnp.float32(EPS))
+    W = jnp.asarray(_cat_w(Ws)) if Ws else jnp.zeros((g, 0))
+    H = jnp.asarray(_cat_h(Hs))
+    update = mu.als_batch_update if use_als else mu.joint_batch_update
+    Wn, Bsn, Hn, _ = update(cfg, hyper, W, tuple(jnp.asarray(b) for b in Bs),
+                            H, jnp.asarray(X), tuple(jnp.asarray(y) for y in Ys))
+
+    step = oracle_als_step if use_als else oracle_joint_step
+    Wo, Ho, Bo = step(Ws, Hs, Bs, X, Ys, lam, orth_w, alpha_w, l1, EPS, loss_kl)
+    np.testing.assert_allclose(np.asarray(Wn), _cat_w(Wo), rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Hn), _cat_h(Ho), rtol=5e-4, atol=1e-6)
+    for b_new, b_oracle in zip(Bsn, Bo):
+        np.testing.assert_allclose(np.asarray(b_new), b_oracle,
+                                   rtol=5e-4, atol=1e-6)
