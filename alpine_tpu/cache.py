@@ -1,0 +1,46 @@
+"""Persistent XLA compilation cache.
+
+TPU compiles of the fit scan take tens of seconds (minutes through remote
+tunnels); with the persistent cache a fresh process reuses them (measured
+here: 292s cold -> 1.7s warm across processes).  Enabled automatically on
+first model/engine use unless:
+
+- the user already configured a cache (JAX_COMPILATION_CACHE_DIR env or
+  jax_compilation_cache_dir config), or
+- ALPINE_TPU_NO_CACHE is set.
+
+Default location: $ALPINE_TPU_CACHE_DIR or ~/.cache/alpine_tpu/xla.
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def enable_compilation_cache() -> None:
+    """Idempotently point JAX's persistent compilation cache at a per-user
+    directory (no-op if the user configured their own or opted out)."""
+    global _done
+    if _done:
+        return
+    _done = True
+    if os.environ.get("ALPINE_TPU_NO_CACHE"):
+        return
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir is not None:
+            return  # user-configured; leave alone
+        path = os.environ.get(
+            "ALPINE_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "alpine_tpu", "xla"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # fit-scan compiles are always worth caching; the default 1s floor
+        # already filters trivial ops
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # caching is an optimization; never fail a fit over it

@@ -38,6 +38,9 @@ import numpy as np
 import pandas as pd
 
 from alpine_tpu import profiling
+from alpine_tpu.cache import enable_compilation_cache
+
+enable_compilation_cache()
 from alpine_tpu.io.checkpoint import FitCheckpointer, load_model, save_model
 from alpine_tpu.models.state import AlpineMatrices, split_h, split_w
 from alpine_tpu.ops import mu, pallas_kernels

@@ -41,6 +41,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from alpine_tpu.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 Array = jax.Array
 
 def _prec(precision: str):
