@@ -135,8 +135,17 @@ class ALPINE:
         self.batch_size: int = batch_size if batch_size is not None else n_sample
 
         placement = Placement(self.device)
-        Xd = placement.put_x_matrix(X)
-        Ysd = tuple(placement.put_cells_matrix(y) for y in Ys)
+        pad = self._pallas_pad(n_sample)
+        if pad:
+            # zero columns are exactly neutral (tests/test_batched.py
+            # padding-neutrality); pre-padding host-side avoids a transient
+            # in-jit copy of X at atlas scale
+            X_dev = np.pad(X, ((0, 0), (0, pad)))
+            Ys_dev = [np.pad(y, ((0, 0), (0, pad))) for y in Ys]
+        else:
+            X_dev, Ys_dev = X, Ys
+        Xd = placement.put_x_matrix(X_dev)
+        Ysd = tuple(placement.put_cells_matrix(y) for y in Ys_dev)
 
         # weighted sampling probabilities (host-side, once; reference
         # recomputes per epoch on the host, sampling.py:18-33)
@@ -508,6 +517,27 @@ class ALPINE:
         return cache[key]
 
     _callback_probe_cache: Dict = {}
+
+    def _pallas_pad(self, n_sample: int) -> int:
+        """Columns of host-side zero padding so the fused kernel's tile grid
+        divides the cell axis (0 when the pallas path won't be used)."""
+        if not (self._use_tpu_kernels()
+                and self.n_covariate_components
+                and pallas_kernels.h_update_supported(self.n_features)):
+            return 0
+        if self.batch_size is not None and self.batch_size < n_sample:
+            return 0  # minibatch mode uses the XLA path
+        if self.use_als or self.sampling_method == "weighted":
+            return 0
+        import jax.numpy as _jnp
+
+        itemsize = _jnp.dtype(
+            _jnp.bfloat16 if self.data_dtype == "bfloat16" else _jnp.float32
+        ).itemsize
+        tile = pallas_kernels._choose_tile_n(self.n_features, n_sample, itemsize)
+        if tile is None:
+            return 0
+        return (-n_sample) % tile
 
     def _use_tpu_kernels(self) -> bool:
         """Fused Pallas kernels apply on a single (unsharded) TPU device."""

@@ -440,17 +440,22 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     n = cfg.n_cells
     g = X.shape[0]
     if cfg.n_cov:
-        tile = pk._choose_tile_n(g, n, jnp.dtype(cfg.xdt).itemsize)
+        tile = pk._choose_tile_n(g, X.shape[1], jnp.dtype(cfg.xdt).itemsize)
         if tile is None:
             raise ValueError(
                 f"n_genes={g} too large for the fused iteration kernel; "
                 "use backend='xla'"
             )
-        n_pad = (-n) % tile
+        # Pad the cell axis to a tile multiple.  Callers may pre-pad X/Ys
+        # with zero columns host-side (the model layer does — see
+        # ALPINE._pallas_pad) so this in-jit pad (a transient extra copy of
+        # X, 2x X memory at atlas scale) is skipped.
+        n_pad = (-X.shape[1]) % tile
         if n_pad:
             X = jnp.pad(X, ((0, 0), (0, n_pad)))
             Ys = tuple(jnp.pad(y, ((0, 0), (0, n_pad))) for y in Ys)
-            H0 = jnp.pad(H0, ((0, 0), (0, n_pad)))
+        if H0.shape[1] != X.shape[1]:
+            H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
 
     XHt0 = _dot_x(cfg, X, H0.T)
     HHt0 = dot(H0, H0.T)
