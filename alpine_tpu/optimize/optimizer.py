@@ -70,6 +70,11 @@ class ComponentOptimizer:
         self.loss_type: str = loss_type
         self.max_iter: Optional[int] = max_iter
         self.batch_size: Optional[int] = batch_size
+        if sampling_method not in self._VALID_SAMPLING:
+            raise ValueError(
+                f"Unknown sampling method: {sampling_method}. Only 'weighted', "
+                "and 'random' are supported."
+            )
         self.sampling_method: str = sampling_method
         self.device = device
         self.random_state: int = random_state
@@ -558,6 +563,10 @@ class ComponentOptimizer:
 
         if not isinstance(random_state, int):
             raise TypeError("random_state must be an integer")
+
+    # validated eagerly so a bad value fails at construction instead of
+    # crashing the search after N completed trial fits
+    _VALID_SAMPLING = ("random", "weighted")
 
     def _validate_search_args(
         self,

@@ -38,6 +38,8 @@ STATUS_FAIL = "fail"
 N_STARTUP_TRIALS = 20
 N_EI_CANDIDATES = 24
 GAMMA_CAP = 25
+LINEAR_FORGETTING = 25  # hyperopt's LF: down-weight observations older than
+                        # the most recent 25 with a linear ramp
 
 
 # ---------------------------------------------------------------------------
@@ -162,17 +164,36 @@ class Trials:
 # ---------------------------------------------------------------------------
 
 
+def _forgetting_weights(n: int) -> np.ndarray:
+    """hyperopt's linear-forgetting ramp: the most recent LINEAR_FORGETTING
+    observations get weight 1, older ones ramp down linearly (oldest lowest).
+    Input order is chronological."""
+    w = np.ones(n)
+    older = n - LINEAR_FORGETTING
+    if older > 0:
+        ramp = np.linspace(1.0 / (older + 1), 1.0, older, endpoint=False)
+        w[:older] = ramp
+    return w
+
+
 class _Parzen:
     """1-D mixture of truncated normals over [low, high] with a flat-ish
-    prior component, following hyperopt's adaptive-bandwidth heuristic."""
+    prior component and optional per-observation mixture weights, following
+    hyperopt's adaptive-bandwidth heuristic."""
 
-    def __init__(self, mus: np.ndarray, low: float, high: float):
+    def __init__(self, mus: np.ndarray, low: float, high: float,
+                 weights: Optional[np.ndarray] = None):
         prior_mu = 0.5 * (low + high)
         prior_sigma = high - low
         mus = np.asarray(mus, dtype=np.float64)
+        if weights is None:
+            weights = np.ones(len(mus))
         all_mu = np.concatenate([[prior_mu], mus])
+        # the prior's mixture weight matches hyperopt (prior_weight=1.0)
+        all_w = np.concatenate([[1.0], np.asarray(weights, dtype=np.float64)])
         order = np.argsort(all_mu)
         sorted_mu = all_mu[order]
+        sorted_w = all_w[order]
         sigma = np.empty_like(sorted_mu)
         if len(sorted_mu) == 1:
             sigma[:] = prior_sigma
@@ -191,6 +212,7 @@ class _Parzen:
         sigma[prior_pos] = prior_sigma
         self.mu = sorted_mu
         self.sigma = sigma
+        self.w = sorted_w / sorted_w.sum()
         self.low, self.high = low, high
         # normalization for truncation to [low, high]
         from scipy.stats import norm
@@ -201,7 +223,7 @@ class _Parzen:
         self._z = np.maximum(self._norm.cdf(b) - self._norm.cdf(a), 1e-12)
 
     def sample(self, rng: np.random.Generator, n: int) -> np.ndarray:
-        idx = rng.integers(0, len(self.mu), size=n)
+        idx = rng.choice(len(self.mu), size=n, p=self.w)
         out = rng.normal(self.mu[idx], self.sigma[idx])
         return np.clip(out, self.low, self.high)
 
@@ -211,9 +233,10 @@ class _Parzen:
             self._norm.logpdf((x - self.mu[None, :]) / self.sigma[None, :])
             - np.log(self.sigma[None, :])
             - np.log(self._z[None, :])
+            + np.log(self.w[None, :])
         )
         m = comp.max(axis=1, keepdims=True)
-        return (m + np.log(np.exp(comp - m).mean(axis=1, keepdims=True))).ravel()
+        return (m + np.log(np.exp(comp - m).sum(axis=1, keepdims=True))).ravel()
 
 
 def _tpe_suggest_one(
@@ -236,14 +259,16 @@ def _tpe_suggest_one(
     obs_u = np.asarray(obs_u)
     obs_loss = np.asarray(obs_loss)
     n = len(obs_u)
+    fw = _forgetting_weights(n)  # chronological order
     n_below = min(int(np.ceil(0.25 * np.sqrt(n))), GAMMA_CAP)
     n_below = max(n_below, 1)
     order = np.argsort(obs_loss, kind="stable")
-    below = obs_u[order[:n_below]]
-    above = obs_u[order[n_below:]]
+    below, w_below = obs_u[order[:n_below]], fw[order[:n_below]]
+    above, w_above = obs_u[order[n_below:]], fw[order[n_below:]]
 
-    l_est = _Parzen(below, expr.low, expr.high)
-    g_est = _Parzen(above if len(above) else below, expr.low, expr.high)
+    l_est = _Parzen(below, expr.low, expr.high, weights=w_below)
+    g_est = _Parzen(above if len(above) else below, expr.low, expr.high,
+                    weights=w_above if len(above) else w_below)
 
     cand = l_est.sample(rng, N_EI_CANDIDATES)
     score = l_est.logpdf(cand) - g_est.logpdf(cand)

@@ -243,3 +243,21 @@ def test_umap_connectivities_properties():
         a, b = min(i, j), max(i, j)
         hit = w[(src == a) & (dst == b)]
         assert hit.size == 1 and hit[0] > 0.999
+
+
+def test_optimizer_rejects_bad_sampling_method(small_adata):
+    from alpine_tpu import ComponentOptimizer
+
+    with pytest.raises(ValueError, match="Unknown sampling method"):
+        ComponentOptimizer(small_adata, ["batch"], max_iter=5,
+                           sampling_method="bogus")
+
+
+def test_tpe_linear_forgetting_weights():
+    from alpine_tpu.optimize.tpe import LINEAR_FORGETTING, _forgetting_weights
+
+    w = _forgetting_weights(10)
+    np.testing.assert_array_equal(w, np.ones(10))  # under the LF horizon
+    w = _forgetting_weights(LINEAR_FORGETTING + 10)
+    assert (w[-LINEAR_FORGETTING:] == 1.0).all()
+    assert (np.diff(w[:10]) > 0).all() and w[0] < 1.0  # oldest lowest
