@@ -17,8 +17,6 @@ so models and corrected matrices can round-trip to scanpy sessions.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 

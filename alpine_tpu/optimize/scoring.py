@@ -18,7 +18,7 @@ scanpy/igraph/leidenalg are unavailable here; this module provides:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from sklearn.metrics.cluster import adjusted_rand_score, homogeneity_score
