@@ -26,7 +26,7 @@ def enable_compilation_cache() -> None:
     if _done:
         return
     _done = True
-    if os.environ.get("ALPINE_TPU_NO_CACHE"):
+    if os.environ.get("ALPINE_TPU_NO_CACHE", "").lower() not in ("", "0", "false"):
         return
     import jax
 

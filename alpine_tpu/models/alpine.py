@@ -135,7 +135,8 @@ class ALPINE:
         self.batch_size: int = batch_size if batch_size is not None else n_sample
 
         placement = Placement(self.device)
-        pad = self._pallas_pad(n_sample)
+        # restarts run the XLA (vmapped) path, which needs no tile padding
+        pad = self._pallas_pad(n_sample) if n_restarts == 1 else 0
         if pad:
             # zero columns are exactly neutral (tests/test_batched.py
             # padding-neutrality); pre-padding host-side avoids a transient
@@ -306,29 +307,42 @@ class ALPINE:
     def _run_restarts(self, cfg, n_restarts, Xd, Ysd, hyper, weights, placement):
         """Multi-restart fitting, batched via vmap over independent
         initializations (NMF is non-convex; restarts are the standard
-        remedy).  Restart r draws from fold_in(key, r); the restart with the
-        lowest final total loss wins.  New capability vs the reference — on
-        TPU the k restarts cost barely more than one fit at small sizes.
-        Uses the XLA backend (the fused kernel path is single-program)."""
+        remedy).  Restart 0 reuses the default fit's key derivation, so
+        with the same backend the winner can never be worse than the
+        single fit; restarts r>0 draw from fold_in(key, r).  The restart
+        with the lowest final total loss wins (NaN-diverged restarts are
+        excluded).  Runs the XLA backend (the fused kernel path is
+        single-program); progress reporting is disabled under vmap."""
         from dataclasses import replace as dc_replace
 
-        cfg = dc_replace(cfg, backend="xla")
+        if placement.is_sharded:
+            raise ValueError(
+                "n_restarts > 1 is not supported with a sharded (Mesh) device."
+            )
+        cfg = dc_replace(cfg, backend="xla", progress=False)
         base = jax.random.PRNGKey(self.random_state)
-        keys = jnp.stack([jax.random.fold_in(base, r) for r in range(n_restarts)])
+        keys = jnp.stack(
+            [base] + [jax.random.fold_in(base, r) for r in range(1, n_restarts)]
+        )
+        keys = placement.put_replicated(keys)
 
         def one_init(k):
             ik, fk = jax.random.split(k)
             W0, H0, Bs0 = mu.init_matrices(cfg, self.n_features, ik, self.eps)
             return W0, H0, Bs0, fk
 
-        W0s, H0s, Bs0s, fks = jax.vmap(one_init)(keys)
+        W0s, H0s, Bs0s, fks = jax.jit(jax.vmap(one_init))(keys)
         vfit = jax.vmap(
             lambda W, H, Bs, k: mu.fit_scan(cfg, W, H, Bs, Xd, Ysd, hyper, k,
                                             weights),
             in_axes=(0, 0, 0, 0),
         )
         Ws, Hs, Bss, losses = vfit(W0s, H0s, Bs0s, fks)
-        best = int(np.argmin(np.asarray(jax.device_get(losses[:, -1, 0]))))
+        finals = np.asarray(jax.device_get(losses[:, -1, 0]))
+        if np.isnan(finals).all():
+            best = 0  # surface the divergence rather than hide it
+        else:
+            best = int(np.nanargmin(finals))
         pick = lambda a: jax.tree_util.tree_map(lambda x: x[best], a)
         return pick(Ws), pick(Hs), pick(Bss), losses[best]
 

@@ -256,7 +256,8 @@ def test_transform_errors(synthetic_adata):
 
 def test_multi_restart_fit(synthetic_adata):
     """n_restarts vmaps independent initializations and keeps the best;
-    the result can never be worse than the single default fit."""
+    restart 0 reuses the default key derivation, so on the same (XLA)
+    backend the winner cannot be worse than the single fit."""
     a1, a2 = synthetic_adata.copy(), synthetic_adata.copy()
     single = _model()
     single.fit(a1, ["batch", "condition"], max_iter=10)
@@ -271,3 +272,15 @@ def test_multi_restart_fit(synthetic_adata):
     with pytest.raises(ValueError, match="incompatible"):
         _model().fit(a2, ["batch", "condition"], max_iter=2, n_restarts=2,
                      checkpoint_dir="/tmp/x")
+
+
+def test_multi_restart_rejects_mesh():
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from alpine_tpu.parallel.mesh import make_cell_mesh
+
+    adata = make_synthetic_adata(n_cells=64, n_genes=16)
+    m = _model(device=make_cell_mesh(2))
+    with pytest.raises(ValueError, match="sharded"):
+        m.fit(adata, ["batch", "condition"], max_iter=2, n_restarts=2)
