@@ -1,0 +1,61 @@
+"""Opt-in tests that exercise the COMPILED Pallas kernels on real TPU
+hardware (the rest of the suite pins a CPU backend; kernels there run in
+interpret mode).  Enable with ALPINE_RUN_TPU_TESTS=1.
+
+Runs in a subprocess because the in-process backend is already pinned to
+CPU by conftest."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("ALPINE_RUN_TPU_TESTS"),
+    reason="set ALPINE_RUN_TPU_TESTS=1 to run compiled-kernel tests on TPU",
+)
+
+_SCRIPT = r"""
+import json
+import numpy as np, jax, jax.numpy as jnp
+from alpine_tpu.ops import mu
+
+if jax.default_backend() != "tpu":
+    print(json.dumps({"skip": "no tpu backend"}))
+    raise SystemExit(0)
+
+BLOCKS=(3,4,6); N_LABELS=(2,3); G, N = 64, 3000
+r = np.random.default_rng(0)
+X = jnp.asarray(r.random((G, N), dtype=np.float32))
+Ys = tuple(jnp.asarray((r.random((nl, N))<0.5).astype(np.float32)) for nl in N_LABELS)
+key = jax.random.PRNGKey(0)
+hyper = (jnp.asarray([2.0, 1.0], jnp.float32), jnp.float32(0.2),
+         jnp.float32(0.3), jnp.float32(0.4), jnp.float32(1e-6))
+
+out = {}
+for backend in ("xla", "pallas"):
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=N,
+                      loss_kl=True, max_iter=10, backend=backend)
+    W0, H0, Bs0 = mu.init_matrices(cfg, G, key, 1e-6)
+    _, _, _, L = mu.fit_scan(cfg, W0, H0, Bs0, X, Ys, hyper, key, None)
+    out[backend] = np.asarray(jax.device_get(L))[:, 0].tolist()
+
+rel = max(abs(a-b)/abs(b) for a, b in zip(out["pallas"], out["xla"]))
+print(json.dumps({"max_rel": rel}))
+"""
+
+
+def test_compiled_pallas_matches_xla_on_tpu():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    res = subprocess.run([sys.executable, "-c", _SCRIPT],
+                         capture_output=True, text=True, timeout=1200,
+                         cwd=os.path.dirname(os.path.dirname(__file__)),
+                         env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    payload = json.loads(res.stdout.strip().splitlines()[-1])
+    if "skip" in payload:
+        pytest.skip(payload["skip"])
+    assert payload["max_rel"] < 5e-3, payload
