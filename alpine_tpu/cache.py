@@ -33,6 +33,13 @@ def enable_compilation_cache() -> None:
     try:
         if jax.config.jax_compilation_cache_dir is not None:
             return  # user-configured; leave alone
+        # CPU compiles are fast and CPU AOT cache entries produce noisy
+        # machine-feature-mismatch warnings across flag changes; only cache
+        # for accelerator platforms.  (Reading jax_platforms does not
+        # initialize backends, so user platform config stays respected.)
+        platforms = (jax.config.jax_platforms or "").strip()
+        if platforms == "cpu":
+            return
         path = os.environ.get(
             "ALPINE_TPU_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "alpine_tpu", "xla"),
