@@ -24,7 +24,7 @@ N_CELLS = int(os.environ.get("ALPINE_BENCH_CELLS", 100_000))
 N_GENES = int(os.environ.get("ALPINE_BENCH_GENES", 2_000))
 BLOCKS = (5, 5, 30)
 N_LABELS = (2, 3)
-TPU_ITERS = int(os.environ.get("ALPINE_BENCH_ITERS", 100))
+TPU_ITERS = int(os.environ.get("ALPINE_BENCH_ITERS", 500))
 BASE_ITERS = int(os.environ.get("ALPINE_BENCH_BASE_ITERS", 2))
 
 
