@@ -135,8 +135,10 @@ class ALPINE:
         self.batch_size: int = batch_size if batch_size is not None else n_sample
 
         placement = Placement(self.device)
-        # restarts run the XLA (vmapped) path, which needs no tile padding
-        pad = self._pallas_pad(n_sample) if n_restarts == 1 else 0
+        # restarts run the XLA (vmapped) path, which needs no tile padding;
+        # the sharded kernel path needs tile-aligned shards even unguided
+        pad = (self._pallas_pad(n_sample, include_unguided=placement.is_sharded)
+               if n_restarts == 1 else 0)
         if pad:
             # zero columns are exactly neutral (tests/test_batched.py
             # padding-neutrality); pre-padding host-side avoids a transient
@@ -170,10 +172,19 @@ class ALPINE:
             key = jax.random.PRNGKey(self.random_state)
             init_key, fit_key = jax.random.split(key)
             W0, H0, Bs0 = mu.init_matrices(cfg, self.n_features, init_key, self.eps)
+            if pad:
+                # match the pre-padded X (zero columns are exactly neutral)
+                H0 = jnp.pad(H0, ((0, 0), (0, pad)))
             W0 = placement.put_w_matrix(W0)
             H0 = placement.put_cells_matrix(H0)
             Bs0 = tuple(placement.put_replicated(b) for b in Bs0)
             return W0, H0, Bs0, fit_key
+
+        def do_fit(cfg, W0, H0, Bs0, fit_key):
+            if cfg.use_pallas and placement.is_sharded:
+                return mu.fit_scan_sharded(cfg, placement.mesh, W0, H0, Bs0,
+                                           Xd, Ysd, hyper)
+            return mu.fit_scan(cfg, W0, H0, Bs0, Xd, Ysd, hyper, fit_key, weights)
 
         def run(n_iter: int):
             cfg = self._make_cfg(Ys, n_sample, n_iter)
@@ -181,7 +192,7 @@ class ALPINE:
                 return cfg, self._run_restarts(cfg, n_restarts, Xd, Ysd, hyper,
                                                weights, placement)
             W0, H0, Bs0, fit_key = init_state(cfg)
-            return cfg, mu.fit_scan(cfg, W0, H0, Bs0, Xd, Ysd, hyper, fit_key, weights)
+            return cfg, do_fit(cfg, W0, H0, Bs0, fit_key)
 
         def run_checkpointed(n_iter: int):
             """Chunked scan with periodic snapshots (SURVEY.md §5 failure
@@ -227,7 +238,7 @@ class ALPINE:
                 chunk = min(checkpoint_every, n_iter - done)
                 cfg = self._make_cfg(Ys, n_sample, chunk)
                 ck = jax.random.fold_in(fit_key, chunk_idx)
-                W, H, Bs, L = mu.fit_scan(cfg, W, H, Bs, Xd, Ysd, hyper, ck, weights)
+                W, H, Bs, L = do_fit(cfg, W, H, Bs, ck)
                 losses_parts.append(np.asarray(jax.device_get(L)))
                 done += chunk
                 chunk_idx += 1
@@ -532,11 +543,18 @@ class ALPINE:
 
     _callback_probe_cache: Dict = {}
 
-    def _pallas_pad(self, n_sample: int) -> int:
+    def _mesh_devices(self) -> int:
+        from jax.sharding import Mesh
+
+        return self.device.devices.size if isinstance(self.device, Mesh) else 1
+
+    def _pallas_pad(self, n_sample: int, include_unguided: bool = False) -> int:
         """Columns of host-side zero padding so the fused kernel's tile grid
-        divides the cell axis (0 when the pallas path won't be used)."""
+        divides EVERY device's cell shard (0 when the pallas path won't be
+        used).  The sharded path needs tile alignment even without
+        covariates (shard_map shards must be equal)."""
         if not (self._use_tpu_kernels()
-                and self.n_covariate_components
+                and (self.n_covariate_components or include_unguided)
                 and pallas_kernels.h_update_supported(self.n_features)):
             return 0
         if self.batch_size is not None and self.batch_size < n_sample:
@@ -548,18 +566,27 @@ class ALPINE:
         itemsize = _jnp.dtype(
             _jnp.bfloat16 if self.data_dtype == "bfloat16" else _jnp.float32
         ).itemsize
-        tile = pallas_kernels._choose_tile_n(self.n_features, n_sample, itemsize)
+        ndev = self._mesh_devices()
+        tile = pallas_kernels._choose_tile_n(
+            self.n_features, max(n_sample // ndev, 1), itemsize
+        )
         if tile is None:
             return 0
-        return (-n_sample) % tile
+        return (-n_sample) % (tile * ndev)
 
     def _use_tpu_kernels(self) -> bool:
-        """Fused Pallas kernels apply on a single (unsharded) TPU device."""
+        """Fused Pallas kernels apply on a TPU device or a 1-D TPU mesh
+        (per-shard kernels + psums of the small accumulators)."""
         import os
+
+        from jax.sharding import Mesh
 
         if os.environ.get("ALPINE_TPU_DISABLE_PALLAS"):
             return False
         dev = self.device
+        if isinstance(dev, Mesh):
+            return (len(dev.axis_names) == 1
+                    and dev.devices.flat[0].platform == "tpu")
         return (not isinstance(dev, type(None))
                 and hasattr(dev, "platform")
                 and dev.platform == "tpu")

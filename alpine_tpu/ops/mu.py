@@ -34,7 +34,7 @@ block offsets (covariate blocks first, unguided last, matching
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -412,6 +412,58 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     return W, H, Bs, losses
 
 
+def _b_stats(cfg: MUConfig, hyper, Bs_cur, H_cur, Ys):
+    """B-update statistics over the CURRENT H (reference main.py:617-626):
+    KL -> ((Y⊘clamp(BH))Hᵀ, rowsum(H_i)); Frobenius -> (YHᵀ, unused)."""
+    dot = partial(_dot, precision=cfg.precision)
+    lam, _, _, _, eps = hyper
+    bnums, bdens = [], []
+    for i in range(cfg.n_cov):
+        o, k = cfg.offsets[i], cfg.blocks[i]
+        Hi = H_cur[o:o + k]
+        Yi = Ys[i].astype(jnp.float32)
+        if cfg.loss_kl:
+            ratio = Yi / _clamp(dot(Bs_cur[i], Hi), eps)
+            bnums.append(dot(ratio, Hi.T))
+            bdens.append(jnp.sum(Hi, axis=1))
+        else:
+            bnums.append(dot(Yi, Hi.T))
+            bdens.append(jnp.zeros((cfg.blocks[i],), jnp.float32))
+    return tuple(bnums), tuple(bdens)
+
+
+def _update_bs(cfg: MUConfig, hyper, Bs_cur, bnums, bdens, HHt):
+    """B_t from carried statistics (reference main.py:614-628)."""
+    dot = partial(_dot, precision=cfg.precision)
+    lam, _, _, _, eps = hyper
+    out = []
+    for i in range(cfg.n_cov):
+        o, k = cfg.offsets[i], cfg.blocks[i]
+        B = Bs_cur[i]
+        if cfg.loss_kl:
+            num = lam[i] * bnums[i]
+            den = lam[i] * jnp.broadcast_to(bdens[i][None, :], B.shape)
+        else:
+            num = 2.0 * bnums[i]
+            den = 2.0 * dot(B, HHt[o:o + k, o:o + k])
+        out.append(B * (num / _clamp(den, eps)))
+    return tuple(out)
+
+
+def _update_w(cfg: MUConfig, hyper, W, XHt, HHt):
+    """W update from carried XHt/HHt (reference main.py:592-612)."""
+    dot = partial(_dot, precision=cfg.precision)
+    _, orth_w, alpha_w, l1_ratio, eps = hyper
+    num = 2.0 * XHt
+    den = (
+        2.0 * dot(W, HHt)
+        + (1.0 - l1_ratio) * alpha_w * W
+        + orth_w * (jnp.sum(W, axis=1, keepdims=True) - W)
+        + l1_ratio * alpha_w
+    )
+    return W * (num / _clamp(den, eps))
+
+
 def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     """Full-batch joint MU via fused Pallas kernels: each iteration reads X
     exactly ONCE, and (with covariates) every per-iteration pass over H —
@@ -460,51 +512,15 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     XHt0 = _dot_x(cfg, X, H0.T)
     HHt0 = dot(H0, H0.T)
 
-    # prologue B statistics on (B_init, H_init) (main.py:617-626)
-    def b_stats(Bs_cur, H_cur):
-        bnums, bdens = [], []
-        for i in range(cfg.n_cov):
-            o, k = cfg.offsets[i], cfg.blocks[i]
-            Hi = H_cur[o:o + k]
-            Yi = Ys[i].astype(jnp.float32)
-            if cfg.loss_kl:
-                ratio = Yi / _clamp(dot(Bs_cur[i], Hi), eps)
-                bnums.append(dot(ratio, Hi.T))
-                bdens.append(jnp.sum(Hi, axis=1))
-            else:
-                bnums.append(dot(Yi, Hi.T))
-                bdens.append(jnp.zeros((cfg.blocks[i],), jnp.float32))
-        return tuple(bnums), tuple(bdens)
-
-    bnums0, bdens0 = b_stats(Bs0, H0) if cfg.n_cov else ((), ())
+    bnums0, bdens0 = _b_stats(cfg, hyper, Bs0, H0, Ys) if cfg.n_cov else ((), ())
 
     def update_bs(Bs_cur, bnums, bdens, HHt):
-        """B_t from carried statistics (main.py:614-628)."""
-        out = []
-        for i in range(cfg.n_cov):
-            o, k = cfg.offsets[i], cfg.blocks[i]
-            B = Bs_cur[i]
-            if cfg.loss_kl:
-                num = lam[i] * bnums[i]
-                den = lam[i] * jnp.broadcast_to(bdens[i][None, :], B.shape)
-            else:
-                num = 2.0 * bnums[i]
-                den = 2.0 * dot(B, HHt[o:o + k, o:o + k])
-            out.append(B * (num / _clamp(den, eps)))
-        return tuple(out)
+        return _update_bs(cfg, hyper, Bs_cur, bnums, bdens, HHt)
 
     def iteration(carry, _):
         W, H, Bs, XHt, HHt, bnums, bdens = carry
 
-        # --- W update from carried XHt/HHt (main.py:592-612) ---
-        num = 2.0 * XHt
-        den = (
-            2.0 * dot(W, HHt)
-            + (1.0 - l1_ratio) * alpha_w * W
-            + orth_w * (jnp.sum(W, axis=1, keepdims=True) - W)
-            + l1_ratio * alpha_w
-        )
-        W = W * (num / _clamp(den, eps))
+        W = _update_w(cfg, hyper, W, XHt, HHt)
         WtW = dot(W.T, W)
 
         if cfg.n_cov:
@@ -534,6 +550,113 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     )
     if cfg.n_cov and H.shape[1] != n:
         H = H[:, :n]
+    return W, H, Bs, losses
+
+
+@lru_cache(maxsize=64)
+def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
+    """Compile a full-batch joint fit where each device runs the fused
+    Pallas kernel on ITS OWN cell shard (shard_map) and only the small
+    accumulators — XHt (genes×K), HHt (K×K), loss scalars, B statistics —
+    cross the ICI as psums.  This is the multi-chip speed-of-light layout:
+    per-iteration X traffic stays local and per-chip, communication is
+    O(genes·K) regardless of cell count.
+
+    Requires every local cell shard to be a multiple of the kernel tile
+    (the model layer pads to tile × n_devices; see ALPINE._pallas_pad)."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from alpine_tpu.ops import pallas_kernels as pk
+
+    axis = mesh.axis_names[-1]
+    cells = P(None, axis)
+    rep = P()
+    interpret = cfg.backend == "pallas_interpret"
+    dot = partial(_dot, precision=cfg.precision)
+
+    def body(W0, H0_loc, Bs0, X_loc, Ys_loc, hyper):
+        lam, orth_w, alpha_w, l1_ratio, eps = hyper
+        X_loc = X_loc.astype(cfg.xdt)
+        Ys_loc = tuple(Y.astype(cfg.xdt) for Y in Ys_loc)
+
+        psum = lambda v: lax.psum(v, axis)
+        tsum = lambda t: tuple(lax.psum(v, axis) for v in t)
+
+        normX2 = psum(_norm_x2(cfg, X_loc))
+        XHt0 = psum(_dot_x(cfg, X_loc, H0_loc.T))
+        HHt0 = psum(dot(H0_loc, H0_loc.T))
+        if cfg.n_cov:
+            bn0, bd0 = _b_stats(cfg, hyper, Bs0, H0_loc, Ys_loc)
+            bn0, bd0 = tsum(bn0), tsum(bd0)
+        else:
+            bn0, bd0 = (), ()
+
+        def iteration(carry, _):
+            W, H, Bs, XHt, HHt, bnums, bdens = carry
+            W = _update_w(cfg, hyper, W, XHt, HHt)
+            WtW = dot(W.T, W)
+
+            if cfg.n_cov:
+                Bs = _update_bs(cfg, hyper, Bs, bnums, bdens, HHt)
+                H, XHt_p, HHt_p, ld_p, preds_p, bn_p, bd_p = pk.fused_iteration(
+                    X_loc, W, H, WtW, Ys_loc, Bs, lam, eps,
+                    blocks=cfg.blocks, loss_kl=cfg.loss_kl,
+                    interpret=interpret,
+                )
+                bnums, bdens = tsum(bn_p), tsum(bd_p)
+                preds = tuple(psum(p) for p in preds_p)
+            else:
+                H, XHt_p, HHt_p, ld_p = pk.fused_h_update(
+                    X_loc, W, H, WtW, eps, interpret=interpret
+                )
+                preds = ()
+            XHt, HHt, lossdot = psum(XHt_p), psum(HHt_p), psum(ld_p)
+
+            recon = normX2 - 2.0 * lossdot + jnp.sum(WtW * HHt)
+            total = recon
+            for i in range(cfg.n_cov):
+                total = total + lam[i] * preds[i]
+            loss = jnp.stack([total, recon] + list(preds))
+            return (W, H, Bs, XHt, HHt, bnums, bdens), loss
+
+        (W, H, Bs, *_), losses = lax.scan(
+            iteration, (W0, H0_loc, Bs0, XHt0, HHt0, bn0, bd0), None,
+            length=cfg.max_iter,
+        )
+        return W, H, Bs, losses
+
+    n_cov = cfg.n_cov
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, cells, (rep,) * n_cov, cells, (cells,) * n_cov,
+                  (rep,) * 5),
+        out_specs=(rep, cells, (rep,) * n_cov, rep),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def fit_scan_sharded(cfg: MUConfig, mesh, W0, H0, Bs0, X, Ys, hyper):
+    """Sharded fused-kernel training entry: full-batch joint mode over a
+    1-D cell mesh.  X/H/Ys must be cell-sharded with local shards that are
+    tile multiples; W/Bs replicated."""
+    if cfg.use_als or not cfg.full_batch or not cfg.use_pallas:
+        raise ValueError(
+            "fit_scan_sharded requires full-batch joint mode with a pallas backend"
+        )
+    if H0.shape[1] != X.shape[1]:
+        # e.g. a checkpoint-resume carry sliced back to n_cells; zero pad
+        # columns are exactly neutral
+        H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
+    fn = _build_sharded_pallas_fit(cfg, mesh)
+    W, H, Bs, losses = fn(W0, H0, Bs0, X, Ys, hyper)
+    if H.shape[1] != cfg.n_cells:
+        H = H[:, :cfg.n_cells]
     return W, H, Bs, losses
 
 

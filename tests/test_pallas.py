@@ -182,3 +182,69 @@ def test_data_dtype_model_kwarg():
     with pytest.raises(ValueError, match="data_dtype"):
         ALPINE(n_components=5, n_covariate_components=[], lam=[],
                data_dtype="fp8")
+
+
+def test_sharded_pallas_fit_matches_single_device():
+    """shard_map + per-shard fused kernels (interpret mode on the virtual
+    CPU mesh) must reproduce the single-device trajectory, including the
+    ragged-n padding path."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    G2, N2 = 30, 1024  # 1024/4 = 256 per shard (tile multiple)
+    r = np.random.default_rng(3)
+    X = jnp.asarray(r.random((G2, N2), dtype=np.float32))
+    Ys = []
+    for nl in N_LABELS:
+        y = np.zeros((nl, N2), np.float32)
+        y[r.integers(0, nl, N2), np.arange(N2)] = 1.0
+        Ys.append(jnp.asarray(y))
+    Ys = tuple(Ys)
+    hyper = (jnp.asarray([2.0, 1.0], jnp.float32), jnp.float32(0.1),
+             jnp.float32(0.2), jnp.float32(0.3), jnp.float32(EPS))
+    key = jax.random.PRNGKey(0)
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=N2,
+                      loss_kl=True, max_iter=8, backend="pallas_interpret")
+    W0, H0, Bs0 = mu.init_matrices(cfg, G2, key, EPS)
+
+    Ws, Hs, Bss, Ls = mu.fit_scan(cfg, W0, H0, Bs0, X, Ys, hyper, key, None)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("cells",))
+    sh = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "cells")))
+    rp = lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+    Wm, Hm, Bsm, Lm = mu.fit_scan_sharded(
+        cfg, mesh, rp(W0), sh(H0), tuple(rp(b) for b in Bs0),
+        sh(X), tuple(sh(y) for y in Ys), hyper)
+
+    np.testing.assert_allclose(np.asarray(Ls), np.asarray(Lm), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(Ws), np.asarray(Wm), rtol=1e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hm), rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_sharded_pallas_unguided():
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    G2, N2 = 20, 1024
+    r = np.random.default_rng(5)
+    X = jnp.asarray(r.random((G2, N2), dtype=np.float32))
+    hyper = (jnp.zeros((0,), jnp.float32), jnp.float32(0), jnp.float32(0),
+             jnp.float32(0), jnp.float32(EPS))
+    key = jax.random.PRNGKey(1)
+    cfg = mu.MUConfig(blocks=(7,), n_labels=(), n_cells=N2, loss_kl=True,
+                      max_iter=6, backend="pallas_interpret")
+    W0, H0, Bs0 = mu.init_matrices(cfg, G2, key, EPS)
+    _, _, _, Ls = mu.fit_scan(cfg, W0, H0, Bs0, X, (), hyper, key, None)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("cells",))
+    sh = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "cells")))
+    rp = lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+    _, _, _, Lm = mu.fit_scan_sharded(cfg, mesh, rp(W0), sh(H0), (),
+                                      sh(X), (), hyper)
+    np.testing.assert_allclose(np.asarray(Ls), np.asarray(Lm), rtol=1e-4)
