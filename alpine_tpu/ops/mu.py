@@ -636,7 +636,7 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
         in_specs=(rep, cells, (rep,) * n_cov, cells, (cells,) * n_cov,
                   (rep,) * 5),
         out_specs=(rep, cells, (rep,) * n_cov, rep),
-        check_rep=False,
+        check_vma=False,  # psum'd outputs are replicated by construction
     )
     return jax.jit(mapped)
 
