@@ -19,27 +19,40 @@ import os
 _done = False
 
 
-def enable_compilation_cache() -> None:
+def enable_compilation_cache(allow_backend_check: bool = False) -> None:
     """Idempotently point JAX's persistent compilation cache at a per-user
-    directory (no-op if the user configured their own or opted out)."""
+    directory (no-op if the user configured their own or opted out).
+
+    CPU compiles are fast and CPU AOT cache entries produce noisy
+    machine-feature-mismatch warnings across flag changes, so caching is
+    enabled only for accelerator platforms.  When the platform cannot be
+    read without initializing backends (jax_platforms unset), the decision
+    is DEFERRED unless allow_backend_check=True (call sites that know
+    backends are already initialized, e.g. after resolve_device)."""
     global _done
     if _done:
         return
-    _done = True
     if os.environ.get("ALPINE_TPU_NO_CACHE", "").lower() not in ("", "0", "false"):
+        _done = True
         return
     import jax
 
     try:
         if jax.config.jax_compilation_cache_dir is not None:
+            _done = True
             return  # user-configured; leave alone
-        # CPU compiles are fast and CPU AOT cache entries produce noisy
-        # machine-feature-mismatch warnings across flag changes; only cache
-        # for accelerator platforms.  (Reading jax_platforms does not
-        # initialize backends, so user platform config stays respected.)
         platforms = (jax.config.jax_platforms or "").strip()
         if platforms == "cpu":
+            _done = True
             return
+        if not platforms:
+            # platform unknown without initializing backends
+            if not allow_backend_check:
+                return  # stay undecided; a later call may resolve it
+            if jax.default_backend() == "cpu":
+                _done = True
+                return
+        _done = True
         path = os.environ.get(
             "ALPINE_TPU_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "alpine_tpu", "xla"),

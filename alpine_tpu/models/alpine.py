@@ -81,6 +81,7 @@ class ALPINE:
         self.use_als = use_als
         self.scale_needed = scale_needed
         self.device = resolve_device(device)
+        enable_compilation_cache(allow_backend_check=True)
         self.loss_type = loss_type
         self.eps = eps
         self.random_state = random_state
@@ -566,13 +567,10 @@ class ALPINE:
         itemsize = _jnp.dtype(
             _jnp.bfloat16 if self.data_dtype == "bfloat16" else _jnp.float32
         ).itemsize
-        ndev = self._mesh_devices()
-        tile = pallas_kernels._choose_tile_n(
-            self.n_features, max(n_sample // ndev, 1), itemsize
+        pad = pallas_kernels.pad_target(
+            self.n_features, n_sample, self._mesh_devices(), itemsize
         )
-        if tile is None:
-            return 0
-        return (-n_sample) % (tile * ndev)
+        return 0 if pad is None else pad
 
     def _use_tpu_kernels(self) -> bool:
         """Fused Pallas kernels apply on a TPU device or a 1-D TPU mesh

@@ -492,8 +492,8 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     n = cfg.n_cells
     g = X.shape[0]
     if cfg.n_cov:
-        tile = pk._choose_tile_n(g, X.shape[1], jnp.dtype(cfg.xdt).itemsize)
-        if tile is None:
+        n_pad = pk.pad_target(g, X.shape[1], 1, jnp.dtype(cfg.xdt).itemsize)
+        if n_pad is None:
             raise ValueError(
                 f"n_genes={g} too large for the fused iteration kernel; "
                 "use backend='xla'"
@@ -502,7 +502,6 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
         # with zero columns host-side (the model layer does — see
         # ALPINE._pallas_pad) so this in-jit pad (a transient extra copy of
         # X, 2x X memory at atlas scale) is skipped.
-        n_pad = (-X.shape[1]) % tile
         if n_pad:
             X = jnp.pad(X, ((0, 0), (0, n_pad)))
             Ys = tuple(jnp.pad(y, ((0, 0), (0, n_pad))) for y in Ys)
@@ -514,9 +513,6 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
 
     bnums0, bdens0 = _b_stats(cfg, hyper, Bs0, H0, Ys) if cfg.n_cov else ((), ())
 
-    def update_bs(Bs_cur, bnums, bdens, HHt):
-        return _update_bs(cfg, hyper, Bs_cur, bnums, bdens, HHt)
-
     def iteration(carry, _):
         W, H, Bs, XHt, HHt, bnums, bdens = carry
 
@@ -524,7 +520,7 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
         WtW = dot(W.T, W)
 
         if cfg.n_cov:
-            Bs = update_bs(Bs, bnums, bdens, HHt)
+            Bs = _update_bs(cfg, hyper, Bs, bnums, bdens, HHt)
             H, XHt, HHt, lossdot, preds, bnums, bdens = pk.fused_iteration(
                 X, W, H, WtW, Ys, Bs, lam, eps,
                 blocks=cfg.blocks, loss_kl=cfg.loss_kl, interpret=interpret,
@@ -566,8 +562,10 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
     (the model layer pads to tile × n_devices; see ALPINE._pallas_pad)."""
     try:
         from jax import shard_map  # jax >= 0.8
+        _sm_kwargs = {"check_vma": False}
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
+        _sm_kwargs = {"check_rep": False}
     from jax.sharding import PartitionSpec as P
 
     from alpine_tpu.ops import pallas_kernels as pk
@@ -580,13 +578,14 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
 
     def body(W0, H0_loc, Bs0, X_loc, Ys_loc, hyper):
         lam, orth_w, alpha_w, l1_ratio, eps = hyper
-        X_loc = X_loc.astype(cfg.xdt)
-        Ys_loc = tuple(Y.astype(cfg.xdt) for Y in Ys_loc)
 
         psum = lambda v: lax.psum(v, axis)
         tsum = lambda t: tuple(lax.psum(v, axis) for v in t)
 
+        # ||X||^2 from the pre-cast values, matching the single-device paths
         normX2 = psum(_norm_x2(cfg, X_loc))
+        X_loc = X_loc.astype(cfg.xdt)
+        Ys_loc = tuple(Y.astype(cfg.xdt) for Y in Ys_loc)
         XHt0 = psum(_dot_x(cfg, X_loc, H0_loc.T))
         HHt0 = psum(dot(H0_loc, H0_loc.T))
         if cfg.n_cov:
@@ -621,6 +620,7 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
             for i in range(cfg.n_cov):
                 total = total + lam[i] * preds[i]
             loss = jnp.stack([total, recon] + list(preds))
+            _maybe_report(cfg, loss)
             return (W, H, Bs, XHt, HHt, bnums, bdens), loss
 
         (W, H, Bs, *_), losses = lax.scan(
@@ -636,7 +636,8 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
         in_specs=(rep, cells, (rep,) * n_cov, cells, (cells,) * n_cov,
                   (rep,) * 5),
         out_specs=(rep, cells, (rep,) * n_cov, rep),
-        check_vma=False,  # psum'd outputs are replicated by construction
+        # psum'd outputs are replicated by construction
+        **_sm_kwargs,
     )
     return jax.jit(mapped)
 

@@ -62,18 +62,48 @@ _X_TILE_BYTES = 6 * 1024 * 1024
 _LANE = 128
 
 
-def _choose_tile_n(n_genes: int, n_cells: int, itemsize: int = 4) -> Optional[int]:
-    """Cell-tile width so the (genes x tile) X block fits the VMEM budget."""
+def _budget_tile(n_genes: int, itemsize: int = 4) -> Optional[int]:
+    """Maximum cell-tile width whose (genes x tile) X block fits the VMEM
+    budget (lane-aligned); None when even one lane-width column block does
+    not fit."""
     per_col = itemsize * n_genes
     tile = (_X_TILE_BYTES // per_col) // _LANE * _LANE
-    tile = min(tile, max(_LANE, (n_cells + _LANE - 1) // _LANE * _LANE))
     if tile < _LANE:
         return None
     return tile
 
 
+def _choose_tile_n(n_genes: int, n_cells: int, itemsize: int = 4) -> Optional[int]:
+    """Tile actually used by a kernel whose input width is n_cells: the
+    budget tile, capped at the (lane-rounded) array width so tiny problems
+    don't allocate huge blocks."""
+    tile = _budget_tile(n_genes, itemsize)
+    if tile is None:
+        return None
+    return min(tile, max(_LANE, (n_cells + _LANE - 1) // _LANE * _LANE))
+
+
+def pad_target(n_genes: int, n_cells: int, n_devices: int = 1,
+               itemsize: int = 4) -> Optional[int]:
+    """Zero-columns of cell-axis padding so that each of n_devices equal
+    shards of the padded width W satisfies (W/n_devices) % tile == 0 for the
+    tile _choose_tile_n picks AT THAT WIDTH.  Proof sketch: with
+    T' = min(budget, round_up(cdiv(n, ndev), 128)) and
+    pad = (-n) % (T' * ndev), each shard is exactly one multiple of T'
+    (pad < T'*ndev bounds the shard below 2T'), and _choose_tile_n at shard
+    width s = m*T' returns min(budget, s) which divides s.  Keeping this
+    arithmetic in ONE place is what guarantees the model layer, the engine
+    pad, and the kernels can never disagree on divisibility."""
+    t = _budget_tile(n_genes, itemsize)
+    if t is None:
+        return None
+    per_shard = -(-n_cells // n_devices)
+    t = min(t, max(_LANE, (per_shard + _LANE - 1) // _LANE * _LANE))
+    return (-n_cells) % (t * n_devices)
+
+
 def h_update_supported(n_genes: int) -> bool:
-    return pltpu is not None and _choose_tile_n(n_genes, _LANE) is not None
+    return pltpu is not None and _budget_tile(n_genes) is not None
 
 
 def _mask_cols(x, i, tile_n, n_valid):

@@ -248,3 +248,26 @@ def test_sharded_pallas_unguided():
     _, _, _, Lm = mu.fit_scan_sharded(cfg, mesh, rp(W0), sh(H0), (),
                                       sh(X), (), hyper)
     np.testing.assert_allclose(np.asarray(Ls), np.asarray(Lm), rtol=1e-4)
+
+
+def test_pad_target_consistency():
+    """The single source of padding arithmetic must guarantee that every
+    shard of the padded width is divisible by the tile the kernel picks at
+    that width (regression: model/kernel tile disagreement crashed sharded
+    fits at e.g. 2000 genes, 2 devices, 1025 cells)."""
+    from alpine_tpu.ops.pallas_kernels import _choose_tile_n, pad_target
+
+    for g in (30, 500, 2000, 11000):
+        for itemsize in (2, 4):
+            for ndev in (1, 2, 4, 8):
+                for n in (128, 300, 1025, 2048, 99999):
+                    if n < ndev:
+                        continue
+                    p = pad_target(g, n, ndev, itemsize)
+                    if p is None:
+                        continue
+                    W = n + p
+                    assert W % ndev == 0
+                    s = W // ndev
+                    t = _choose_tile_n(g, s, itemsize)
+                    assert s % t == 0, (g, itemsize, ndev, n, s, t)
