@@ -643,10 +643,11 @@ class ALPINE:
             jnp.asarray(np.concatenate(self.matrices["Ws"], axis=1))
         )
 
-        use_fused = self._use_tpu_kernels() and not placement.is_sharded
+        use_fused = self._use_tpu_kernels()
         H = mu.run_transform(
             W, X, H0, jnp.float32(self.eps), n_iter=n_iter,
             precision=self.matmul_precision, fused=use_fused,
+            mesh=placement.mesh if use_fused and placement.is_sharded else None,
         )
         H_np = np.asarray(jax.device_get(H), dtype=np.float32)
         Hs = split_h(H_np, self.n_all_components)

@@ -686,17 +686,41 @@ def transform_scan(W, X, H0, eps, *, n_iter: int, precision: str = "highest"):
 
 
 def run_transform(W, X, H0, eps, *, n_iter: int, precision: str = "highest",
-                  fused: bool = False):
+                  fused: bool = False, mesh=None, interpret: bool = False):
     """Out-of-sample projection entry point: the fused Pallas kernel (all
-    iterations in VMEM per cell tile) on unsharded TPU, else the XLA scan.
-    Keeps ALL transform math in this module (repo invariant: the model
-    layer holds no numerics)."""
+    iterations in VMEM per cell tile) on TPU — per shard under shard_map
+    when a 1-D mesh is given (columns are independent, so the kernel needs
+    NO communication; only the loop-invariant 2WᵀX is a global matmul) —
+    else the XLA scan.  Keeps ALL transform math in this module (repo
+    invariant: the model layer holds no numerics)."""
     if fused:
         from alpine_tpu.ops import pallas_kernels as pk
 
         num2 = 2.0 * _dot(W.T, X, precision)
         WtW2 = 2.0 * _dot(W.T, W, precision)
-        return pk.fused_transform(num2, H0, WtW2, eps, n_iter=n_iter)
+        if mesh is None:
+            return pk.fused_transform(num2, H0, WtW2, eps, n_iter=n_iter,
+                                      interpret=interpret)
+
+        try:
+            from jax import shard_map
+            _sm_kwargs = {"check_vma": False}
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+            _sm_kwargs = {"check_rep": False}
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[-1]
+        cells = P(None, axis)
+        local = lambda n2, h0, w2, e: pk.fused_transform(
+            n2, h0, w2, e, n_iter=n_iter, interpret=interpret
+        )
+        return jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(cells, cells, P(), P()),
+            out_specs=cells,
+            **_sm_kwargs,
+        ))(num2, H0, WtW2, eps)
     return transform_scan(W, X, H0, eps, n_iter=n_iter, precision=precision)
 
 

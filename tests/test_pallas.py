@@ -271,3 +271,25 @@ def test_pad_target_consistency():
                     s = W // ndev
                     t = _choose_tile_n(g, s, itemsize)
                     assert s % t == 0, (g, itemsize, ndev, n, s, t)
+
+
+def test_sharded_fused_transform_matches_scan():
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    r = np.random.default_rng(7)
+    g, K2, n = 24, 9, 1000  # ragged across 4 shards (250 each)
+    W = jnp.asarray(r.random((g, K2), dtype=np.float32))
+    X = jnp.asarray(r.random((g, n), dtype=np.float32))
+    H0 = jnp.asarray(r.random((K2, n), dtype=np.float32) + 0.1)
+    want = mu.transform_scan(W, X, H0, jnp.float32(EPS), n_iter=15)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("cells",))
+    sh = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "cells")))
+    got = mu.run_transform(jax.device_put(W, NamedSharding(mesh, P())),
+                           sh(X), sh(H0), jnp.float32(EPS), n_iter=15,
+                           fused=True, mesh=mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=1e-5)
