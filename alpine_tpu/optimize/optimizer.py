@@ -1,20 +1,28 @@
 """ComponentOptimizer — TPE Bayesian hyperparameter search with CV scoring.
 
-API parity target: class `ComponentOptimizer` in
-`/root/reference/alpine/optimization.py:15-604`: search over
+Behavior parity target: class `ComponentOptimizer` in
+`/root/reference/alpine/optimization.py:15-604` — search over
 n_total_components (quniform), per-covariate lam (qloguniform), orth_W /
-alpha_W / l1_ratio_W (uniform) and per-block split ratios; each trial is
-scored by StratifiedKFold cross-validation, clustering the validation fold's
+alpha_W / l1_ratio_W (uniform) and per-block split ratios; each trial scored
+by StratifiedKFold cross-validation, clustering the validation fold's
 unguided embedding and summing ARI + homogeneity against every covariate
 (low = covariate-free embedding = good; the score is *minimized*,
-optimization.py:216).
+optimization.py:216).  Public API, error messages, printed strings and the
+history-DataFrame layout (including its descending-score sort quirk,
+optimization.py:473-475) are contracts; the implementation below is
+structured around a declarative `SearchSpace` + free allocation/scoring
+helpers rather than the reference's inline construction.
 
 Divergences from the reference (all forced by the environment, documented):
-- hyperopt -> `alpine_tpu.optimize.tpe` (self-contained TPE, same API shape);
-  pickled Trials from this module are NOT interchangeable with hyperopt's.
+- hyperopt -> `alpine_tpu.optimize.tpe` (self-contained TPE, same API
+  shape).  Native hyperopt Trials pickles can be imported best-effort via
+  `alpine_tpu.optimize.tpe.import_hyperopt_trials`.
 - scanpy neighbors+leiden -> `alpine_tpu.optimize.scoring` (sklearn kNN
   graph + native C++ Leiden, `alpine_tpu/native/leiden.cpp`).
 - `device` defaults to "auto" (JAX default backend) rather than "cuda".
+- reference `extend_training` passes the flat best-point dict straight to
+  its component distributor (optimization.py:320, a KeyError); here both
+  search entry points share one working `_decode_best`.
 
 Like the reference, TPE is sequential by nature (each suggestion conditions
 on all previous trials); the inner CV fits run on the accelerator and only
@@ -25,7 +33,8 @@ from __future__ import annotations
 
 import pickle
 from copy import copy
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -43,8 +52,110 @@ from alpine_tpu.optimize.tpe import (
 )
 from alpine_tpu.utils.adata import is_anndata
 
+# hyperparameters drawn by every search, as (name, kwarg-of-range) pairs;
+# ranges are validated and turned into TPE expressions table-driven
+_UNIFORM_DIMS = ("orth_W", "alpha_W", "l1_ratio_W")
+
+
+def allocate_components(
+    total: int, ratios: Sequence[float], floors: Sequence[int]
+) -> Tuple[int, List[int]]:
+    """Partition a total component budget into guided blocks + unguided rest.
+
+    Provisionally reserves ceil(total/2) for the guided side, hands covariate
+    i its normalized-ratio share of that reserve (rounded, floored at
+    ``floors[i]``), and leaves whatever remains of the *full* budget to the
+    unguided block — which can therefore go small or negative when floors
+    bite; the caller rejects such draws.  Exact behavior parity with
+    reference `_distribute_components` (optimization.py:153-176).
+    """
+    weights = np.asarray([float(r) for r in ratios], dtype=float)
+    weights = weights / weights.sum()
+    reserve = total - total // 2
+    guided = [
+        max(int(floor), int(round(reserve * w)))
+        for floor, w in zip(floors, weights[:-1])
+    ]
+    return total - sum(guided), guided
+
+
+@dataclass(frozen=True)
+class SearchSpace:
+    """Declarative search-space: owns range validation, the TPE expression
+    tree, and decoding of raw TPE points into model hyperparameters."""
+
+    n_total_components_range: Tuple[int, int]
+    lam_range: Tuple[float, float]
+    orth_W_range: Tuple[float, float]
+    alpha_W_range: Tuple[float, float]
+    l1_ratio_W_range: Tuple[float, float]
+    n_covariates: int
+
+    def validate(self) -> None:
+        """Identical messages to reference optimization.py:552-596."""
+        lo, hi = None, None
+        rng = self.n_total_components_range
+        if not isinstance(rng, tuple) or len(rng) != 2:
+            raise TypeError("n_total_components_range must be a tuple of two integers")
+        lo, hi = rng
+        if lo >= hi:
+            raise ValueError(
+                "n_total_components_range must be a tuple with the first element less than the second"
+            )
+        if lo < 2:
+            raise ValueError(
+                "n_total_components_range must be a tuple with the first element greater than or equal to 2"
+            )
+
+        for name in ("lam_range",) + tuple(f"{d}_range" for d in _UNIFORM_DIMS):
+            rng = getattr(self, name)
+            if not isinstance(rng, tuple) or len(rng) != 2:
+                raise TypeError(f"{name} must be a tuple of two floats")
+            if not all(isinstance(x, float) for x in rng):
+                raise TypeError(f"All elements of {name} must be floats")
+            if rng[0] >= rng[1]:
+                raise ValueError(
+                    f"{name} must be a tuple with the first element less than the second"
+                )
+        if self.l1_ratio_W_range[1] > 1.0:
+            raise ValueError(
+                "l1_ratio_W_range's second element must be less than or equal to 1.0"
+            )
+
+    def to_tpe(self) -> Dict:
+        """TPE expression tree; same labels/distributions as the reference's
+        space (optimization.py:95-120): quniform component total, uniform
+        regularizers, qloguniform lambdas, one uniform ratio per block."""
+        tree = {
+            "n_total_components": hp.quniform(
+                "n_total_components", *self.n_total_components_range, 1
+            ),
+            "splits": [
+                hp.uniform(f"split_{i}", 0, 1) for i in range(self.n_covariates + 1)
+            ],
+        }
+        for dim in _UNIFORM_DIMS:
+            tree[dim] = hp.uniform(dim, *getattr(self, f"{dim}_range"))
+        lo, hi = self.lam_range
+        for i in range(self.n_covariates):
+            tree[f"lam_{i}"] = hp.qloguniform(f"lam_{i}", np.log(lo), np.log(hi), 1)
+        return tree
+
+    def structure_point(self, flat: Dict) -> Dict:
+        """Lift a flat label->value dict (fmin's `best`) into the structured
+        form `objective` receives (with the "splits" list)."""
+        point = {k: flat[k] for k in ("n_total_components",) + _UNIFORM_DIMS}
+        point["splits"] = [flat[f"split_{i}"] for i in range(self.n_covariates + 1)]
+        for i in range(self.n_covariates):
+            point[f"lam_{i}"] = flat[f"lam_{i}"]
+        return point
+
 
 class ComponentOptimizer:
+    # validated eagerly so a bad value fails at construction instead of
+    # crashing the search after N completed trial fits
+    _VALID_SAMPLING = ("random", "weighted")
+
     def __init__(
         self,
         adata,
@@ -63,6 +174,11 @@ class ComponentOptimizer:
         )
         if not isinstance(fold_batching, bool):
             raise TypeError("fold_batching must be a boolean")
+        if sampling_method not in self._VALID_SAMPLING:
+            raise ValueError(
+                f"Unknown sampling method: {sampling_method}. Only 'weighted', "
+                "and 'random' are supported."
+            )
 
         self.adata = adata.copy()
         self.covariate_keys: List[str] = covariate_keys
@@ -70,11 +186,6 @@ class ComponentOptimizer:
         self.loss_type: str = loss_type
         self.max_iter: Optional[int] = max_iter
         self.batch_size: Optional[int] = batch_size
-        if sampling_method not in self._VALID_SAMPLING:
-            raise ValueError(
-                f"Unknown sampling method: {sampling_method}. Only 'weighted', "
-                "and 'random' are supported."
-            )
         self.sampling_method: str = sampling_method
         self.device = device
         self.random_state: int = random_state
@@ -86,14 +197,12 @@ class ComponentOptimizer:
         self.fold_batching: bool = fold_batching
         self.best_param: dict = {}
 
-        if self.max_iter is None:
+        self.max_iter_detect = self.max_iter is None
+        if self.max_iter_detect:
             print(
                 "Owing to max_iter being None, it will be determine by the "
                 "average of the first n_splits iterations."
             )
-            self.max_iter_detect = True
-        else:
-            self.max_iter_detect = False
 
     # ------------------------------------------------------------- search
     def search_hyperparams(
@@ -108,253 +217,215 @@ class ComponentOptimizer:
         max_evals: int = 100,
         trials_filename: Optional[str] = None,
     ):
-        self._validate_search_args(
+        space = SearchSpace(
             n_total_components_range,
             lam_range,
             orth_W_range,
             alpha_W_range,
             l1_ratio_W_range,
-            n_splits,
-            max_evals,
+            n_covariates=len(self.covariate_keys),
         )
+        space.validate()
+        self._check_cv_args(n_splits, max_evals)
 
         self.iter_records: List = []
         self.n_splits: int = n_splits
+        self._search_space = space
+        self.space = space.to_tpe()
+        self.min_covariate_components = self._resolve_floors(min_covariate_components)
 
         if trials_filename is not None:
             self.load_trials(trials_filename)
         else:
             self.trials = Trials()
 
-        if min_covariate_components is None:
-            self.min_covariate_components = [
-                self.adata.obs[key].nunique() for key in self.covariate_keys
-            ]
-        else:
-            if isinstance(min_covariate_components, list):
-                if len(min_covariate_components) != len(self.covariate_keys):
-                    raise ValueError(
-                        "min_covariate_components should have the same length as the number of covariates."
-                    )
-            if any(comp < 2 for comp in min_covariate_components):
-                raise ValueError(
-                    "min_covariate_components should be greater than or equal to 2."
-                )
-            self.min_covariate_components = min_covariate_components
+        return self._run_tpe(max_evals)
 
-        # search space (reference optimization.py:95-120)
-        self.space = {
-            "n_total_components": hp.quniform(
-                "n_total_components",
-                n_total_components_range[0],
-                n_total_components_range[1],
-                1,
-            ),
-            "orth_W": hp.uniform("orth_W", orth_W_range[0], orth_W_range[1]),
-            "alpha_W": hp.uniform("alpha_W", alpha_W_range[0], alpha_W_range[1]),
-            "l1_ratio_W": hp.uniform(
-                "l1_ratio_W", l1_ratio_W_range[0], l1_ratio_W_range[1]
-            ),
-            "splits": [
-                hp.uniform(f"split_{i}", 0, 1)
-                for i in range(len(self.covariate_keys) + 1)
-            ],
-        }
-        for i in range(len(self.covariate_keys)):
-            self.space[f"lam_{i}"] = hp.qloguniform(
-                f"lam_{i}", np.log(lam_range[0]), np.log(lam_range[1]), 1
-            )
+    def extend_training(self, extra_evals=50):
+        """Continue the Bayesian optimization with more evaluations
+        (reference optimization.py:289-333)."""
+        if not hasattr(self, "trials"):
+            raise RuntimeError("Please run bayesian_search() before extending training.")
+        return copy(self._run_tpe(extra_evals))
 
+    def _run_tpe(self, additional_evals: int):
+        """Drive fmin for `additional_evals` more trials on top of whatever
+        the Trials object already holds, then decode + record the best."""
         best = fmin(
             self.objective,
             self.space,
             algo=tpe.suggest,
-            max_evals=max_evals + len(self.trials.trials),
+            max_evals=len(self.trials.trials) + additional_evals,
             trials=self.trials,
             rstate=np.random.default_rng(self.random_state),
         )
-
         if best is None:
             raise RuntimeError("Hyperparameter optimization did not return any result.")
+        return self._decode_best(best)
 
-        component_params = {
-            "n_total_components": best["n_total_components"],
-            "splits": [best[f"split_{i}"] for i in range(len(self.covariate_keys) + 1)],
-        }
-        n_components, n_covariate_components = self._distribute_components(
-            component_params
-        )
-
-        self.best_param["n_components"] = n_components
-        self.best_param["n_covariate_components"] = n_covariate_components
-        self.best_param["lam"] = [
-            float(best[f"lam_{i}"]) for i in range(len(self.covariate_keys))
-        ]
-        self.best_param["alpha_W"] = best["alpha_W"]
-        self.best_param["orth_W"] = best["orth_W"]
-        self.best_param["l1_ratio_W"] = best["l1_ratio_W"]
-        self.best_param["random_state"] = self.random_state
-
+    def _decode_best(self, best: Dict) -> dict:
+        """Flat fmin point -> self.best_param (the ALPINE ctor kwargs)."""
+        params = self._point_to_params(self._search_space.structure_point(best))
+        if params is None:  # fmin returns the best *successful* trial's
+            # point, so an invalid allocation here cannot happen; guard anyway
+            raise RuntimeError("Best trial decodes to an invalid component split.")
+        self.best_param = dict(params, random_state=self.random_state)
         return self.best_param
 
+    def _resolve_floors(self, min_covariate_components):
+        """Per-covariate component floors; default = observed level count."""
+        if min_covariate_components is None:
+            return [self.adata.obs[key].nunique() for key in self.covariate_keys]
+        if isinstance(min_covariate_components, list):
+            if len(min_covariate_components) != len(self.covariate_keys):
+                raise ValueError(
+                    "min_covariate_components should have the same length as the number of covariates."
+                )
+        if any(comp < 2 for comp in min_covariate_components):
+            raise ValueError(
+                "min_covariate_components should be greater than or equal to 2."
+            )
+        return min_covariate_components
+
+    # ------------------------------------------------------------ trials
+    def _point_to_params(self, point: Dict) -> Optional[dict]:
+        """Decode one structured TPE point into model hyperparameters, or
+        None when the component allocation is invalid (the reference's
+        cond_1/cond_2 rejection, optimization.py:184-187)."""
+        n_unguided, guided = allocate_components(
+            int(point["n_total_components"]),
+            [float(s) for s in point["splits"]],
+            self.min_covariate_components,
+        )
+        if sum(guided) > n_unguided or any(n < 2 for n in guided):
+            return None
+        return {
+            "n_components": n_unguided,
+            "n_covariate_components": guided,
+            "lam": [float(point[f"lam_{i}"]) for i in range(len(guided))],
+            "orth_W": point["orth_W"],
+            "alpha_W": point["alpha_W"],
+            "l1_ratio_W": point["l1_ratio_W"],
+        }
+
     def _distribute_components(self, space):
-        """Split n_total into unguided + per-covariate blocks by normalized
-        ratios, floored at min_covariate_components
-        (reference optimization.py:153-176)."""
-        total_components = int(space["n_total_components"])
-        splits = [float(s) for s in space["splits"]]
-        normalized_splits = np.array(splits) / np.sum(splits)
-
-        n_components = int(total_components / 2)
-        rest_components = total_components - n_components
-
-        n_covariate_components = [
-            int(round(rest_components * ratio)) for ratio in normalized_splits[:-1]
-        ]
-        n_covariate_components = [
-            max(self.min_covariate_components[i], n)
-            for i, n in enumerate(n_covariate_components)
-        ]
-        total_covariate_components = sum(n_covariate_components)
-        n_components = total_components - total_covariate_components
-
-        return n_components, n_covariate_components
+        """Back-compat shim over `allocate_components` (reference
+        optimization.py:153-176)."""
+        return allocate_components(
+            int(space["n_total_components"]),
+            [float(s) for s in space["splits"]],
+            self.min_covariate_components,
+        )
 
     def objective(self, space):
-        """One trial (reference optimization.py:178-218).  Invalid component
-        distributions fail with loss=inf."""
-        lam = [space[f"lam_{i}"] for i in range(len(self.covariate_keys))]
-        n_components, n_covariate_components = self._distribute_components(space)
-
-        cond_1 = sum(n_covariate_components) <= n_components
-        cond_2 = all(n >= 2 for n in n_covariate_components)
-
-        if not (cond_1 and cond_2):
+        """One trial.  Invalid component distributions fail with loss=inf
+        (reference optimization.py:178-218)."""
+        params = self._point_to_params(space)
+        if params is None:
             return {"loss": np.inf, "status": STATUS_FAIL}
 
-        args = {
-            "n_components": n_components,
-            "n_covariate_components": n_covariate_components,
-            "lam": lam,
-            "orth_W": space["orth_W"],
-            "alpha_W": space["alpha_W"],
-            "l1_ratio_W": space["l1_ratio_W"],
-        }
-        score = self.calc_score(args)
+        score = self.calc_score(params)
 
-        trial_history = {
-            "n_components": n_components,
-            "n_covariate_components": n_covariate_components,
-            "lam": list(lam),
-            "orth_W": space["orth_W"],
-            "alpha_W": space["alpha_W"],
-            "l1_ratio_W": space["l1_ratio_W"],
-            "max_iter": self.iter_records[-1] if self.max_iter_detect else self.max_iter,
-            "score": score,
-        }
+        record = dict(params)
+        record["lam"] = list(record["lam"])
+        record["max_iter"] = (
+            self.iter_records[-1] if self.max_iter_detect else self.max_iter
+        )
+        record["score"] = score
 
-        if self.max_iter_detect:
-            if len(self.iter_records) >= self.n_splits:
-                self.max_iter = int(sum(self.iter_records) / len(self.iter_records))
+        # freeze max_iter to the mean elbow once one full CV round ran
+        if self.max_iter_detect and len(self.iter_records) >= self.n_splits:
+            self.max_iter = int(sum(self.iter_records) / len(self.iter_records))
 
-        return {"loss": score, "status": STATUS_OK, "params": trial_history}
+        return {"loss": score, "status": STATUS_OK, "params": record}
 
-    def calc_score(self, args):
-        """Stratified-CV covariate-leakage score (reference
-        optimization.py:220-287): fit on train folds, transform validation,
-        cluster the unguided embedding, mean over covariates of
-        ARI + homogeneity vs the clusters, averaged over folds."""
-        n_covariate_components = args["n_covariate_components"]
-        n_components = args["n_components"]
-        lam = args["lam"]
-
-        if len(self.covariate_keys) == 1:
-            joint_labels = self.adata.obs[self.covariate_keys[0]].astype(str)
-        else:
-            joint_labels = self.adata.obs[self.covariate_keys[0]].astype(str)
-            for key in self.covariate_keys[1:]:
-                joint_labels = joint_labels + "_" + self.adata.obs[key].astype(str)
-
-        skf = StratifiedKFold(
+    # ------------------------------------------------------------ scoring
+    def _stratified_folds(self):
+        """StratifiedKFold index pairs over the joint covariate label
+        ("_"-joined strings, reference optimization.py:229-241)."""
+        labels = self.adata.obs[self.covariate_keys[0]].astype(str)
+        for key in self.covariate_keys[1:]:
+            labels = labels + "_" + self.adata.obs[key].astype(str)
+        splitter = StratifiedKFold(
             n_splits=self.n_splits, shuffle=True, random_state=self.random_state
         )
-        folds = list(skf.split(self.adata.X, joint_labels))
+        return list(splitter.split(self.adata.X, labels))
 
+    def _leakage_score(self, embedding: np.ndarray, rows: np.ndarray) -> float:
+        """Cluster a validation embedding and average ARI+homogeneity leakage
+        across covariates (reference optimization.py:271-278; scanpy
+        neighbors+leiden replaced by the in-repo kNN + native Leiden)."""
+        clusters = scoring.leiden(
+            np.asarray(embedding), n_neighbors=15, resolution=1.0,
+            seed=self.random_state,
+        )
+        per_cov = [
+            scoring.embedding_score(clusters, self.adata.obs[key].to_numpy()[rows])
+            for key in self.covariate_keys
+        ]
+        return float(np.mean(per_cov))
+
+    def calc_score(self, args) -> float:
+        """Stratified-CV covariate-leakage score for one hyperparameter
+        setting (reference optimization.py:220-287): fit on train folds,
+        transform validation, score the unguided embedding; mean over folds."""
+        folds = self._stratified_folds()
         if self.fold_batching and self.max_iter is not None:
-            return self._calc_score_batched(args, folds)
-
-        scores = []
-        for train_idx, val_idx in folds:
-            train_adata = self.adata[train_idx].copy()
-            val_adata = self.adata[val_idx].copy()
-
-            model = ALPINE(
-                n_covariate_components=n_covariate_components,
-                n_components=n_components,
-                lam=[float(l) for l in lam],
-                orth_W=float(args["orth_W"]),
-                alpha_W=float(args["alpha_W"]),
-                l1_ratio_W=float(args["l1_ratio_W"]),
-                use_als=self.use_als,
-                random_state=self.random_state,
-                loss_type=self.loss_type,
-                device=self.device,
-            )
-            model.fit(
-                adata=train_adata,
-                covariate_keys=self.covariate_keys,
-                max_iter=self.max_iter,
-                batch_size=self.batch_size,
-                sampling_method=self.sampling_method,
-                verbose=False,
-            )
-
-            model.store_embeddings(train_adata)
-            model.transform(val_adata)
-
-            clusters = scoring.leiden(
-                np.asarray(val_adata.obsm["ALPINE_embedding"]),
-                n_neighbors=15,
-                resolution=1.0,
-                seed=self.random_state,
-            )
-            val_adata.obs["leiden"] = pd.Categorical(clusters.astype(str))
-
-            embedding_score = 0.0
-            for key in self.covariate_keys:
-                embedding_score += scoring.embedding_score(
-                    clusters, val_adata.obs[key].to_numpy()
-                )
-            embedding_score /= len(self.covariate_keys)
-            scores.append(embedding_score)
-
-            if self.max_iter_detect:
-                self.iter_records.append(model.max_iter)
-
+            embeddings = self._batched_fold_embeddings(args, folds)
+        else:
+            embeddings = (self._fit_one_fold(args, tr, va) for tr, va in folds)
+        scores = [
+            self._leakage_score(emb, val_idx)
+            for (_, val_idx), emb in zip(folds, embeddings)
+        ]
         return float(np.mean(scores))
 
-    def _calc_score_batched(self, args, folds) -> float:
+    def _fit_one_fold(self, args, train_idx, val_idx) -> np.ndarray:
+        """Fit on one training fold, return the validation fold's unguided
+        embedding (host-side)."""
+        train_adata = self.adata[train_idx].copy()
+        val_adata = self.adata[val_idx].copy()
+
+        model = ALPINE(
+            use_als=self.use_als,
+            random_state=self.random_state,
+            loss_type=self.loss_type,
+            device=self.device,
+            **args,
+        )
+        model.fit(
+            adata=train_adata,
+            covariate_keys=self.covariate_keys,
+            max_iter=self.max_iter,
+            batch_size=self.batch_size,
+            sampling_method=self.sampling_method,
+            verbose=False,
+        )
+        model.store_embeddings(train_adata)
+        model.transform(val_adata)
+
+        if self.max_iter_detect:
+            self.iter_records.append(model.max_iter)
+        return np.asarray(val_adata.obsm["ALPINE_embedding"])
+
+    def _batched_fold_embeddings(self, args, folds) -> List[np.ndarray]:
         """All CV folds of this trial as one vmapped program
-        (optimize/batched.py); scoring stays host-side per fold."""
-        from alpine_tpu.optimize.batched import batched_fold_embeddings
-        from alpine_tpu.utils.encoder import FeatureEncoders
-
-        fe = FeatureEncoders(self.covariate_keys)
-        Ys = fe.fit_transform(self.adata.obs)  # (cells x labels) each
-
+        (optimize/batched.py); returns one validation embedding per fold."""
         from jax.sharding import Mesh
 
+        from alpine_tpu.optimize.batched import batched_fold_embeddings
         from alpine_tpu.parallel.mesh import resolve_device
+        from alpine_tpu.utils.encoder import FeatureEncoders
 
+        encoders = FeatureEncoders(self.covariate_keys)
+        Ys = encoders.fit_transform(self.adata.obs)  # (cells x labels) each
         resolved = resolve_device(self.device)
-        mesh = resolved if isinstance(resolved, Mesh) else None
 
-        blocks = tuple(args["n_covariate_components"]) + (args["n_components"],)
-        embeddings = batched_fold_embeddings(
+        return batched_fold_embeddings(
             np.asarray(self.adata.X, dtype=np.float32),
             Ys,
             folds,
-            blocks=blocks,
+            blocks=tuple(args["n_covariate_components"]) + (args["n_components"],),
             lam=[float(l) for l in args["lam"]],
             orth_w=float(args["orth_W"]),
             alpha_w=float(args["alpha_W"]),
@@ -367,60 +438,10 @@ class ComponentOptimizer:
             max_iter=self.max_iter,
             scale=True,
             seed=self.random_state,
-            mesh=mesh,
+            mesh=resolved if isinstance(resolved, Mesh) else None,
         )
 
-        scores = []
-        for (_, val_idx), emb in zip(folds, embeddings):
-            clusters = scoring.leiden(
-                emb, n_neighbors=15, resolution=1.0, seed=self.random_state
-            )
-            s = 0.0
-            for key in self.covariate_keys:
-                s += scoring.embedding_score(
-                    clusters, self.adata.obs[key].to_numpy()[val_idx]
-                )
-            scores.append(s / len(self.covariate_keys))
-        return float(np.mean(scores))
-
-    # ------------------------------------------------------- continuation
-    def extend_training(self, extra_evals=50):
-        """Continue the Bayesian optimization with more evaluations
-        (reference optimization.py:289-333)."""
-        if not hasattr(self, "trials"):
-            raise RuntimeError("Please run bayesian_search() before extending training.")
-
-        best = fmin(
-            fn=self.objective,
-            space=self.space,
-            algo=tpe.suggest,
-            max_evals=len(self.trials.trials) + extra_evals,
-            trials=self.trials,
-            rstate=np.random.default_rng(self.random_state),
-        )
-        if best is None:
-            raise RuntimeError("Hyperparameter optimization did not return any result.")
-
-        component_params = {
-            "n_total_components": best["n_total_components"],
-            "splits": [best[f"split_{i}"] for i in range(len(self.covariate_keys) + 1)],
-        }
-        n_components, n_covariate_components = self._distribute_components(
-            component_params
-        )
-
-        self.best_param["n_components"] = n_components
-        self.best_param["n_covariate_components"] = n_covariate_components
-        self.best_param["lam"] = [
-            float(best[f"lam_{i}"]) for i in range(len(self.covariate_keys))
-        ]
-        self.best_param["orth_W"] = best["orth_W"]
-        self.best_param["alpha_W"] = best["alpha_W"]
-        self.best_param["l1_ratio_W"] = best["l1_ratio_W"]
-        self.best_param["random_state"] = self.random_state
-
-        return copy(self.best_param)
-
+    # -------------------------------------------------------- persistence
     def save_trials(self, filename: str):
         """Pickle the current trials (reference optimization.py:335-345)."""
         with open(filename, "wb") as f:
@@ -428,85 +449,60 @@ class ComponentOptimizer:
         print(f"Trials saved to {filename}")
 
     def load_trials(self, filename: str):
-        """Load pickled trials (reference optimization.py:347-357)."""
-        with open(filename, "rb") as f:
-            self.trials = pickle.load(f)
+        """Load pickled trials (reference optimization.py:347-357).  Accepts
+        both this module's Trials pickles and, best-effort, real hyperopt
+        Trials pickles (import shim in optimize/tpe.py)."""
+        from alpine_tpu.optimize.tpe import import_hyperopt_trials, load_foreign_pickle
+
+        loaded = load_foreign_pickle(filename)
+        if not isinstance(loaded, Trials):
+            loaded = import_hyperopt_trials(loaded)
+        self.trials = loaded
         print(f"Trials loaded from {filename}")
 
     # -------------------------------------------------------- inspection
     def get_hyperparameter(self, idx):
         """Hyperparameters of the idx-th row of the (score-sorted) history
         (reference optimization.py:359-385)."""
-        history_df = self.get_train_history()
-        trial = history_df.iloc[idx]
-        trial_tid = trial["tid"]
-        for t in self.trials.trials:
-            if t["tid"] == trial_tid:
-                return t["result"]["params"]
+        wanted = self.get_train_history().iloc[idx]["tid"]
+        for trial in self.trials.trials:
+            if trial["tid"] == wanted:
+                return trial["result"]["params"]
 
-    def get_train_history(self):
+    #: get_train_history column layout (matches the reference's post-reorder
+    #: frame, optimization.py:452-470): component columns first, then the
+    #: scalar params in trial-record order, per-covariate lambdas last.
+    @staticmethod
+    def _history_row(params: Dict, loss: float, tid) -> Dict:
+        guided = params["n_covariate_components"]
+        row = {"n_components": params["n_components"]}
+        row.update({f"n_covariate_components_{i}": k for i, k in enumerate(guided)})
+        row["n_total_components"] = params["n_components"] + sum(guided)
+        for key in ("orth_W", "alpha_W", "l1_ratio_W", "max_iter"):
+            row[key] = params[key]
+        row["score"] = loss
+        row["tid"] = tid
+        row.update({f"lam_{i}": v for i, v in enumerate(params["lam"])})
+        return row
+
+    def get_train_history(self) -> pd.DataFrame:
         """DataFrame of successful trials with expanded per-covariate
         columns, sorted by score DESCENDING (a reference quirk preserved for
         API compat; the optimizer itself minimizes — optimization.py:473-475
         vs :216)."""
-        history = []
-        for trial in self.trials.trials:
-            if "result" in trial and trial["result"]["status"] == STATUS_OK:
-                trial_info = dict(trial["result"]["params"])
-                trial_info["score"] = trial["result"]["loss"]
-                trial_info["tid"] = trial["tid"]
-                history.append(trial_info)
-
-        if not history:
+        rows = [
+            self._history_row(t["result"]["params"], t["result"]["loss"], t["tid"])
+            for t in self.trials.trials
+            if t.get("result", {}).get("status") == STATUS_OK
+        ]
+        if not rows:
             # the reference crashes with an opaque KeyError here; fail clearly
             raise RuntimeError(
                 "No successful trials recorded yet — run search_hyperparams "
                 "(all trials may have failed the component-distribution check)."
             )
-
-        history_df = pd.DataFrame(history)
-
-        n_covariate_df = pd.DataFrame(
-            history_df["n_covariate_components"].tolist(),
-            columns=[
-                f"n_covariate_components_{i}"
-                for i in range(len(history_df["n_covariate_components"].iloc[0]))
-            ],
-        )
-        lam_df = pd.DataFrame(
-            history_df["lam"].tolist(),
-            columns=[f"lam_{i}" for i in range(len(history_df["lam"].iloc[0]))],
-        )
-        history_df = pd.concat(
-            [history_df.drop(columns=["n_covariate_components", "lam"]),
-             n_covariate_df, lam_df],
-            axis=1,
-        )
-
-        history_df["n_total_components"] = history_df["n_components"] + history_df[
-            [f"n_covariate_components_{i}" for i in range(len(n_covariate_df.columns))]
-        ].sum(axis=1)
-
-        columns_order = (
-            ["n_components"]
-            + [f"n_covariate_components_{i}" for i in range(len(n_covariate_df.columns))]
-            + ["n_total_components"]
-            + [
-                col
-                for col in history_df.columns
-                if col
-                not in ["n_components", "n_total_components"]
-                + [
-                    f"n_covariate_components_{i}"
-                    for i in range(len(n_covariate_df.columns))
-                ]
-            ]
-        )
-        history_df = history_df[columns_order]
-        history_df = history_df.sort_values(by="score", ascending=False).reset_index(
-            drop=True
-        )
-        return history_df
+        frame = pd.DataFrame(rows)
+        return frame.sort_values("score", ascending=False).reset_index(drop=True)
 
     def fit_the_best_param(self):
         """Refit on the full data with the best found parameters
@@ -535,9 +531,9 @@ class ComponentOptimizer:
         return model
 
     # -------------------------------------------------------- validation
+    @staticmethod
     def _validate_init_args(
-        self, adata, covariate_keys, loss_type, max_iter, batch_size, device,
-        random_state,
+        adata, covariate_keys, loss_type, max_iter, batch_size, device, random_state
     ) -> None:
         """(reference optimization.py:512-550, identical messages)"""
         if not is_anndata(adata):
@@ -550,73 +546,39 @@ class ComponentOptimizer:
         if not all(key in adata.obs.columns for key in covariate_keys):
             raise ValueError("All covariate_keys must be present in adata.obs")
 
-        if loss_type not in ["kl-divergence", "frobenius"]:
+        if loss_type not in ("kl-divergence", "frobenius"):
             raise ValueError("loss_type must be either 'kl-divergence' or 'frobenius'")
 
-        if max_iter is not None:
-            if not isinstance(max_iter, int) or max_iter < 0:
-                raise ValueError("max_iter must be a non-negative integer")
-
-        if batch_size is not None:
-            if not isinstance(batch_size, int) or batch_size < 0:
-                raise ValueError("batch_size must be a non-negative integer")
+        for name, value in (("max_iter", max_iter), ("batch_size", batch_size)):
+            if value is not None and (not isinstance(value, int) or value < 0):
+                raise ValueError(f"{name} must be a non-negative integer")
 
         if not isinstance(random_state, int):
             raise TypeError("random_state must be an integer")
 
-    # validated eagerly so a bad value fails at construction instead of
-    # crashing the search after N completed trial fits
-    _VALID_SAMPLING = ("random", "weighted")
-
-    def _validate_search_args(
-        self,
-        n_total_components_range: Tuple[int, int],
-        lam_range: Tuple[float, float],
-        orth_W_range: Tuple[float, float],
-        alpha_W_range: Tuple[float, float],
-        l1_ratio_W_range: Tuple[float, float],
-        n_splits: int,
-        max_evals: int,
-    ) -> None:
-        """(reference optimization.py:552-604, identical messages)"""
-        if (
-            not isinstance(n_total_components_range, tuple)
-            or len(n_total_components_range) != 2
-        ):
-            raise TypeError("n_total_components_range must be a tuple of two integers")
-        else:
-            if n_total_components_range[0] >= n_total_components_range[1]:
-                raise ValueError(
-                    "n_total_components_range must be a tuple with the first element less than the second"
-                )
-            if n_total_components_range[0] < 2:
-                raise ValueError(
-                    "n_total_components_range must be a tuple with the first element greater than or equal to 2"
-                )
-
-        def _validate_tuple_range(arg, name, dtype=float):
-            if not isinstance(arg, tuple) or len(arg) != 2:
-                raise TypeError(f"{name} must be a tuple of two {dtype.__name__}s")
-            if not all(isinstance(x, dtype) for x in arg):
-                raise TypeError(f"All elements of {name} must be {dtype.__name__}s")
-            if arg[0] >= arg[1]:
-                raise ValueError(
-                    f"{name} must be a tuple with the first element less than the second"
-                )
-
-        _validate_tuple_range(lam_range, "lam_range", float)
-        _validate_tuple_range(orth_W_range, "orth_W_range", float)
-        _validate_tuple_range(alpha_W_range, "alpha_W_range", float)
-        _validate_tuple_range(l1_ratio_W_range, "l1_ratio_W_range", float)
-        if l1_ratio_W_range[1] > 1.0:
-            raise ValueError(
-                "l1_ratio_W_range's second element must be less than or equal to 1.0"
-            )
-
+    @staticmethod
+    def _check_cv_args(n_splits, max_evals) -> None:
+        """(reference optimization.py:598-604, identical messages)"""
         if not isinstance(n_splits, int):
             raise TypeError("n_splits must be an integer")
         if n_splits < 2:
             raise ValueError("n_splits must be greater than or equal to 2")
-
         if not isinstance(max_evals, int) or max_evals <= 0:
             raise ValueError("max_evals must be a positive integer")
+
+    def _validate_search_args(
+        self,
+        n_total_components_range,
+        lam_range,
+        orth_W_range,
+        alpha_W_range,
+        l1_ratio_W_range,
+        n_splits,
+        max_evals,
+    ) -> None:
+        """Back-compat shim: range checks live on SearchSpace.validate()."""
+        SearchSpace(
+            n_total_components_range, lam_range, orth_W_range, alpha_W_range,
+            l1_ratio_W_range, n_covariates=len(self.covariate_keys),
+        ).validate()
+        self._check_cv_args(n_splits, max_evals)

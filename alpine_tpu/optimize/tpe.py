@@ -27,6 +27,7 @@ candidate maximizing l(x)/g(x).
 from __future__ import annotations
 
 import math
+import pickle
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional
 
@@ -337,3 +338,78 @@ def fmin(
     if best is None:
         return None
     return {k: v[0] for k, v in best["misc"]["vals"].items()}
+
+
+# ---------------------------------------------------------------------------
+# hyperopt interop (reference optimization.py:335-357 persistence contract)
+# ---------------------------------------------------------------------------
+
+
+class _ForeignStub:
+    """Shape-only stand-in for classes from packages that are not installed
+    here (used when reading real hyperopt Trials pickles)."""
+
+    def __init__(self, *args, **kwargs):
+        self._args, self._kwargs = args, kwargs
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    """Unpickler that substitutes _ForeignStub subclasses for any class whose
+    module cannot be imported, so foreign pickles load structurally."""
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return type(name, (_ForeignStub,), {"__module__": module})
+
+
+def load_foreign_pickle(filename: str):
+    """Load a pickle even when it references unavailable packages (e.g. a
+    hyperopt Trials file written by the reference implementation)."""
+    with open(filename, "rb") as f:
+        return _TolerantUnpickler(f).load()
+
+
+def import_hyperopt_trials(obj) -> Trials:
+    """Best-effort conversion of a real hyperopt ``Trials`` (or its raw
+    trial-document list) into this module's :class:`Trials`, so reference
+    users can carry saved search state over.
+
+    hyperopt trial documents share the core fields this module uses
+    ("tid", "misc"->"vals", "result" with "ok"/"fail" statuses); exp_key,
+    book-keeping timestamps and attachments are dropped.  Labels with empty
+    value lists (hyperopt conditional-space leaves that were inactive) are
+    skipped — this module's spaces are unconditional.
+    """
+    if isinstance(obj, Trials):
+        return obj
+    docs = None
+    for attr in ("_dynamic_trials", "trials", "_trials"):
+        docs = getattr(obj, attr, None)
+        if docs is not None:
+            break
+    if docs is None and isinstance(obj, (list, tuple)):
+        docs = list(obj)
+    if docs is None:
+        raise TypeError(
+            f"Cannot interpret {type(obj).__name__!r} as a hyperopt Trials object"
+        )
+    out = Trials()
+    for doc in docs:
+        try:
+            tid = doc["tid"]
+            raw_vals = doc["misc"]["vals"]
+            vals = {k: list(v) for k, v in raw_vals.items() if len(v)}
+            result = dict(doc.get("result") or {})
+        except (KeyError, TypeError) as exc:
+            raise ValueError(f"Unrecognized hyperopt trial document: {exc!r}") from exc
+        result.setdefault("status", STATUS_FAIL)
+        out.trials.append({"tid": tid, "misc": {"vals": vals}, "result": result})
+    return out

@@ -261,3 +261,56 @@ def test_tpe_linear_forgetting_weights():
     w = _forgetting_weights(LINEAR_FORGETTING + 10)
     assert (w[-LINEAR_FORGETTING:] == 1.0).all()
     assert (np.diff(w[:10]) > 0).all() and w[0] < 1.0  # oldest lowest
+
+
+def test_hyperopt_trials_import_shim(tmp_path, small_adata):
+    """A pickle written by real hyperopt (module not installed here) must
+    load through the tolerant unpickler and convert into our Trials."""
+    import sys
+    import types
+
+    # forge a hyperopt-shaped pickle: a class from a module that will not
+    # be importable at load time, carrying _dynamic_trials documents
+    mod = types.ModuleType("hyperopt_forged")
+    class Trials:  # noqa: N801 - mimics hyperopt.Trials
+        pass
+    Trials.__module__ = "hyperopt_forged"
+    Trials.__qualname__ = "Trials"
+    mod.Trials = Trials
+    sys.modules["hyperopt_forged"] = mod
+    try:
+        t = Trials()
+        t._dynamic_trials = [
+            {"tid": 0, "state": 2, "exp_key": None,
+             "misc": {"vals": {"x": [0.25], "inactive": []}, "cmd": ("domain_attachment",)},
+             "result": {"loss": 0.25, "status": "ok",
+                        "params": {"n_components": 5, "n_covariate_components": [2],
+                                   "lam": [10.0], "orth_W": 0.0, "alpha_W": 0.0,
+                                   "l1_ratio_W": 0.0, "max_iter": 5}}},
+            {"tid": 1, "state": 2, "exp_key": None,
+             "misc": {"vals": {"x": [0.75], "inactive": []}},
+             "result": {"loss": np.inf, "status": "fail"}},
+        ]
+        p = str(tmp_path / "hp_trials.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(t, f)
+    finally:
+        del sys.modules["hyperopt_forged"]
+
+    from alpine_tpu.optimize.tpe import import_hyperopt_trials, load_foreign_pickle
+
+    obj = load_foreign_pickle(p)
+    assert not isinstance(obj, Trials)
+    conv = import_hyperopt_trials(obj)
+    assert len(conv.trials) == 2
+    assert conv.trials[0]["misc"]["vals"] == {"x": [0.25]}  # empty lists dropped
+    assert conv.trials[0]["result"]["status"] == STATUS_OK
+    assert conv.trials[1]["result"]["status"] == STATUS_FAIL
+
+    # and ComponentOptimizer.load_trials accepts the foreign file directly
+    from alpine_tpu import ComponentOptimizer
+
+    co = ComponentOptimizer(small_adata, ["batch"], max_iter=5, device="cpu")
+    co.load_trials(p)
+    hist = co.get_train_history()
+    assert len(hist) == 1 and hist.iloc[0]["score"] == 0.25
