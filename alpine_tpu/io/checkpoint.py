@@ -22,6 +22,8 @@ import hashlib
 import json
 import os
 import pickle
+import warnings
+import zipfile
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -199,6 +201,12 @@ class FitCheckpointer:
         os.replace(tmp, self.path)  # atomic: never a torn snapshot
 
     def load(self) -> Optional[Tuple[int, np.ndarray, np.ndarray, tuple, np.ndarray]]:
+        """Restore a snapshot, or None when there is none / it is unreadable.
+
+        Only expected corruption modes (truncated/invalid file, missing
+        fields) degrade to a from-scratch fit — with a warning naming the
+        snapshot so an atlas-scale restart is never silent.  Unexpected
+        errors propagate."""
         if not os.path.exists(self.path):
             return None
         try:
@@ -218,7 +226,11 @@ class FitCheckpointer:
                 tuple(data[f"B_{i}"] for i in range(n_bs)),
                 data["losses"],
             )
-        except Exception:
+        except (OSError, ValueError, KeyError, zipfile.BadZipFile) as e:
+            warnings.warn(
+                f"Fit checkpoint at {self.path!r} is unreadable "
+                f"({type(e).__name__}: {e}); restarting the fit from scratch."
+            )
             return None
 
     def clear(self) -> None:

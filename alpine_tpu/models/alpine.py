@@ -630,12 +630,21 @@ class ALPINE:
             raise ValueError("All elements in adata.X must be non-negative.")
 
         placement = Placement(self.device)
-        X = placement.put_x_matrix(X_array)
         n_sample = X_array.shape[1]
+        # shard_map / device_put need equal cell shards; zero columns are
+        # neutral for the projection (columns are independent) and are
+        # sliced off below (round-1 advisor finding: non-divisible cell
+        # counts crashed the sharded transform)
+        pad = (-n_sample) % self._mesh_devices() if placement.is_sharded else 0
+        if pad:
+            X_array = np.pad(X_array, ((0, 0), (0, pad)))
+        X = placement.put_x_matrix(X_array)
 
         key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), 1)
         H0 = jnp.maximum(
-            jax.random.uniform(key, (self.total_components, n_sample), dtype=jnp.float32),
+            jax.random.uniform(
+                key, (self.total_components, n_sample + pad), dtype=jnp.float32
+            ),
             self.eps,
         )
         H0 = placement.put_cells_matrix(H0)
@@ -649,7 +658,7 @@ class ALPINE:
             precision=self.matmul_precision, fused=use_fused,
             mesh=placement.mesh if use_fused and placement.is_sharded else None,
         )
-        H_np = np.asarray(jax.device_get(H), dtype=np.float32)
+        H_np = np.asarray(jax.device_get(H), dtype=np.float32)[:, :n_sample]
         Hs = split_h(H_np, self.n_all_components)
 
         for i, covariate in enumerate(self.covariate_keys):

@@ -464,6 +464,19 @@ def _update_w(cfg: MUConfig, hyper, W, XHt, HHt):
     return W * (num / _clamp(den, eps))
 
 
+def _strip_kl_pad_bias(cfg: MUConfig, preds, total_pad: int, eps):
+    """Remove the closed-form padding bias from in-kernel KL prediction
+    partials: each zero-padded cell column contributes clamp(B@0, eps) = eps
+    per label row, i.e. exactly n_labels[i]·total_pad·eps per covariate
+    (reference loss semantics: main.py:727-731 over the unpadded matrix)."""
+    if not cfg.loss_kl or not total_pad:
+        return preds
+    return tuple(
+        p - jnp.float32(nl * total_pad) * eps
+        for p, nl in zip(preds, cfg.n_labels)
+    )
+
+
 def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     """Full-batch joint MU via fused Pallas kernels: each iteration reads X
     exactly ONCE, and (with covariates) every per-iteration pass over H —
@@ -477,9 +490,11 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     (main.py:614-628).
 
     The cell axis is zero-padded to a tile multiple once up front — exactly
-    neutral for every update (tests/test_batched.py padding-neutrality);
-    the KL prediction loss picks up a constant labels·n_pad·eps absolute
-    bias (~1e-9 relative), documented here."""
+    neutral for every update (tests/test_batched.py padding-neutrality).
+    The in-kernel KL prediction partial counts each padded column as
+    clamp(B@0, eps) = eps per label row; that closed-form constant
+    labels_i·n_pad·eps is subtracted below so loss_history is
+    backend-invariant."""
     from alpine_tpu.ops import pallas_kernels as pk
 
     dot = partial(_dot, precision=cfg.precision)
@@ -512,6 +527,7 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     HHt0 = dot(H0, H0.T)
 
     bnums0, bdens0 = _b_stats(cfg, hyper, Bs0, H0, Ys) if cfg.n_cov else ((), ())
+    total_pad = X.shape[1] - n
 
     def iteration(carry, _):
         W, H, Bs, XHt, HHt, bnums, bdens = carry
@@ -525,6 +541,7 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
                 X, W, H, WtW, Ys, Bs, lam, eps,
                 blocks=cfg.blocks, loss_kl=cfg.loss_kl, interpret=interpret,
             )
+            preds = _strip_kl_pad_bias(cfg, preds, total_pad, eps)
         else:
             H, XHt, HHt, lossdot = pk.fused_h_update(
                 X, W, H, WtW, eps, interpret=interpret
@@ -571,6 +588,7 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
     from alpine_tpu.ops import pallas_kernels as pk
 
     axis = mesh.axis_names[-1]
+    n_shards = mesh.shape[axis]
     cells = P(None, axis)
     rep = P()
     interpret = cfg.backend == "pallas_interpret"
@@ -608,6 +626,12 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
                 )
                 bnums, bdens = tsum(bn_p), tsum(bd_p)
                 preds = tuple(psum(p) for p in preds_p)
+                # global pad = padded global width - true cell count; the
+                # psum'd KL partials carry eps per padded column per label
+                preds = _strip_kl_pad_bias(
+                    cfg, preds,
+                    X_loc.shape[1] * n_shards - cfg.n_cells, eps,
+                )
             else:
                 H, XHt_p, HHt_p, ld_p = pk.fused_h_update(
                     X_loc, W, H, WtW, eps, interpret=interpret
@@ -712,15 +736,23 @@ def run_transform(W, X, H0, eps, *, n_iter: int, precision: str = "highest",
 
         axis = mesh.axis_names[-1]
         cells = P(None, axis)
+        # shard_map needs equal cell shards; zero columns are neutral for
+        # the multiplicative update (num=0 keeps them 0) and are sliced off
+        n = H0.shape[1]
+        n_pad = (-n) % mesh.shape[axis]
+        if n_pad:
+            num2 = jnp.pad(num2, ((0, 0), (0, n_pad)))
+            H0 = jnp.pad(H0, ((0, 0), (0, n_pad)))
         local = lambda n2, h0, w2, e: pk.fused_transform(
             n2, h0, w2, e, n_iter=n_iter, interpret=interpret
         )
-        return jax.jit(shard_map(
+        H = jax.jit(shard_map(
             local, mesh=mesh,
             in_specs=(cells, cells, P(), P()),
             out_specs=cells,
             **_sm_kwargs,
         ))(num2, H0, WtW2, eps)
+        return H[:, :n] if n_pad else H
     return transform_scan(W, X, H0, eps, n_iter=n_iter, precision=precision)
 
 

@@ -192,3 +192,18 @@ def test_orbax_relative_path_and_overwrite(tmp_path, monkeypatch):
     assert ck.load()[0] == 2
     ck.clear()
     assert ck.load() is None
+
+
+def test_corrupt_snapshot_warns_not_silent(tmp_path):
+    """A truncated/garbage snapshot must degrade to a fresh fit WITH a
+    warning naming the file (round-1 advisor finding), and unexpected
+    errors must not be swallowed."""
+    import warnings as _warnings
+
+    from alpine_tpu.io.checkpoint import FitCheckpointer
+
+    ck = FitCheckpointer(str(tmp_path), {"k": 1})
+    with open(ck.path, "wb") as f:
+        f.write(b"not a zip archive")
+    with pytest.warns(UserWarning, match="unreadable"):
+        assert ck.load() is None

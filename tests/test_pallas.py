@@ -293,3 +293,56 @@ def test_sharded_fused_transform_matches_scan():
                            fused=True, mesh=mesh, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=1e-5)
+
+
+def test_sharded_fused_transform_nondivisible_cells():
+    """Cell counts that don't divide the mesh must pad-and-slice, not crash
+    (round-1 advisor finding: shard_map divisibility ValueError)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    r = np.random.default_rng(11)
+    g, K2, n = 16, 7, 997  # 997 % 8 != 0
+    W = jnp.asarray(r.random((g, K2), dtype=np.float32))
+    X = jnp.asarray(r.random((g, n), dtype=np.float32))
+    H0 = jnp.asarray(r.random((K2, n), dtype=np.float32) + 0.1)
+    want = mu.transform_scan(W, X, H0, jnp.float32(EPS), n_iter=10)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("cells",))
+    # uncommitted inputs: run_transform pads to the mesh in-jit and slices back
+    got = mu.run_transform(W, X, H0, jnp.float32(EPS), n_iter=10,
+                           fused=True, mesh=mesh, interpret=True)
+    assert got.shape == (K2, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_pallas_kl_pred_pad_bias_removed():
+    """The padded cell axis must NOT bias the KL prediction loss: with a
+    large eps any residual clamp(B@0,eps)=eps-per-pad-column bias would be
+    glaring.  Run two iterations pallas-vs-xla and compare the prediction
+    columns tightly (round-1 verdict item: loss_history must be
+    backend-invariant)."""
+    import numpy as np
+
+    X, Ys = _problem(seed=9)
+    big_eps = 1e-2  # bias, if present, would be n_labels * n_pad * 1e-2
+    hyper = (jnp.asarray([3.0, 1.5], jnp.float32), jnp.float32(0.0),
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(big_eps))
+    key = jax.random.PRNGKey(3)
+
+    cfg_x = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=N,
+                        loss_kl=True, max_iter=2, backend="xla")
+    W0, H0, Bs0 = mu.init_matrices(cfg_x, G, key, big_eps)
+    *_, Lx = mu.fit_scan(cfg_x, W0, H0, Bs0, X, Ys, hyper, key, None)
+
+    cfg_p = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=N,
+                        loss_kl=True, max_iter=2, backend="pallas_interpret")
+    *_, Lp = mu.fit_scan(cfg_p, W0, H0, Bs0, X, Ys, hyper, key, None)
+
+    # prediction columns (index 2:) must agree at float32 accumulation
+    # accuracy, far below the would-be bias of ~n_pad * 1e-2
+    np.testing.assert_allclose(np.asarray(Lx)[:, 2:], np.asarray(Lp)[:, 2:],
+                               rtol=2e-5)

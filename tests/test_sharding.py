@@ -46,6 +46,13 @@ def test_sharded_transform():
     model.transform(fresh, n_iter=5)
     assert fresh.obsm["ALPINE_embedding"].shape == (64, 5)
 
+    # cell counts that don't divide the mesh are padded host-side and
+    # sliced back (round-1 advisor finding)
+    ragged = make_synthetic_adata(n_cells=61, n_genes=32, seed=5)
+    model.transform(ragged, n_iter=5)
+    assert ragged.obsm["ALPINE_embedding"].shape == (61, 5)
+    assert np.isfinite(ragged.obsm["ALPINE_embedding"]).all()
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_2d_gene_cell_mesh_fit():
