@@ -140,6 +140,17 @@ class ALPINE:
         # the sharded kernel path needs tile-aligned shards even unguided
         pad = (self._pallas_pad(n_sample, include_unguided=placement.is_sharded)
                if n_restarts == 1 else 0)
+        # shard-local minibatch sampling (mu.fit_scan_minibatch_sharded)
+        # runs inside shard_map, which needs equal cell shards
+        shard_local_mb = (
+            n_restarts == 1
+            and placement.is_sharded
+            and len(placement.mesh.axis_names) == 1
+            and not self.use_als
+            and (self.batch_size < n_sample or sampling_method == "weighted")
+        )
+        if shard_local_mb and pad == 0:
+            pad = (-n_sample) % self._mesh_devices()
         if pad:
             # zero columns are exactly neutral (tests/test_batched.py
             # padding-neutrality); pre-padding host-side avoids a transient
@@ -161,9 +172,15 @@ class ALPINE:
                     "(balancing is over the joint covariate labels)."
                 )
             ids = sampling.joint_label_ids(Ys)
-            weights = placement.put_replicated(
-                jnp.asarray(sampling.balanced_sample_probabilities(ids))
-            )
+            w_host = sampling.balanced_sample_probabilities(ids)
+            if shard_local_mb:
+                # zero weight on pad columns: never drawn; per-shard
+                # renormalization happens inside the shard_map body
+                if pad:
+                    w_host = np.pad(w_host, (0, pad))
+                weights = placement.put_cells_vector(jnp.asarray(w_host))
+            else:
+                weights = placement.put_replicated(jnp.asarray(w_host))
 
         self.timings_: Dict[str, float] = {}
         timer = profiling.StepTimer(self.timings_)
@@ -185,6 +202,13 @@ class ALPINE:
             if cfg.use_pallas and placement.is_sharded:
                 return mu.fit_scan_sharded(cfg, placement.mesh, W0, H0, Bs0,
                                            Xd, Ysd, hyper)
+            if shard_local_mb and not cfg.full_batch:
+                # shard-local sampling: gathers/scatters stay on-device,
+                # only small-accumulator psums cross the ICI
+                return mu.fit_scan_minibatch_sharded(
+                    cfg, placement.mesh, W0, H0, Bs0, Xd, Ysd, hyper,
+                    fit_key, weights,
+                )
             return mu.fit_scan(cfg, W0, H0, Bs0, Xd, Ysd, hyper, fit_key, weights)
 
         def run(n_iter: int):
@@ -224,6 +248,10 @@ class ALPINE:
             resumed = ckpt.load()
             if resumed is not None:
                 done, W_np, H_np, Bs_np, losses0 = resumed
+                if pad:
+                    # snapshots store the unpadded H; re-pad to the device
+                    # layout (zero columns are exactly neutral)
+                    H_np = np.pad(H_np, ((0, 0), (0, pad)))
                 W = placement.put_w_matrix(jnp.asarray(W_np))
                 H = placement.put_cells_matrix(jnp.asarray(H_np))
                 Bs = tuple(placement.put_replicated(jnp.asarray(b)) for b in Bs_np)

@@ -184,17 +184,25 @@ def _maybe_report(cfg: "MUConfig", loss: Array) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _ident(v):
+    return v
+
+
 def _update_b(cfg: MUConfig, i: int, B: Array, Hi: Array, Yi: Array, lam_i, eps,
-              HHt_ii: Optional[Array] = None) -> Array:
-    """B update (reference main.py:614-628 joint / :547-562 ALS)."""
+              HHt_ii: Optional[Array] = None, r=_ident) -> Array:
+    """B update (reference main.py:614-628 joint / :547-562 ALS).
+
+    `r` reduces cell-axis contractions across shards (identity on one
+    device; lax.psum inside shard_map) — the op graph is unchanged when
+    r is the identity, keeping the float64 oracle gate authoritative."""
     dot = partial(_dot, precision=cfg.precision)
     if cfg.loss_kl:
-        num = lam_i * dot(Yi / _clamp(dot(B, Hi), eps), Hi.T)
+        num = lam_i * r(dot(Yi / _clamp(dot(B, Hi), eps), Hi.T))
         # ones_like(Y) @ Hᵀ == broadcast of rowsum(H) (main.py:623)
-        den = lam_i * jnp.broadcast_to(jnp.sum(Hi, axis=1)[None, :], B.shape)
+        den = lam_i * jnp.broadcast_to(r(jnp.sum(Hi, axis=1))[None, :], B.shape)
     else:
-        num = 2.0 * dot(Yi, Hi.T)
-        hht = HHt_ii if HHt_ii is not None else dot(Hi, Hi.T)
+        num = 2.0 * r(dot(Yi, Hi.T))
+        hht = HHt_ii if HHt_ii is not None else r(dot(Hi, Hi.T))
         den = 2.0 * dot(B, hht)
     return B * (num / _clamp(den, eps))
 
@@ -213,17 +221,22 @@ def _guided_h_terms(cfg: MUConfig, i: int, B: Array, Hi: Array, Yi: Array, lam_i
     return gnum, gden
 
 
-def joint_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
+def joint_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b, r=_ident):
     """One joint ("NMF mode") MU step on a batch: W, then Bs, then H
     (reference main.py:589-663).  Returns (W, Bs, H_b, (WtX, WtW)); the
     returned WtX/WtW are valid for the post-update W and are reused by the
-    full-batch loss."""
+    full-batch loss.
+
+    With `r` = a psum over a cell-sharded mesh (the shard_map minibatch
+    path), every cell-axis contraction is reduced across shards while the
+    per-cell H columns and guided terms stay shard-local — W/Bs remain
+    replicated by construction."""
     dot = partial(_dot, precision=cfg.precision)
     lam, orth_w, alpha_w, l1_ratio, eps = hyper
 
     # --- W update (main.py:592-612) ---
-    HHt = dot(H_b, H_b.T)
-    num = 2.0 * _dot_x(cfg, X_b, H_b.T)
+    HHt = r(dot(H_b, H_b.T))
+    num = 2.0 * r(_dot_x(cfg, X_b, H_b.T))
     den = (
         2.0 * dot(W, HHt)
         + (1.0 - l1_ratio) * alpha_w * W
@@ -238,11 +251,11 @@ def joint_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
         o, k = cfg.offsets[i], cfg.blocks[i]
         newBs.append(
             _update_b(cfg, i, Bs[i], H_b[o:o + k], Ys_b[i], lam[i], eps,
-                      HHt_ii=HHt[o:o + k, o:o + k])
+                      HHt_ii=HHt[o:o + k, o:o + k], r=r)
         )
     Bs = tuple(newBs)
 
-    # --- H update (main.py:630-663) ---
+    # --- H update (main.py:630-663); per-cell, shard-local under r=psum ---
     WtX = _dot_x(cfg, W.T, X_b)
     WtW = dot(W.T, W)
     num = 2.0 * WtX
@@ -312,21 +325,27 @@ def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
 
 
 def compute_loss_parts(cfg: MUConfig, hyper, W, H, Bs, X, Ys, normX2,
-                       WtX: Optional[Array] = None, WtW: Optional[Array] = None) -> Array:
+                       WtX: Optional[Array] = None, WtW: Optional[Array] = None,
+                       r=_ident, kl_pad: int = 0) -> Array:
     """Per-iteration loss vector [total, recon, pred_0, ...] on the FULL
     matrices (reference _compute_loss, main.py:726-753).
 
     recon uses ‖X−WH‖² = ‖X‖² − 2·Σ(WᵀX)∘H + Σ(WᵀW)∘(HHᵀ) — never
     materializing the (genes × cells) product the reference builds at
-    main.py:736."""
+    main.py:736.  `r` reduces cell-axis sums across shards (see
+    joint_batch_update); normX2 must already be globally reduced.  `kl_pad`
+    = number of zero-padded cell columns in X/H/Ys (GLOBAL count when r is a
+    psum): each contributes clamp(B@0, eps) = eps per label row to the KL
+    prediction term, subtracted in closed form so padding never biases
+    loss_history."""
     dot = partial(_dot, precision=cfg.precision)
     lam, _, _, _, eps = hyper
     if WtX is None:
         WtX = _dot_x(cfg, W.T, X)
     if WtW is None:
         WtW = dot(W.T, W)
-    HHt = dot(H, H.T)
-    recon = normX2 - 2.0 * jnp.sum(WtX * H) + jnp.sum(WtW * HHt)
+    HHt = r(dot(H, H.T))
+    recon = normX2 - 2.0 * r(jnp.sum(WtX * H)) + jnp.sum(WtW * HHt)
 
     parts = [recon]
     total = recon
@@ -335,10 +354,12 @@ def compute_loss_parts(cfg: MUConfig, hyper, W, H, Bs, X, Ys, normX2,
         yhat = dot(Bs[i], H[o:o + k])
         if cfg.loss_kl:
             yh = _clamp(yhat, eps)
-            pred = jnp.sum(Ys[i] * jnp.log(_clamp(Ys[i] / yh, eps)) - Ys[i] + yh)
+            pred = r(jnp.sum(Ys[i] * jnp.log(_clamp(Ys[i] / yh, eps)) - Ys[i] + yh))
+            if kl_pad:
+                pred = pred - jnp.float32(cfg.n_labels[i] * kl_pad) * eps
         else:
             d = Ys[i] - yhat
-            pred = jnp.sum(d * d)
+            pred = r(jnp.sum(d * d))
         parts.append(pred)
         total = total + lam[i] * pred
     return jnp.stack([total] + parts)
@@ -566,6 +587,140 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     return W, H, Bs, losses
 
 
+def _get_shard_map():
+    """shard_map entry point + replication-check kwargs across jax versions."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+        return shard_map, {"check_vma": False}
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        return shard_map, {"check_rep": False}
+
+
+@lru_cache(maxsize=64)
+def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
+    """Compile a minibatch joint fit where sampling is SHARD-LOCAL
+    (SURVEY §7 hard-part 3): each device permutes / weighted-draws only its
+    own cell shard, so every gather and H scatter stays on-device and the
+    only cross-chip traffic is psums of the small accumulators — (genes×K),
+    (K×K), B stats, loss scalars — exactly like the full-batch sharded path.
+    No all-to-alls (asserted in tests/test_sharding.py against the HLO).
+
+    Sampling semantics vs the reference (sampling.py:6-33, a single global
+    permutation / weighted draw): each global batch is the union of
+    equal-size per-shard sub-batches — i.e. sampling stratified by shard.
+    For "random" this is a uniformly random batch within each shard; for
+    "weighted" each shard draws with its locally-renormalized balanced
+    probabilities.  Statistically equivalent for i.i.d.-distributed cells;
+    documented divergence (the global-index GSPMD path would instead move
+    O(batch) columns across chips every batch).
+
+    Cell padding (model layer pads X/Ys/H/weights with zero columns to
+    equalize shards) is exactly neutral: zero columns contribute zero to
+    every numerator/denominator sum, scatter back as zeros, and get weight
+    zero in weighted mode."""
+    shard_map, sm_kwargs = _get_shard_map()
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[-1]
+    n_shards = mesh.shape[axis]
+    cells = P(None, axis)
+    cells_vec = P(axis)
+    rep = P()
+
+    def body(W0, H0_loc, Bs0, X_loc, Ys_loc, hyper, key, w_loc):
+        psum = lambda v: lax.psum(v, axis)
+        normX2 = psum(_norm_x2(cfg, X_loc))
+        X_loc = X_loc.astype(cfg.xdt)
+        Ys_loc = tuple(Y.astype(cfg.xdt) for Y in Ys_loc)
+        n_loc = X_loc.shape[1]
+        nb = cfg.num_batches
+        bs_loc = -(-n_loc // nb)
+        pad = nb * bs_loc - n_loc
+
+        # per-shard sampling stream
+        key = jax.random.fold_in(key, lax.axis_index(axis))
+        if cfg.weighted:
+            # clamp guards an (all-padding) shard; its draws then hit zero
+            # columns, which are neutral
+            p_loc = w_loc / _clamp(jnp.sum(w_loc), jnp.float32(1e-30))
+
+        def iteration(carry, it_key):
+            W, H, Bs = carry
+            if cfg.weighted:
+                idx = jax.random.choice(
+                    it_key, n_loc, shape=(n_loc,), replace=True, p=p_loc
+                )
+            else:
+                idx = jax.random.permutation(it_key, n_loc)
+            if pad:
+                idx = jnp.concatenate([idx, jnp.full((pad,), n_loc, idx.dtype)])
+            idx_mat = idx.reshape(nb, bs_loc)
+
+            def batch_body(c, bidx):
+                W, H, Bs = c
+                X_b = jnp.take(X_loc, bidx, axis=1, mode="fill", fill_value=0.0)
+                Ys_b = tuple(
+                    jnp.take(Y, bidx, axis=1, mode="fill", fill_value=0.0)
+                    for Y in Ys_loc
+                )
+                H_b = jnp.take(H, bidx, axis=1, mode="fill", fill_value=0.0)
+                W, Bs, H_b, _ = joint_batch_update(
+                    cfg, hyper, W, Bs, H_b, X_b, Ys_b, r=psum
+                )
+                H = H.at[:, bidx].set(H_b, mode="drop")
+                return (W, H, Bs), None
+
+            (W, H, Bs), _ = lax.scan(batch_body, (W, H, Bs), idx_mat)
+            loss = compute_loss_parts(
+                cfg, hyper, W, H, Bs, X_loc, Ys_loc, normX2, r=psum,
+                kl_pad=n_loc * n_shards - cfg.n_cells,
+            )
+            _maybe_report(cfg, loss)
+            return (W, H, Bs), loss
+
+        keys = jax.random.split(key, cfg.max_iter)
+        (W, H, Bs), losses = lax.scan(iteration, (W0, H0_loc, Bs0), keys)
+        return W, H, Bs, losses
+
+    n_cov = cfg.n_cov
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, cells, (rep,) * n_cov, cells, (cells,) * n_cov,
+                  (rep,) * 5, rep, cells_vec),
+        out_specs=(rep, cells, (rep,) * n_cov, rep),
+        **sm_kwargs,
+    )
+    return jax.jit(mapped)
+
+
+def fit_scan_minibatch_sharded(cfg: MUConfig, mesh, W0, H0, Bs0, X, Ys, hyper,
+                               key, weights=None):
+    """Shard-local minibatch training entry: joint mode over a 1-D cell
+    mesh.  X/H/Ys (and weights) must be cell-sharded with equal shards;
+    W/Bs replicated.  `weights` is the per-cell probability vector for
+    weighted mode (any normalization; renormalized per shard)."""
+    if cfg.use_als:
+        raise ValueError(
+            "shard-local minibatch sampling supports joint mode only; "
+            "ALS minibatch fits run the global GSPMD path"
+        )
+    if cfg.full_batch:
+        raise ValueError("use fit_scan / fit_scan_sharded for full-batch fits")
+    if weights is None:
+        weights = jnp.zeros((X.shape[1],), jnp.float32)
+    if H0.shape[1] != X.shape[1]:
+        # e.g. a checkpoint-resume carry sliced back to n_cells; zero pad
+        # columns are exactly neutral
+        H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
+    fn = _build_sharded_minibatch_fit(cfg, mesh)
+    W, H, Bs, losses = fn(W0, H0, Bs0, X, Ys, hyper, key, weights)
+    if H.shape[1] != cfg.n_cells:
+        H = H[:, :cfg.n_cells]
+    return W, H, Bs, losses
+
+
 @lru_cache(maxsize=64)
 def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
     """Compile a full-batch joint fit where each device runs the fused
@@ -577,12 +732,7 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
 
     Requires every local cell shard to be a multiple of the kernel tile
     (the model layer pads to tile × n_devices; see ALPINE._pallas_pad)."""
-    try:
-        from jax import shard_map  # jax >= 0.8
-        _sm_kwargs = {"check_vma": False}
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-        _sm_kwargs = {"check_rep": False}
+    shard_map, _sm_kwargs = _get_shard_map()
     from jax.sharding import PartitionSpec as P
 
     from alpine_tpu.ops import pallas_kernels as pk
@@ -726,12 +876,7 @@ def run_transform(W, X, H0, eps, *, n_iter: int, precision: str = "highest",
             return pk.fused_transform(num2, H0, WtW2, eps, n_iter=n_iter,
                                       interpret=interpret)
 
-        try:
-            from jax import shard_map
-            _sm_kwargs = {"check_vma": False}
-        except ImportError:  # pragma: no cover
-            from jax.experimental.shard_map import shard_map
-            _sm_kwargs = {"check_rep": False}
+        shard_map, _sm_kwargs = _get_shard_map()
         from jax.sharding import PartitionSpec as P
 
         axis = mesh.axis_names[-1]

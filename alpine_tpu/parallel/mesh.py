@@ -122,6 +122,12 @@ class Placement:
             return jax.device_put(arr, self._sharding(P(GENE_AXIS, None)))
         return self.put_replicated(arr)
 
+    def put_cells_vector(self, arr):
+        """(cells,) vectors (e.g. sampling weights) — shard the cell axis."""
+        if self.mesh is None:
+            return jax.device_put(arr, self.target)
+        return jax.device_put(arr, self._sharding(P(self.mesh.axis_names[-1])))
+
     def put_replicated(self, arr):
         """Bs, scalars — replicated."""
         if self.mesh is None:

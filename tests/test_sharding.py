@@ -87,3 +87,109 @@ def test_mesh_validation():
         bad = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("a", "b"))
         with pytest.raises(ValueError, match="genes"):
             resolve_device(bad)
+
+
+# ------------------------------------------------- shard-local minibatching
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_minibatch_update_matches_unsharded():
+    """joint_batch_update with r=psum under shard_map on a cell-sharded
+    batch must equal the unsharded update bit-for-bit-ish: the psum hook
+    only changes WHERE cell-axis contractions reduce, not the math."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from alpine_tpu.ops import mu
+
+    r = np.random.default_rng(0)
+    g, n = 12, 64
+    blocks, n_labels = (3, 5), (2,)
+    cfg = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=n)
+    X = jnp.asarray(r.random((g, n), dtype=np.float32))
+    Y = np.zeros((2, n), np.float32)
+    Y[r.integers(0, 2, n), np.arange(n)] = 1.0
+    Ys = (jnp.asarray(Y),)
+    W = jnp.asarray(r.random((g, 8), dtype=np.float32) + 0.1)
+    H = jnp.asarray(r.random((8, n), dtype=np.float32) + 0.1)
+    Bs = (jnp.asarray(r.random((2, 3), dtype=np.float32) + 0.1),)
+    hyper = (jnp.asarray([2.0], jnp.float32), jnp.float32(0.1),
+             jnp.float32(0.2), jnp.float32(0.3), jnp.float32(1e-6))
+
+    Wu, Bsu, Hu, _ = jax.jit(
+        lambda *a: mu.joint_batch_update(cfg, *a)
+    )(hyper, W, Bs, H, X, Ys)
+
+    shard_map, sm_kwargs = mu._get_shard_map()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("cells",))
+    cells, rep = P(None, "cells"), P()
+
+    def body(W, Bs, H, X, Ys):
+        psum = lambda v: jax.lax.psum(v, "cells")
+        W, Bs, H, _ = mu.joint_batch_update(cfg, hyper, W, Bs, H, X, Ys, r=psum)
+        return W, Bs, H
+
+    Ws, Bss, Hs = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, (rep,), cells, cells, (cells,)),
+        out_specs=(rep, (rep,), cells),
+        **sm_kwargs,
+    ))(W, Bs, H, X, Ys)
+
+    np.testing.assert_allclose(np.asarray(Ws), np.asarray(Wu), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hu), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Bss[0]), np.asarray(Bsu[0]),
+                               rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("sampling", ["random", "weighted"])
+def test_sharded_minibatch_fit(sampling):
+    """Minibatch fits on a mesh use shard-local sampling (SURVEY §7
+    hard-part 3): they must run (including non-divisible cell counts),
+    converge comparably to the single-device minibatch fit, and their
+    compiled HLO must contain NO all-to-all / all-gather — only the
+    all-reduce psums of the small accumulators."""
+    n_cells = 181  # not divisible by 8: exercises the shard pad
+    adata_a = make_synthetic_adata(n_cells=n_cells, n_genes=30, seed=9)
+    adata_b = adata_a.copy()
+    kw = dict(n_components=6, n_covariate_components=[2], lam=[2.0],
+              random_state=0)
+    fit_kw = dict(max_iter=25, batch_size=64, sampling_method=sampling)
+
+    single = ALPINE(device="cpu", **kw)
+    single.fit(adata_a, ["batch"], **fit_kw)
+
+    mesh = make_cell_mesh(8)
+    sharded = ALPINE(device=mesh, **kw)
+    sharded.fit(adata_b, ["batch"], **fit_kw)
+
+    ls = single.loss_history["total loss"].to_numpy()
+    lm = sharded.loss_history["total loss"].to_numpy()
+    assert np.isfinite(lm).all()
+    # different (per-shard) sample streams -> statistical, not bitwise,
+    # agreement: both must converge to the same level
+    assert lm[-1] < lm[0] * 0.9
+    np.testing.assert_allclose(lm[-1], ls[-1], rtol=0.1)
+    assert adata_b.obsm["ALPINE_embedding"].shape == (n_cells, 6)
+
+    # the compiled program must not move cell columns between shards
+    import jax.numpy as jnp
+
+    from alpine_tpu.ops import mu
+    cfg = mu.MUConfig(blocks=(2, 6), n_labels=(2,), n_cells=n_cells,
+                      batch_size=64, weighted=(sampling == "weighted"),
+                      max_iter=2)
+    fn = mu._build_sharded_minibatch_fit(cfg, mesh)
+    n_padded = n_cells + (-n_cells) % 8
+    X = jnp.zeros((30, n_padded)); H = jnp.ones((8, n_padded))
+    Ys = (jnp.zeros((2, n_padded)),)
+    Bs = (jnp.ones((2, 2)),)
+    hyper = (jnp.asarray([2.0], jnp.float32), jnp.float32(0.0),
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1e-6))
+    W = jnp.ones((30, 8))
+    key = jax.random.PRNGKey(0)
+    w = jnp.ones((n_padded,), jnp.float32)
+    hlo = fn.lower(W, H, Bs, X, Ys, hyper, key, w).compile().as_text()
+    assert "all-to-all" not in hlo
+    assert "all-gather" not in hlo
