@@ -71,6 +71,7 @@ class ALPINE:
         random_state: int = 42,
         matmul_precision: str = "highest",
         data_dtype: str = "float32",
+        component_bucket: Optional[int] = None,
     ):
         self.n_components = n_components
         self.n_covariate_components = n_covariate_components
@@ -87,6 +88,18 @@ class ALPINE:
         self.random_state = random_state
         self.matmul_precision = matmul_precision
         self.data_dtype = data_dtype
+        # Round compiled block shapes up to multiples of this bucket (each
+        # block padded with zero phantom components — exactly neutral, see
+        # mu.mask_block_padding / tests/test_bucketing.py) so optimizer
+        # trials with nearby component splits reuse ONE compiled program
+        # instead of paying a 20-120 s remote TPU compile per trial.  None
+        # (default) compiles exact shapes.  Stored matrices are always the
+        # true sizes.
+        if component_bucket is not None and (
+            not isinstance(component_bucket, int) or component_bucket < 1
+        ):
+            raise ValueError("component_bucket must be a positive integer or None.")
+        self.component_bucket = component_bucket
 
         self._validate_init_args()
 
@@ -190,6 +203,11 @@ class ALPINE:
             key = jax.random.PRNGKey(self.random_state)
             init_key, fit_key = jax.random.split(key)
             W0, H0, Bs0 = mu.init_matrices(cfg, self.n_features, init_key, self.eps)
+            if self.component_bucket:
+                # phantom components start (and provably stay) exactly zero
+                W0, H0, Bs0 = mu.mask_block_padding(
+                    cfg.blocks, tuple(self.n_all_components), W0, H0, Bs0
+                )
             if pad:
                 # match the pre-padded X (zero columns are exactly neutral)
                 H0 = jnp.pad(H0, ((0, 0), (0, pad)))
@@ -235,6 +253,7 @@ class ALPINE:
                     "loss_type": self.loss_type, "use_als": self.use_als,
                     "batch_size": self.batch_size,
                     "sampling": self.sampling_method,
+                    "bucket": self.component_bucket,
                     "seed": self.random_state, "max_iter": n_iter,
                     # the chunk key schedule depends on the chunk size, so a
                     # different checkpoint_every must not resume this snapshot
@@ -332,12 +351,21 @@ class ALPINE:
 
         W_np = np.asarray(jax.device_get(Wd), dtype=np.float32)
         H_np = np.asarray(jax.device_get(Hd), dtype=np.float32)
+        Bs_np = [np.asarray(jax.device_get(b), dtype=np.float32) for b in Bsd]
+        if self.component_bucket:
+            # drop the phantom components: stored matrices are true-sized
+            valid = np.asarray(
+                mu.block_valid_mask(cfg.blocks, tuple(self.n_all_components))
+            )
+            W_np = W_np[:, valid]
+            H_np = H_np[valid]
+            Bs_np = [b[:, :kt] for b, kt in zip(Bs_np, self.n_covariate_components)]
         m = AlpineMatrices(
             X=X,
             Ys=[np.asarray(y, dtype=np.float32) for y in Ys],
             Ws=split_w(W_np, self.n_all_components),
             Hs=split_h(H_np, self.n_all_components),
-            Bs=[np.asarray(jax.device_get(b), dtype=np.float32) for b in Bsd],
+            Bs=Bs_np,
         )
         self.matrices: Dict[str, Union[Float32Array, List[Float32Array]]] = m.to_numpy()
 
@@ -369,6 +397,10 @@ class ALPINE:
         def one_init(k):
             ik, fk = jax.random.split(k)
             W0, H0, Bs0 = mu.init_matrices(cfg, self.n_features, ik, self.eps)
+            if self.component_bucket:
+                W0, H0, Bs0 = mu.mask_block_padding(
+                    cfg.blocks, tuple(self.n_all_components), W0, H0, Bs0
+                )
             return W0, H0, Bs0, fk
 
         W0s, H0s, Bs0s, fks = jax.jit(jax.vmap(one_init))(keys)
@@ -618,8 +650,11 @@ class ALPINE:
                 and dev.platform == "tpu")
 
     def _make_cfg(self, Ys: List[Float32Array], n_sample: int, n_iter: int) -> mu.MUConfig:
+        blocks = tuple(self.n_all_components)
+        if self.component_bucket:
+            blocks = mu.bucket_blocks(blocks, self.component_bucket)
         cfg = mu.MUConfig(
-            blocks=tuple(self.n_all_components),
+            blocks=blocks,
             n_labels=tuple(y.shape[0] for y in Ys),
             n_cells=n_sample,
             loss_kl=(self.loss_type == "kl-divergence"),

@@ -273,7 +273,17 @@ def joint_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b, r=_ident):
 def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
     """One block-cyclic ("ALS mode") MU step on a batch
     (reference main.py:523-588): for each block in order, update W[idx],
-    B[idx] (covariates only), then H[idx]; later blocks see earlier updates."""
+    B[idx] (covariates only), then H[idx]; later blocks see earlier updates.
+
+    X-pass accounting (the HBM floor for this mode): the strict block-cyclic
+    dependency chain — W[j] sees H[i<j] updates, H[j] needs the updated
+    W[j] — makes n_blocks+1 passes over X the semantic minimum per
+    iteration: one X@H_startᵀ for all W numerators + one WᵢᵀX per block.
+    This function hits that floor: the per-block WᵢᵀX products use each
+    block's FINAL W for the iteration (W blocks update exactly once), so
+    their concatenation IS the full WᵀX of the post-iteration state and is
+    returned as aux for the loss — the reference's extra full-matrix loss
+    pass (main.py:736) costs no X read here."""
     dot = partial(_dot, precision=cfg.precision)
     lam, orth_w, alpha_w, l1_ratio, eps = hyper
 
@@ -284,6 +294,7 @@ def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
     # block, main.py:533; this hoist is bitwise-equivalent per block.)
     XHt_start = _dot_x(cfg, X_b, H_b.T)  # (g, K)
 
+    WtX_rows = []
     for idx in range(len(cfg.blocks)):
         o, k = cfg.offsets[idx], cfg.blocks[idx]
 
@@ -307,7 +318,9 @@ def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
             Bs = Bs[:idx] + (B,) + Bs[idx + 1:]
 
         # --- H[idx] (main.py:564-588); Wᵀ(W@H) -> (WᵢᵀW)@H ---
-        unum = 2.0 * _dot_x(cfg, Wi.T, X_b)
+        WtXi = _dot_x(cfg, Wi.T, X_b)  # final Wᵢ for this iteration
+        WtX_rows.append(WtXi)
+        unum = 2.0 * WtXi
         uden = 2.0 * dot(dot(Wi.T, W), H_b)
         if idx < cfg.n_cov:
             gnum, gden = _guided_h_terms(cfg, idx, Bs[idx], Hi, Ys_b[idx], lam[idx], eps)
@@ -316,7 +329,9 @@ def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
             Hi = Hi * (unum / _clamp(uden, eps))
         H_b = H_b.at[o:o + k].set(Hi)
 
-    return W, Bs, H_b, None
+    # row-concatenated WᵢᵀX == WᵀX of the final W (each output row block of
+    # a matmul is computed independently) — reused by the full-batch loss
+    return W, Bs, H_b, (jnp.concatenate(WtX_rows, axis=0), None)
 
 
 # ---------------------------------------------------------------------------
@@ -420,7 +435,8 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
             (W, H, Bs), _ = lax.scan(batch_body, (W, H, Bs), idx_mat)
             aux = None
 
-        if aux is not None:  # full-batch joint: reuse WtX/WtW for the loss
+        if aux is not None:  # full-batch: reuse the update's WtX (and WtW
+            # in joint mode) so the loss costs no extra X pass
             loss = compute_loss_parts(cfg, hyper, W, H, Bs, X, Ys, normX2,
                                       WtX=aux[0], WtW=aux[1])
         else:
@@ -930,12 +946,60 @@ def init_matrices(cfg: MUConfig, n_genes: int, key: Array, eps: float,
 @partial(jax.jit, static_argnums=(0,))
 def scale_matrices(cfg: MUConfig, W, H, Bs):
     """Column-normalize W to unit sum; rescale H rows and B columns to keep
-    W@H and B@H invariant (reference _scale_matrices, main.py:772-781)."""
+    W@H and B@H invariant (reference _scale_matrices, main.py:772-781).
+    All-zero columns (bucket-padded phantom components) keep scale 1 so
+    they stay zero instead of dividing 0/0."""
     s = jnp.sum(W, axis=0)  # (K,)
+    s = jnp.where(s == 0.0, 1.0, s)
     W = W / s
     H = H * s[:, None]
     newBs = []
     for i in range(cfg.n_cov):
         o, k = cfg.offsets[i], cfg.blocks[i]
         newBs.append(Bs[i] / s[o:o + k])
+    return W, H, tuple(newBs)
+
+
+# ---------------------------------------------------------------------------
+# Component-shape bucketing (SURVEY §7 hard-part 2)
+# ---------------------------------------------------------------------------
+
+
+def bucket_blocks(blocks: Tuple[int, ...], bucket: int) -> Tuple[int, ...]:
+    """Round each block size up to a multiple of `bucket`, so optimizer
+    trials with nearby component splits share ONE compiled program
+    (reference recompiles nothing — torch is eager; here each distinct
+    shape is a 20-120 s remote compile on the tunneled TPU)."""
+    return tuple(-(-k // bucket) * bucket for k in blocks)
+
+
+def block_valid_mask(blocks: Tuple[int, ...], true_blocks: Tuple[int, ...]):
+    """Boolean (K_padded,) mask marking the genuine components of each
+    padded block."""
+    parts = [jnp.arange(kp) < kt for kp, kt in zip(blocks, true_blocks)]
+    return jnp.concatenate(parts)
+
+
+def mask_block_padding(blocks: Tuple[int, ...], true_blocks: Tuple[int, ...],
+                       W, H, Bs):
+    """Zero the phantom components of bucket-padded blocks.
+
+    Zero components are EXACT fixed points of every MU update (their
+    numerators are identically zero: X@Hᵀ / WᵀX / Bᵀ(...) contractions with
+    zero rows or columns vanish, and multiplicative updates preserve zeros),
+    contribute nothing to W@H, B@H, HHt, WtW, rowsums, or any loss term, so
+    a padded fit's genuine components follow EXACTLY the trajectory of the
+    unpadded fit given the same genuine initial values
+    (tests/test_bucketing.py)."""
+    valid = block_valid_mask(blocks, true_blocks)
+    W = W * valid[None, :]
+    H = H * valid[:, None]
+    newBs = []
+    offsets, acc = [], 0
+    for k in blocks:
+        offsets.append(acc)
+        acc += k
+    for i, B in enumerate(Bs):
+        o, kp = offsets[i], blocks[i]
+        newBs.append(B * valid[o:o + kp][None, :])
     return W, H, tuple(newBs)

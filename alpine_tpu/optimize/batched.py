@@ -74,9 +74,17 @@ def batched_fold_embeddings(
     seed: int,
     precision: str = "highest",
     mesh=None,
+    true_blocks: Tuple[int, ...] = None,
 ) -> List[np.ndarray]:
     """Fit one model per fold (batched) and return each fold's validation
-    unguided embedding as (n_val_fold, k_unguided) numpy arrays."""
+    unguided embedding as (n_val_fold, k_unguided) numpy arrays.
+
+    When `true_blocks` is given, `blocks` is a bucket-padded shape
+    (mu.bucket_blocks) compiled once per bucket across optimizer trials;
+    phantom components are zero-initialized (exactly neutral,
+    tests/test_bucketing.py) and sliced off the returned embeddings."""
+    if true_blocks is None:
+        true_blocks = blocks
     n_folds = len(folds)
     g = X_cells_by_genes.shape[1]
     X_all = X_cells_by_genes.astype(np.float32)
@@ -116,6 +124,8 @@ def batched_fold_embeddings(
     key = jax.random.PRNGKey(seed)
     init_key, fit_key = jax.random.split(key)
     W0, H0, Bs0 = mu.init_matrices(cfg, g, init_key, eps)
+    if true_blocks != blocks:
+        W0, H0, Bs0 = mu.mask_block_padding(blocks, true_blocks, W0, H0, Bs0)
     # zero out H0's padded columns PER FOLD: a phantom cell with nonzero H
     # would contribute to HHt / rowsum(H) on the first iteration, breaking
     # the zero-padding neutrality argument.  With zero columns the padding
@@ -171,8 +181,11 @@ def batched_fold_embeddings(
     )
     Hva = np.asarray(jax.device_get(vtrans(Ws, put_fold(jnp.asarray(Xva)))))
 
-    k_unguided = blocks[-1]
+    # genuine unguided rows: the first true_blocks[-1] rows of the (possibly
+    # bucket-padded) last block; phantom rows are exactly zero
+    off_last = sum(blocks[:-1])
+    k_unguided = true_blocks[-1]
     out = []
     for f, (_, va) in enumerate(folds):
-        out.append(Hva[f, -k_unguided:, : len(va)].T.copy())
+        out.append(Hva[f, off_last:off_last + k_unguided, : len(va)].T.copy())
     return out

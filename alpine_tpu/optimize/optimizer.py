@@ -168,12 +168,17 @@ class ComponentOptimizer:
         device="auto",
         random_state: int = 42,
         fold_batching: bool = True,
+        shape_bucket: int = 8,
     ):
         self._validate_init_args(
             adata, covariate_keys, loss_type, max_iter, batch_size, device, random_state
         )
         if not isinstance(fold_batching, bool):
             raise TypeError("fold_batching must be a boolean")
+        if shape_bucket is not None and (
+            not isinstance(shape_bucket, int) or shape_bucket < 1
+        ):
+            raise ValueError("shape_bucket must be a positive integer or None")
         if sampling_method not in self._VALID_SAMPLING:
             raise ValueError(
                 f"Unknown sampling method: {sampling_method}. Only 'weighted', "
@@ -195,6 +200,13 @@ class ComponentOptimizer:
         # frozen max_iter, so the first trial under max_iter auto-detection
         # still runs sequentially.
         self.fold_batching: bool = fold_batching
+        # Trial fits compile with block shapes rounded up to this bucket
+        # (zero phantom components — exactly neutral, tests/test_bucketing.py)
+        # so a 100-eval search compiles O(#buckets) programs instead of
+        # O(#evals) (SURVEY §7 hard-part 2; 20-120 s per remote TPU compile).
+        # Bucketing only changes each trial's RNG init draws, not the update
+        # math; fit_the_best_param refits at exact shapes.  None disables.
+        self.shape_bucket: Optional[int] = shape_bucket
         self.best_param: dict = {}
 
         self.max_iter_detect = self.max_iter is None
@@ -391,6 +403,7 @@ class ComponentOptimizer:
             random_state=self.random_state,
             loss_type=self.loss_type,
             device=self.device,
+            component_bucket=self.shape_bucket,
             **args,
         )
         model.fit(
@@ -421,11 +434,17 @@ class ComponentOptimizer:
         Ys = encoders.fit_transform(self.adata.obs)  # (cells x labels) each
         resolved = resolve_device(self.device)
 
+        from alpine_tpu.ops.mu import bucket_blocks
+
+        true_blocks = tuple(args["n_covariate_components"]) + (args["n_components"],)
+        blocks = (bucket_blocks(true_blocks, self.shape_bucket)
+                  if self.shape_bucket else true_blocks)
         return batched_fold_embeddings(
             np.asarray(self.adata.X, dtype=np.float32),
             Ys,
             folds,
-            blocks=tuple(args["n_covariate_components"]) + (args["n_components"],),
+            blocks=blocks,
+            true_blocks=true_blocks,
             lam=[float(l) for l in args["lam"]],
             orth_w=float(args["orth_W"]),
             alpha_w=float(args["alpha_W"]),

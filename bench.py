@@ -26,6 +26,12 @@ BLOCKS = (5, 5, 30)
 N_LABELS = (2, 3)
 TPU_ITERS = int(os.environ.get("ALPINE_BENCH_ITERS", 500))
 BASE_ITERS = int(os.environ.get("ALPINE_BENCH_BASE_ITERS", 2))
+# ALPINE_BENCH_ALS=1 benches block-cyclic ALS mode instead of joint mode.
+# ALS's HBM floor is (n_blocks+1) X passes per iteration (strict block
+# dependency chain; see mu.als_batch_update) vs the joint kernel's 1, so
+# expect ~1/(n_blocks+1) of the joint throughput; benchmarks/roofline.py
+# quantifies both floors.
+USE_ALS = bool(int(os.environ.get("ALPINE_BENCH_ALS", "0")))
 
 
 def _make_data(rng):
@@ -61,14 +67,15 @@ def bench_tpu(X, Ys):
     backend = os.environ.get("ALPINE_BENCH_BACKEND")
     if backend is None:
         backend = ("pallas"
-                   if jax.default_backend() == "tpu"
+                   if not USE_ALS
+                   and jax.default_backend() == "tpu"
                    and pk.h_update_supported(N_GENES)
                    else "xla")
 
     def run(n_iter):
         cfg = mu.MUConfig(
             blocks=BLOCKS, n_labels=N_LABELS, n_cells=N_CELLS,
-            loss_kl=True, use_als=False, max_iter=n_iter, precision=precision,
+            loss_kl=True, use_als=USE_ALS, max_iter=n_iter, precision=precision,
             backend=backend, x_dtype=x_dtype,
         )
         W0, H0, Bs0 = mu.init_matrices(cfg, N_GENES, key, 1e-6)
@@ -167,8 +174,9 @@ def main():
     else:
         baseline = bench_reference_torch_cpu(X, Ys)
 
+    als_tag = "_als" if USE_ALS else ""
     print(json.dumps({
-        "metric": f"mu_iters_per_sec_{N_CELLS//1000}k_cells_{N_GENES//1000}k_genes",
+        "metric": f"mu_iters_per_sec_{N_CELLS//1000}k_cells_{N_GENES//1000}k_genes{als_tag}",
         "value": round(value, 3),
         "unit": "iters/s",
         "vs_baseline": round(value / baseline, 3),

@@ -1,0 +1,91 @@
+"""Bytes-per-iteration accounting for the MU fit: the quantitative basis of
+the "speed of light" claim (BASELINE.md north star; round-1 verdict asked
+for this arithmetic in-repo rather than a table note).
+
+The joint fused-kernel iteration (ops/pallas_kernels.fused_iteration) is
+HBM-bandwidth-bound: per iteration it reads X exactly once and streams H
+in/out once, with everything else (W, Bs, XHt/HHt/B-stat accumulators) tiny
+or VMEM-resident.  Minimum HBM traffic per iteration:
+
+    X  read       : n_genes * n_cells * itemsize(X)     (bf16 by default)
+    Ys read       : sum(labels_i) * n_cells * itemsize(X)
+    H  read+write : 2 * K * n_cells * 4                 (f32)
+    W/B/stats     : O(genes*K + K^2) -- negligible at bench shapes
+
+ALS mode (mu.als_batch_update) has a *semantic* floor of (n_blocks + 1)
+X passes per iteration — X@H_start^T for all W numerators plus one
+W_i^T X per block, strictly sequential because W[j] sees H[i<j] updates and
+H[j] needs the updated W[j] (reference main.py:523-588).  The loss costs no
+extra pass (the per-block W_i^T X products are concatenated into the full
+W^T X).  Ys traffic is doubled (B update + guided H terms are separate XLA
+passes).
+
+Usage:
+    python benchmarks/roofline.py <measured_iters_per_sec> [--als]
+    python benchmarks/roofline.py            # runs bench.bench_tpu first
+
+Prints one JSON line with the accounting and the achieved fraction of the
+chip's HBM bandwidth.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # repo-root bench.py: shares shape/dtype configuration
+
+# v5e (the bench chip): 819 GB/s HBM BW, 197 bf16 TFLOP/s peak.
+# Override for other chips via env.
+HBM_GBPS = float(os.environ.get("ALPINE_HBM_GBPS", 819.0))
+
+
+def bytes_per_iteration(als: bool) -> dict:
+    g, n, K = bench.N_GENES, bench.N_CELLS, sum(bench.BLOCKS)
+    labels = sum(bench.N_LABELS)
+    x_item = 2 if os.environ.get("ALPINE_BENCH_DTYPE", "bfloat16") == "bfloat16" else 4
+    x_passes = (len(bench.BLOCKS) + 1) if als else 1
+    y_passes = 2 if als else 1
+    x_bytes = x_passes * g * n * x_item
+    y_bytes = y_passes * labels * n * x_item
+    h_bytes = 2 * K * n * 4
+    small = 2 * (g * K + K * K) * 4
+    return {
+        "x_passes_per_iter": x_passes,
+        "x_bytes": x_bytes,
+        "y_bytes": y_bytes,
+        "h_bytes": h_bytes,
+        "small_bytes": small,
+        "total_bytes": x_bytes + y_bytes + h_bytes + small,
+    }
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    als = "--als" in sys.argv[1:] or bench.USE_ALS
+    if args:
+        ips = float(args[0])
+    else:
+        rng_mod = __import__("numpy").random.default_rng(0)
+        X, Ys = bench._make_data(rng_mod)
+        ips = bench.bench_tpu(X, Ys)
+
+    acct = bytes_per_iteration(als)
+    achieved_gbps = ips * acct["total_bytes"] / 1e9
+    floor_ips = HBM_GBPS * 1e9 / acct["total_bytes"]
+    print(json.dumps({
+        "metric": "hbm_roofline" + ("_als" if als else ""),
+        "iters_per_sec": round(ips, 1),
+        "bytes_per_iter": acct["total_bytes"],
+        "accounting": {k: v for k, v in acct.items() if k.endswith("bytes")},
+        "x_passes_per_iter": acct["x_passes_per_iter"],
+        "achieved_GBps": round(achieved_gbps, 1),
+        "hbm_peak_GBps": HBM_GBPS,
+        "fraction_of_peak": round(achieved_gbps / HBM_GBPS, 3),
+        "bandwidth_floor_iters_per_sec": round(floor_ips, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
