@@ -88,17 +88,32 @@ class ALPINE:
         self.random_state = random_state
         self.matmul_precision = matmul_precision
         self.data_dtype = data_dtype
-        # Round compiled block shapes up to multiples of this bucket (each
-        # block padded with zero phantom components — exactly neutral, see
+        # Compile block shapes padded beyond the true sizes (phantom
+        # components are zero-initialized — exactly neutral, see
         # mu.mask_block_padding / tests/test_bucketing.py) so optimizer
         # trials with nearby component splits reuse ONE compiled program
-        # instead of paying a 20-120 s remote TPU compile per trial.  None
-        # (default) compiles exact shapes.  Stored matrices are always the
-        # true sizes.
-        if component_bucket is not None and (
+        # instead of paying a 20-120 s remote TPU compile per trial.
+        # int N: each block rounds up to a multiple of N; an explicit tuple
+        # gives the padded size per block (>= true size); None (default)
+        # compiles exact shapes.  Stored matrices are always true-sized.
+        if isinstance(component_bucket, (tuple, list)):
+            component_bucket = tuple(int(b) for b in component_bucket)
+            true = tuple(n_covariate_components) + (n_components,)
+            if len(component_bucket) != len(true) or any(
+                b < t for b, t in zip(component_bucket, true)
+            ):
+                raise ValueError(
+                    "component_bucket tuple must give a padded size >= the "
+                    "true size for every block (covariates first, unguided "
+                    "last)."
+                )
+        elif component_bucket is not None and (
             not isinstance(component_bucket, int) or component_bucket < 1
         ):
-            raise ValueError("component_bucket must be a positive integer or None.")
+            raise ValueError(
+                "component_bucket must be a positive integer, a tuple of "
+                "padded block sizes, or None."
+            )
         self.component_bucket = component_bucket
 
         self._validate_init_args()
@@ -287,12 +302,46 @@ class ALPINE:
                 cfg = self._make_cfg(Ys, n_sample, chunk)
                 ck = jax.random.fold_in(fit_key, chunk_idx)
                 W, H, Bs, L = do_fit(cfg, W, H, Bs, ck)
-                losses_parts.append(np.asarray(jax.device_get(L)))
+                L = np.asarray(jax.device_get(L))
+                losses_parts.append(L)
                 done += chunk
                 chunk_idx += 1
                 ckpt.save(done, W, H, Bs, np.concatenate(losses_parts))
+                if verbose and not self._callbacks_supported():
+                    # per-chunk progress on backends without host callbacks
+                    print(
+                        f"ALPINE fit: iteration {done}/{n_iter}, "
+                        f"objective loss {L[-1, 0]:.6g}",
+                        flush=True,
+                    )
             ckpt.clear()
             return cfg, (W, H, Bs, np.concatenate(losses_parts))
+
+        def run_progress_chunks(n_iter: int):
+            """Verbose fallback when host callbacks are unsupported (the
+            axon tunnel): run the scan in chunks and print per-chunk
+            progress instead of going silent until the end.  Full-batch
+            only — the trajectory is identical to the single scan (the XLA
+            carry is just (W, H, Bs); the pallas path recomputes its
+            carried XHt/HHt at chunk boundaries, a ~1e-7 effect).  Chunk
+            sizes repeat, so this costs at most two extra compiles."""
+            cfg0 = self._make_cfg(Ys, n_sample, n_iter)
+            W, H, Bs, fit_key = init_state(cfg0)
+            chunk_size = max(1, min(50, -(-n_iter // 10)))
+            done, parts, cfg = 0, [], cfg0
+            while done < n_iter:
+                c = min(chunk_size, n_iter - done)
+                cfg = self._make_cfg(Ys, n_sample, c)
+                W, H, Bs, L = do_fit(cfg, W, H, Bs, fit_key)
+                L = np.asarray(jax.device_get(L))
+                parts.append(L)
+                done += c
+                print(
+                    f"ALPINE fit: iteration {done}/{n_iter}, "
+                    f"objective loss {L[-1, 0]:.6g}",
+                    flush=True,
+                )
+            return cfg, (W, H, Bs, np.concatenate(parts))
 
         # progress bar contract (reference main.py:489-494, 669-671):
         # per-iteration tqdm updates with the objective loss, fed by a host
@@ -324,9 +373,16 @@ class ALPINE:
             else:
                 self.max_iter = max_iter
 
+            chunked_progress = (
+                verbose and pbar is None and n_restarts == 1
+                and self.batch_size >= n_sample
+                and sampling_method != "weighted"
+            )
             with timer.phase("fit"):
                 if checkpoint_dir is not None:
                     cfg, (Wd, Hd, Bsd, losses) = run_checkpointed(self.max_iter)
+                elif chunked_progress:
+                    cfg, (Wd, Hd, Bsd, losses) = run_progress_chunks(self.max_iter)
                 else:
                     cfg, (Wd, Hd, Bsd, losses) = run(self.max_iter)
         finally:
@@ -651,7 +707,9 @@ class ALPINE:
 
     def _make_cfg(self, Ys: List[Float32Array], n_sample: int, n_iter: int) -> mu.MUConfig:
         blocks = tuple(self.n_all_components)
-        if self.component_bucket:
+        if isinstance(self.component_bucket, tuple):
+            blocks = self.component_bucket
+        elif self.component_bucket:
             blocks = mu.bucket_blocks(blocks, self.component_bucket)
         cfg = mu.MUConfig(
             blocks=blocks,

@@ -973,6 +973,32 @@ def bucket_blocks(blocks: Tuple[int, ...], bucket: int) -> Tuple[int, ...]:
     return tuple(-(-k // bucket) * bucket for k in blocks)
 
 
+# ~sqrt(2)-spaced size levels: enough resolution that padding waste stays
+# bounded (<~50% per block) while a whole hyperparameter sweep lands on a
+# handful of levels
+_GEO_LEVELS = (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256,
+               384, 512, 768, 1024)
+
+
+def auto_bucket_blocks(blocks: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Sweep-oriented bucketing: every guided block pads to the SAME
+    geometric level (the level of the largest) and the unguided block to
+    its own level — so the distinct compiled shapes of an entire search are
+    bounded by O(levels²) however many trials run, not by the trial count.
+    Per-block linear bucketing (bucket_blocks) still produced ~1 shape per
+    trial once 3 block sizes varied independently."""
+    def level(k: int) -> int:
+        for l in _GEO_LEVELS:
+            if l >= k:
+                return l
+        return -(-k // 128) * 128  # beyond the table: 128-multiples
+    guided = blocks[:-1]
+    if not guided:
+        return (level(blocks[-1]),)
+    shared = level(max(guided))
+    return (shared,) * len(guided) + (level(blocks[-1]),)
+
+
 def block_valid_mask(blocks: Tuple[int, ...], true_blocks: Tuple[int, ...]):
     """Boolean (K_padded,) mask marking the genuine components of each
     padded block."""

@@ -58,7 +58,13 @@ def _block_offsets(blocks):
 # Swept on a v5e chip at 100k cells x 2k genes (bf16 X) with the scoped
 # vmem limit raised to 64MB: 3MB -> 1082 it/s, 6MB -> 1125, 12MB -> 1126.
 # (With the default 16MB scoped limit, budgets above ~3MB fail to compile.)
-_X_TILE_BYTES = 6 * 1024 * 1024
+# Env overrides (tuning knobs; defaults are the swept optimum):
+#   ALPINE_TPU_X_TILE_MB   - X tile budget in MB
+#   ALPINE_TPU_VMEM_MB     - scoped vmem limit in MB (v5e has ~128 physical)
+import os as _os
+
+_X_TILE_BYTES = int(float(_os.environ.get("ALPINE_TPU_X_TILE_MB", 6)) * 1024 * 1024)
+_VMEM_LIMIT_BYTES = int(float(_os.environ.get("ALPINE_TPU_VMEM_MB", 64)) * 1024 * 1024)
 _LANE = 128
 
 
@@ -198,7 +204,7 @@ def fused_h_update(
     kwargs = {}
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
         )
     Hn, XHt, HHt, ld = pl.pallas_call(
         kernel,
@@ -400,7 +406,7 @@ def fused_iteration(
         # v5e has ~128MB of VMEM; the default 16MB scoped limit throttles
         # double-buffering of the X tiles
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
         )
     results = pl.pallas_call(
         kernel,

@@ -168,17 +168,17 @@ class ComponentOptimizer:
         device="auto",
         random_state: int = 42,
         fold_batching: bool = True,
-        shape_bucket: int = 8,
+        shape_bucket="auto",
     ):
         self._validate_init_args(
             adata, covariate_keys, loss_type, max_iter, batch_size, device, random_state
         )
         if not isinstance(fold_batching, bool):
             raise TypeError("fold_batching must be a boolean")
-        if shape_bucket is not None and (
+        if shape_bucket is not None and shape_bucket != "auto" and (
             not isinstance(shape_bucket, int) or shape_bucket < 1
         ):
-            raise ValueError("shape_bucket must be a positive integer or None")
+            raise ValueError("shape_bucket must be 'auto', a positive integer, or None")
         if sampling_method not in self._VALID_SAMPLING:
             raise ValueError(
                 f"Unknown sampling method: {sampling_method}. Only 'weighted', "
@@ -200,13 +200,16 @@ class ComponentOptimizer:
         # frozen max_iter, so the first trial under max_iter auto-detection
         # still runs sequentially.
         self.fold_batching: bool = fold_batching
-        # Trial fits compile with block shapes rounded up to this bucket
-        # (zero phantom components — exactly neutral, tests/test_bucketing.py)
-        # so a 100-eval search compiles O(#buckets) programs instead of
-        # O(#evals) (SURVEY §7 hard-part 2; 20-120 s per remote TPU compile).
-        # Bucketing only changes each trial's RNG init draws, not the update
-        # math; fit_the_best_param refits at exact shapes.  None disables.
-        self.shape_bucket: Optional[int] = shape_bucket
+        # Trial fits compile with bucket-padded block shapes (zero phantom
+        # components — exactly neutral, tests/test_bucketing.py) so a
+        # 100-eval search compiles O(#buckets) programs instead of O(#evals)
+        # (SURVEY §7 hard-part 2; 20-120 s per remote TPU compile).  "auto"
+        # (default) pads to shared geometric levels (mu.auto_bucket_blocks,
+        # bounding distinct shapes per sweep); an int rounds each block to
+        # that multiple; None disables.  Bucketing only changes each trial's
+        # RNG init draws, not the update math; fit_the_best_param refits at
+        # exact shapes.
+        self.shape_bucket = shape_bucket
         self.best_param: dict = {}
 
         self.max_iter_detect = self.max_iter is None
@@ -392,18 +395,29 @@ class ComponentOptimizer:
         ]
         return float(np.mean(scores))
 
+    def _bucketed(self, true_blocks):
+        """Padded compile shape for one trial's blocks (None = exact)."""
+        from alpine_tpu.ops.mu import auto_bucket_blocks, bucket_blocks
+
+        if self.shape_bucket == "auto":
+            return auto_bucket_blocks(true_blocks)
+        if self.shape_bucket:
+            return bucket_blocks(true_blocks, self.shape_bucket)
+        return None
+
     def _fit_one_fold(self, args, train_idx, val_idx) -> np.ndarray:
         """Fit on one training fold, return the validation fold's unguided
         embedding (host-side)."""
         train_adata = self.adata[train_idx].copy()
         val_adata = self.adata[val_idx].copy()
 
+        true_blocks = tuple(args["n_covariate_components"]) + (args["n_components"],)
         model = ALPINE(
             use_als=self.use_als,
             random_state=self.random_state,
             loss_type=self.loss_type,
             device=self.device,
-            component_bucket=self.shape_bucket,
+            component_bucket=self._bucketed(true_blocks),
             **args,
         )
         model.fit(
@@ -434,11 +448,8 @@ class ComponentOptimizer:
         Ys = encoders.fit_transform(self.adata.obs)  # (cells x labels) each
         resolved = resolve_device(self.device)
 
-        from alpine_tpu.ops.mu import bucket_blocks
-
         true_blocks = tuple(args["n_covariate_components"]) + (args["n_components"],)
-        blocks = (bucket_blocks(true_blocks, self.shape_bucket)
-                  if self.shape_bucket else true_blocks)
+        blocks = self._bucketed(true_blocks) or true_blocks
         return batched_fold_embeddings(
             np.asarray(self.adata.X, dtype=np.float32),
             Ys,

@@ -77,16 +77,33 @@ def config_3():
 def config_4(max_evals=10):
     adata, keys = pbmc_like(n_cells=1200, n_genes=800, n_cov=2)
     co = ComponentOptimizer(adata, keys, max_iter=60, random_state=0)
-    t0 = time.perf_counter()
-    co.search_hyperparams(
-        n_total_components_range=(50, 100), lam_range=(1.0, 1e4),
-        n_splits=3, max_evals=max_evals,
-    )
-    dt = time.perf_counter() - t0
+
+    # compile-count evidence for shape bucketing (SURVEY §7 hard-part 2):
+    # count the distinct compiled block shapes the sweep actually used
+    from alpine_tpu.optimize import batched
+    compiled_shapes = set()
+    orig = batched.batched_fold_embeddings
+
+    def spy(*args, **kwargs):
+        compiled_shapes.add((kwargs["blocks"], args[0].shape))
+        return orig(*args, **kwargs)
+
+    batched.batched_fold_embeddings = spy
+    try:
+        t0 = time.perf_counter()
+        co.search_hyperparams(
+            n_total_components_range=(50, 100), lam_range=(1.0, 1e4),
+            n_splits=3, max_evals=max_evals,
+        )
+        dt = time.perf_counter() - t0
+    finally:
+        batched.batched_fold_embeddings = orig
     hist = co.get_train_history()
     report(4, f"ComponentOptimizer TPE sweep, {max_evals} evals x 3 folds", dt,
            {"best_score": float(hist['score'].iloc[-1]),
-            "trials": len(co.trials.trials)})
+            "trials": len(co.trials.trials),
+            "shape_bucket": co.shape_bucket,
+            "distinct_compiled_block_shapes": len(compiled_shapes)})
 
 
 def config_5(n_cells=100_000, n_genes=2_000):

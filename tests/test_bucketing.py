@@ -165,3 +165,70 @@ def test_optimizer_shape_bucket_caps_compiles():
     total = co.best_param["n_components"] + sum(
         co.best_param["n_covariate_components"])
     assert 8 <= total <= 30
+
+
+def test_auto_bucket_blocks():
+    # shared guided level + own unguided level
+    assert mu.auto_bucket_blocks((5, 11, 27)) == (12, 12, 32)
+    assert mu.auto_bucket_blocks((2, 2, 25)) == (2, 2, 32)
+    assert mu.auto_bucket_blocks((30,)) == (32,)
+    # beyond the level table: 128-multiples
+    assert mu.auto_bucket_blocks((1100,)) == (1152,)
+    padded = mu.auto_bucket_blocks((13, 4, 50))
+    assert padded == (16, 16, 64)
+    assert all(p >= t for p, t in zip(padded, (13, 4, 50)))
+
+
+def test_alpine_component_bucket_tuple():
+    """An explicit padded-shape tuple (what the optimizer's auto mode
+    passes) works end-to-end and validates against the true sizes."""
+    from .conftest import make_synthetic_adata
+    from alpine_tpu import ALPINE
+
+    adata = make_synthetic_adata(n_cells=60, n_genes=20, seed=5)
+    m = ALPINE(n_components=5, n_covariate_components=[3, 2], lam=[1.0, 1.0],
+               device="cpu", random_state=0, component_bucket=(4, 4, 8))
+    m.fit(adata, ["batch", "condition"], max_iter=6)
+    assert [w.shape[1] for w in m.matrices["Ws"]] == [3, 2, 5]
+
+    with pytest.raises(ValueError, match="padded size >= the true size"):
+        ALPINE(n_components=5, n_covariate_components=[3], lam=[1.0],
+               device="cpu", component_bucket=(2, 8))
+
+
+def test_optimizer_auto_bucket_bounds_shapes():
+    """auto bucketing: distinct compiled shapes across a sweep stay far
+    below the trial count (shared guided level kills the combinatorics)."""
+    from .conftest import make_synthetic_adata
+    from alpine_tpu import ComponentOptimizer
+    from alpine_tpu.optimize import batched
+
+    adata = make_synthetic_adata(n_cells=90, n_genes=25,
+                                 covariates=(("batch", 2), ("condition", 3)),
+                                 seed=12)
+    recorded = []
+    orig = batched.batched_fold_embeddings
+
+    def spy(*args, **kwargs):
+        recorded.append(kwargs["blocks"])
+        return orig(*args, **kwargs)
+
+    batched.batched_fold_embeddings = spy
+    try:
+        co = ComponentOptimizer(adata, ["batch", "condition"], max_iter=5,
+                                device="cpu", random_state=2)  # default auto
+        co.search_hyperparams(
+            n_total_components_range=(14, 60), lam_range=(1.0, 100.0),
+            n_splits=2, max_evals=8,
+        )
+    finally:
+        batched.batched_fold_embeddings = orig
+
+    assert len(recorded) >= 4  # several valid trials ran
+    for blocks in recorded:
+        # guided blocks share one level per trial, all sizes on the level
+        # grid -> distinct shapes saturate at O(levels^2) as a sweep grows
+        # (measured: benchmarks/run_configs.py config 4)
+        assert blocks[0] == blocks[1]
+        assert all(k in mu._GEO_LEVELS for k in blocks), blocks
+    assert len(set(recorded)) <= 8, recorded

@@ -284,3 +284,27 @@ def test_multi_restart_rejects_mesh():
     m = _model(device=make_cell_mesh(2))
     with pytest.raises(ValueError, match="sharded"):
         m.fit(adata, ["batch", "condition"], max_iter=2, n_restarts=2)
+
+
+def test_verbose_progress_without_callbacks(synthetic_adata, capsys, monkeypatch):
+    """On backends without host callbacks (the axon TPU tunnel), a verbose
+    full-batch fit must emit per-chunk progress lines instead of going
+    silent — and the chunked scan must reproduce the single-scan trajectory
+    exactly (the XLA full-batch carry is just (W, H, Bs))."""
+    from alpine_tpu.models.alpine import ALPINE as _ALPINE
+
+    kw = dict(n_components=5, n_covariate_components=[2], lam=[1.0],
+              device="cpu", random_state=0)
+
+    quiet = _ALPINE(**kw)
+    quiet.fit(synthetic_adata.copy(), ["batch"], max_iter=30)
+
+    monkeypatch.setattr(_ALPINE, "_callbacks_supported", lambda self: False)
+    loud = _ALPINE(**kw)
+    loud.fit(synthetic_adata.copy(), ["batch"], max_iter=30, verbose=True)
+    out = capsys.readouterr().out
+    assert "iteration 30/30" in out
+    assert out.count("objective loss") >= 2  # multiple chunks reported
+
+    np.testing.assert_allclose(loud.loss_history.values,
+                               quiet.loss_history.values, rtol=1e-6)
