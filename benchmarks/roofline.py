@@ -44,12 +44,21 @@ HBM_GBPS = float(os.environ.get("ALPINE_HBM_GBPS", 819.0))
 def bytes_per_iteration(als: bool) -> dict:
     g, n, K = bench.N_GENES, bench.N_CELLS, sum(bench.BLOCKS)
     labels = sum(bench.N_LABELS)
+    n_blocks = len(bench.BLOCKS)
     x_item = 2 if os.environ.get("ALPINE_BENCH_DTYPE", "bfloat16") == "bfloat16" else 4
-    x_passes = (len(bench.BLOCKS) + 1) if als else 1
+    x_passes = (n_blocks + 1) if als else 1
     y_passes = 2 if als else 1
     x_bytes = x_passes * g * n * x_item
     y_bytes = y_passes * labels * n * x_item
-    h_bytes = 2 * K * n * 4
+    if als:
+        # XLA ALS re-reads the full H per block for `cross` (H@H_i^T) and
+        # `uden` ((W_i^T W)@H), plus the XHt_start pass, plus the H write.
+        # At bench shapes this is ~7% of traffic on top of the X passes; a
+        # fused ALS kernel could only recover that slice (the X passes are
+        # the semantic floor), which is why none exists.
+        h_bytes = (1 + 2 * n_blocks) * K * n * 4 + K * n * 4
+    else:
+        h_bytes = 2 * K * n * 4
     small = 2 * (g * K + K * K) * 4
     return {
         "x_passes_per_iter": x_passes,
