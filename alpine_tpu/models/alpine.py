@@ -189,6 +189,11 @@ class ALPINE:
             X_dev, Ys_dev = X, Ys
         Xd = placement.put_x_matrix(X_dev)
         Ysd = tuple(placement.put_cells_matrix(y) for y in Ys_dev)
+        # keep the device copy of X for a same-data transform: the
+        # host->device upload dominates atlas-scale wall-clock through the
+        # axon tunnel (measured ~30 s for 800 MB vs 0.3 s of transform
+        # compute).  Keyed by a sampled fingerprint of adata.X.
+        self._x_cache = (Xd, self._x_fingerprint(adata.X), n_sample)
 
         # weighted sampling probabilities (host-side, once; reference
         # recomputes per epoch on the host, sampling.py:18-33)
@@ -743,23 +748,49 @@ class ALPINE:
             jnp.float32(self.eps),
         )
 
+    @staticmethod
+    def _x_fingerprint(X_host) -> tuple:
+        """Cheap identity for a host X: shape + a 4096-element strided
+        sample + its sum.  Used to reuse the fit's device-resident X when
+        transform is called on the same data (skipping the dominant
+        host->device upload); a false match needs identical shape AND
+        identical sampled values — practically impossible for real data.
+        Disable via ALPINE_TPU_NO_X_CACHE=1."""
+        arr = np.asarray(X_host)
+        flat = arr.reshape(-1)
+        stride = max(1, flat.size // 4096)
+        sample = np.asarray(flat[::stride][:4096], dtype=np.float32)
+        return (arr.shape, sample.tobytes(), float(sample.sum()))
+
     def _transform(self, adata, n_iter: int) -> None:
         """Out-of-sample projection: plain Frobenius MU onto frozen W
         (reference main.py:678-724)."""
-        X_array: Float32Array = copy(adata.X).astype(np.float32).T
-        if not np.all(X_array >= 0):
-            raise ValueError("All elements in adata.X must be non-negative.")
+        import os
 
         placement = Placement(self.device)
-        n_sample = X_array.shape[1]
-        # shard_map / device_put need equal cell shards; zero columns are
-        # neutral for the projection (columns are independent) and are
-        # sliced off below (round-1 advisor finding: non-divisible cell
-        # counts crashed the sharded transform)
-        pad = (-n_sample) % self._mesh_devices() if placement.is_sharded else 0
-        if pad:
-            X_array = np.pad(X_array, ((0, 0), (0, pad)))
-        X = placement.put_x_matrix(X_array)
+        n_sample = adata.shape[0]
+
+        cached = getattr(self, "_x_cache", None)
+        X = None
+        if (cached is not None and not os.environ.get("ALPINE_TPU_NO_X_CACHE")
+                and cached[2] == n_sample
+                and cached[1] == self._x_fingerprint(adata.X)):
+            # same data the model was fit on: reuse the device-resident X
+            # (already validated non-negative and pad-aligned at fit time)
+            X = cached[0]
+            pad = X.shape[1] - n_sample
+        if X is None:
+            X_array: Float32Array = copy(adata.X).astype(np.float32).T
+            if not np.all(X_array >= 0):
+                raise ValueError("All elements in adata.X must be non-negative.")
+            # shard_map / device_put need equal cell shards; zero columns
+            # are neutral for the projection (columns are independent) and
+            # are sliced off below (round-1 advisor finding: non-divisible
+            # cell counts crashed the sharded transform)
+            pad = (-n_sample) % self._mesh_devices() if placement.is_sharded else 0
+            if pad:
+                X_array = np.pad(X_array, ((0, 0), (0, pad)))
+            X = placement.put_x_matrix(X_array)
 
         key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), 1)
         H0 = jnp.maximum(

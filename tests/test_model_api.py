@@ -308,3 +308,37 @@ def test_verbose_progress_without_callbacks(synthetic_adata, capsys, monkeypatch
 
     np.testing.assert_allclose(loud.loss_history.values,
                                quiet.loss_history.values, rtol=1e-6)
+
+
+def test_transform_reuses_fit_device_x(synthetic_adata, monkeypatch):
+    """transform(same adata) must NOT re-upload X (the host->device copy
+    dominates atlas wall-clock through the axon tunnel); different data
+    must miss the cache; results must match the uncached path exactly."""
+    import alpine_tpu.models.alpine as alpine_mod
+
+    kw = dict(n_components=5, n_covariate_components=[2], lam=[1.0],
+              device="cpu", random_state=0)
+    m = alpine_mod.ALPINE(**kw)
+    m.fit(synthetic_adata, ["batch"], max_iter=10)
+
+    calls = []
+    orig = alpine_mod.Placement.put_x_matrix
+    monkeypatch.setattr(alpine_mod.Placement, "put_x_matrix",
+                        lambda self, arr: calls.append(arr.shape) or orig(self, arr))
+
+    m.transform(synthetic_adata, n_iter=5)
+    assert calls == [], "same-data transform re-uploaded X"
+    emb_cached = synthetic_adata.obsm["ALPINE_embedding"].copy()
+
+    # different data (same shape): fingerprint must miss
+    other = synthetic_adata.copy()
+    other.X = other.X + 1.0
+    m.transform(other, n_iter=5)
+    assert len(calls) == 1
+
+    # cache off -> identical result
+    monkeypatch.setenv("ALPINE_TPU_NO_X_CACHE", "1")
+    m.transform(synthetic_adata, n_iter=5)
+    assert len(calls) == 2
+    np.testing.assert_array_equal(synthetic_adata.obsm["ALPINE_embedding"],
+                                  emb_cached)
