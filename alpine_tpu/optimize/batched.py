@@ -27,7 +27,8 @@ same property)."""
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,10 +55,90 @@ def _fold_sharding(mesh, n_folds: int):
             NamedSharding(sub, P()))
 
 
-def batched_fold_embeddings(
+@dataclass
+class FoldData:
+    """Stacked, zero-padded, device-placed CV fold tensors.
+
+    These depend only on (adata, folds, weighted, mesh) — NOT on a trial's
+    hyperparameters — so the optimizer builds them ONCE per search
+    (prepare_fold_data) instead of re-stacking and re-uploading the data
+    tensors on every TPE trial."""
+
+    folds: Sequence[Tuple[np.ndarray, np.ndarray]]
+    g: int
+    n_labels: Tuple[int, ...]
+    n_tr: int
+    n_va: int
+    Xtr: jax.Array              # (n_folds, g, n_tr)
+    Xva: jax.Array              # (n_folds, g, n_va)
+    Ystr: Tuple[jax.Array, ...]  # each (n_folds, labels_i, n_tr)
+    weights: Optional[jax.Array]  # (n_folds, n_tr) or None
+    valid_cols: jax.Array       # (n_folds, 1, n_tr) bool: real vs pad cells
+    put_rep: callable
+    put_fold: callable
+
+
+def prepare_fold_data(
     X_cells_by_genes: np.ndarray,
     Ys_cells_by_labels: Sequence[np.ndarray],
     folds: Sequence[Tuple[np.ndarray, np.ndarray]],
+    *,
+    weighted: bool,
+    mesh=None,
+) -> FoldData:
+    """Build the trial-invariant stacked fold tensors and place them."""
+    n_folds = len(folds)
+    g = X_cells_by_genes.shape[1]
+    X_all = X_cells_by_genes.astype(np.float32)
+    Ys_all = [y.astype(np.float32) for y in Ys_cells_by_labels]
+    n_labels = tuple(y.shape[1] for y in Ys_all)
+
+    n_tr = max(len(tr) for tr, _ in folds)
+    n_va = max(len(va) for _, va in folds)
+
+    Xtr = np.zeros((n_folds, g, n_tr), np.float32)
+    Xva = np.zeros((n_folds, g, n_va), np.float32)
+    Ystr = [np.zeros((n_folds, nl, n_tr), np.float32) for nl in n_labels]
+    weights = np.zeros((n_folds, n_tr), np.float32) if weighted else None
+    for f, (tr, va) in enumerate(folds):
+        Xtr[f, :, : len(tr)] = X_all[tr].T
+        Xva[f, :, : len(va)] = X_all[va].T
+        for i, y in enumerate(Ys_all):
+            Ystr[i][f, :, : len(tr)] = y[tr].T
+        if weighted:
+            ids = sampling.joint_label_ids([y[tr].T for y in Ys_all])
+            w = sampling.balanced_sample_probabilities(ids)
+            weights[f, : len(tr)] = w / w.sum()
+
+    # optional fold-axis device parallelism: shard the stacked fold tensors
+    # across a 1-D mesh so each device fits (a subset of) the folds — the
+    # TPU-slice equivalent of running the reference's sequential fold loop
+    # on k GPUs at once (SURVEY.md §2 equivalents (b))
+    put_fold = put_rep = lambda x: x
+    if mesh is not None and n_folds > 1:
+        sharding = _fold_sharding(mesh, n_folds)
+        if sharding is not None:
+            fold_sh, rep_sh = sharding
+            put_fold = lambda x: jax.device_put(x, fold_sh(x.ndim))
+            put_rep = lambda x: jax.device_put(x, rep_sh)
+
+    col = np.arange(n_tr)[None, None, :]
+    tr_sizes = np.asarray([len(tr) for tr, _ in folds])[:, None, None]
+    return FoldData(
+        folds=folds, g=g, n_labels=n_labels, n_tr=n_tr, n_va=n_va,
+        Xtr=put_fold(jnp.asarray(Xtr)),
+        Xva=put_fold(jnp.asarray(Xva)),
+        Ystr=tuple(put_fold(jnp.asarray(y)) for y in Ystr),
+        weights=put_fold(jnp.asarray(weights)) if weighted else None,
+        valid_cols=put_fold(jnp.asarray(col < tr_sizes)),
+        put_rep=put_rep, put_fold=put_fold,
+    )
+
+
+def batched_fold_embeddings(
+    X_cells_by_genes: np.ndarray = None,
+    Ys_cells_by_labels: Sequence[np.ndarray] = None,
+    folds: Sequence[Tuple[np.ndarray, np.ndarray]] = None,
     *,
     blocks: Tuple[int, ...],
     lam: Sequence[float],
@@ -75,6 +156,7 @@ def batched_fold_embeddings(
     precision: str = "highest",
     mesh=None,
     true_blocks: Tuple[int, ...] = None,
+    fold_data: Optional[FoldData] = None,
 ) -> List[np.ndarray]:
     """Fit one model per fold (batched) and return each fold's validation
     unguided embedding as (n_val_fold, k_unguided) numpy arrays.
@@ -82,40 +164,29 @@ def batched_fold_embeddings(
     When `true_blocks` is given, `blocks` is a bucket-padded shape
     (mu.bucket_blocks) compiled once per bucket across optimizer trials;
     phantom components are zero-initialized (exactly neutral,
-    tests/test_bucketing.py) and sliced off the returned embeddings."""
+    tests/test_bucketing.py) and sliced off the returned embeddings.
+
+    Pass a prebuilt `fold_data` (prepare_fold_data) to skip re-stacking and
+    re-uploading the trial-invariant data tensors — the optimizer does this
+    once per search."""
     if true_blocks is None:
         true_blocks = blocks
-    n_folds = len(folds)
-    g = X_cells_by_genes.shape[1]
-    X_all = X_cells_by_genes.astype(np.float32)
-    Ys_all = [y.astype(np.float32) for y in Ys_cells_by_labels]
-    n_labels = tuple(y.shape[1] for y in Ys_all)
-
-    n_tr = max(len(tr) for tr, _ in folds)
-    n_va = max(len(va) for _, va in folds)
-
-    # stacked, zero-padded (genes x cells) fold tensors
-    Xtr = np.zeros((n_folds, g, n_tr), np.float32)
-    Xva = np.zeros((n_folds, g, n_va), np.float32)
-    Ystr = [np.zeros((n_folds, nl, n_tr), np.float32) for nl in n_labels]
-    weights = np.zeros((n_folds, n_tr), np.float32) if weighted else None
-    for f, (tr, va) in enumerate(folds):
-        Xtr[f, :, : len(tr)] = X_all[tr].T
-        Xva[f, :, : len(va)] = X_all[va].T
-        for i, y in enumerate(Ys_all):
-            Ystr[i][f, :, : len(tr)] = y[tr].T
-        if weighted:
-            ids = sampling.joint_label_ids([y[tr].T for y in Ys_all])
-            w = sampling.balanced_sample_probabilities(ids)
-            weights[f, : len(tr)] = w / w.sum()
+    if fold_data is None:
+        fold_data = prepare_fold_data(
+            X_cells_by_genes, Ys_cells_by_labels, folds,
+            weighted=weighted, mesh=mesh,
+        )
+    fd = fold_data
+    n_folds = len(fd.folds)
 
     cfg = mu.MUConfig(
         blocks=blocks,
-        n_labels=n_labels,
-        n_cells=n_tr,
+        n_labels=fd.n_labels,
+        n_cells=fd.n_tr,
         loss_kl=loss_kl,
         use_als=use_als,
-        batch_size=None if (batch_size is None or batch_size >= n_tr) else batch_size,
+        batch_size=None if (batch_size is None or batch_size >= fd.n_tr)
+        else batch_size,
         weighted=weighted,
         max_iter=max_iter,
         precision=precision,
@@ -123,16 +194,14 @@ def batched_fold_embeddings(
     )
     key = jax.random.PRNGKey(seed)
     init_key, fit_key = jax.random.split(key)
-    W0, H0, Bs0 = mu.init_matrices(cfg, g, init_key, eps)
+    W0, H0, Bs0 = mu.init_matrices(cfg, fd.g, init_key, eps)
     if true_blocks != blocks:
         W0, H0, Bs0 = mu.mask_block_padding(blocks, true_blocks, W0, H0, Bs0)
     # zero out H0's padded columns PER FOLD: a phantom cell with nonzero H
     # would contribute to HHt / rowsum(H) on the first iteration, breaking
     # the zero-padding neutrality argument.  With zero columns the padding
     # is exactly neutral (see tests/test_batched.py padding-neutrality).
-    col = np.arange(n_tr)[None, None, :]
-    tr_sizes = np.asarray([len(tr) for tr, _ in folds])[:, None, None]
-    H0_stack = jnp.where(jnp.asarray(col < tr_sizes),
+    H0_stack = jnp.where(fd.valid_cols,
                          jnp.broadcast_to(H0, (n_folds,) + H0.shape), 0.0)
     hyper = (
         jnp.asarray(np.asarray(lam, np.float32)),
@@ -140,28 +209,16 @@ def batched_fold_embeddings(
         jnp.float32(eps),
     )
 
-    # optional fold-axis device parallelism: shard the stacked fold tensors
-    # across a 1-D mesh so each device fits (a subset of) the folds — the
-    # TPU-slice equivalent of running the reference's sequential fold loop
-    # on k GPUs at once (SURVEY.md §2 equivalents (b))
-    put_fold = put_rep = lambda x: x
-    if mesh is not None and len(folds) > 1:
-        sharding = _fold_sharding(mesh, len(folds))
-        if sharding is not None:
-            fold_sh, rep_sh = sharding
-            put_fold = lambda x: jax.device_put(x, fold_sh(x.ndim))
-            put_rep = lambda x: jax.device_put(x, rep_sh)
-
     in_axes = (None, 0, None, 0, 0, None, None, 0 if weighted else None)
     vfit = jax.vmap(
         lambda W, H, Bs, X, Ys, hy, k, w: mu.fit_scan(cfg, W, H, Bs, X, Ys, hy, k, w),
         in_axes=in_axes,
     )
     Ws, Hs, Bss, _ = vfit(
-        put_rep(W0), put_fold(H0_stack), tuple(put_rep(b) for b in Bs0),
-        put_fold(jnp.asarray(Xtr)),
-        tuple(put_fold(jnp.asarray(y)) for y in Ystr), hyper, fit_key,
-        put_fold(jnp.asarray(weights)) if weighted else None,
+        fd.put_rep(W0), fd.put_fold(H0_stack),
+        tuple(fd.put_rep(b) for b in Bs0),
+        fd.Xtr, fd.Ystr, hyper, fit_key,
+        fd.weights if weighted else None,
     )
 
     if scale:
@@ -172,20 +229,20 @@ def batched_fold_embeddings(
     # batched validation transform (reference main.py:678-724 per fold)
     t_key = jax.random.fold_in(key, 1)
     H0v = jnp.maximum(
-        jax.random.uniform(t_key, (sum(blocks), n_va), dtype=jnp.float32), eps
+        jax.random.uniform(t_key, (sum(blocks), fd.n_va), dtype=jnp.float32), eps
     )
     vtrans = jax.vmap(
         lambda W, X: mu.transform_scan(W, X, H0v, jnp.float32(eps),
                                        n_iter=max_iter, precision=precision),
         in_axes=(0, 0),
     )
-    Hva = np.asarray(jax.device_get(vtrans(Ws, put_fold(jnp.asarray(Xva)))))
+    Hva = np.asarray(jax.device_get(vtrans(Ws, fd.Xva)))
 
     # genuine unguided rows: the first true_blocks[-1] rows of the (possibly
     # bucket-padded) last block; phantom rows are exactly zero
     off_last = sum(blocks[:-1])
     k_unguided = true_blocks[-1]
     out = []
-    for f, (_, va) in enumerate(folds):
+    for f, (_, va) in enumerate(fd.folds):
         out.append(Hva[f, off_last:off_last + k_unguided, : len(va)].T.copy())
     return out

@@ -435,25 +435,40 @@ class ComponentOptimizer:
             self.iter_records.append(model.max_iter)
         return np.asarray(val_adata.obsm["ALPINE_embedding"])
 
-    def _batched_fold_embeddings(self, args, folds) -> List[np.ndarray]:
-        """All CV folds of this trial as one vmapped program
-        (optimize/batched.py); returns one validation embedding per fold."""
+    def _fold_data(self, folds):
+        """Trial-invariant stacked fold tensors, built and device-placed
+        ONCE per search (they depend only on the data, folds and sampling
+        mode — re-uploading them every TPE trial wastes the interconnect)."""
         from jax.sharding import Mesh
 
-        from alpine_tpu.optimize.batched import batched_fold_embeddings
+        from alpine_tpu.optimize.batched import prepare_fold_data
         from alpine_tpu.parallel.mesh import resolve_device
         from alpine_tpu.utils.encoder import FeatureEncoders
 
+        key = (self.n_splits, self.sampling_method)
+        cached = getattr(self, "_fold_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         encoders = FeatureEncoders(self.covariate_keys)
         Ys = encoders.fit_transform(self.adata.obs)  # (cells x labels) each
         resolved = resolve_device(self.device)
+        fd = prepare_fold_data(
+            np.asarray(self.adata.X, dtype=np.float32), Ys, folds,
+            weighted=(self.sampling_method == "weighted"),
+            mesh=resolved if isinstance(resolved, Mesh) else None,
+        )
+        self._fold_cache = (key, fd)
+        return fd
+
+    def _batched_fold_embeddings(self, args, folds) -> List[np.ndarray]:
+        """All CV folds of this trial as one vmapped program
+        (optimize/batched.py); returns one validation embedding per fold."""
+        from alpine_tpu.optimize.batched import batched_fold_embeddings
 
         true_blocks = tuple(args["n_covariate_components"]) + (args["n_components"],)
         blocks = self._bucketed(true_blocks) or true_blocks
         return batched_fold_embeddings(
-            np.asarray(self.adata.X, dtype=np.float32),
-            Ys,
-            folds,
+            fold_data=self._fold_data(folds),
             blocks=blocks,
             true_blocks=true_blocks,
             lam=[float(l) for l in args["lam"]],
@@ -468,7 +483,6 @@ class ComponentOptimizer:
             max_iter=self.max_iter,
             scale=True,
             seed=self.random_state,
-            mesh=resolved if isinstance(resolved, Mesh) else None,
         )
 
     # -------------------------------------------------------- persistence
