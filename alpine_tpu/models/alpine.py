@@ -179,21 +179,40 @@ class ALPINE:
         )
         if shard_local_mb and pad == 0:
             pad = (-n_sample) % self._mesh_devices()
+        # Real atlases are usually sorted by sample/batch — exactly the
+        # covariates weighted sampling balances — so contiguous cell shards
+        # would hold single covariate levels and per-shard renormalization
+        # would cancel the balancing.  One fixed global shuffle (seeded,
+        # undone on the way out) makes every shard a random subsample, so
+        # shard-local draws follow the global balanced distribution.
+        cell_perm = None
+        if shard_local_mb and sampling_method == "weighted":
+            cell_perm = np.random.default_rng(self.random_state).permutation(
+                n_sample
+            )
+        X_dev = X[:, cell_perm] if cell_perm is not None else X
+        Ys_dev = ([y[:, cell_perm] for y in Ys] if cell_perm is not None
+                  else list(Ys))
         if pad:
             # zero columns are exactly neutral (tests/test_batched.py
             # padding-neutrality); pre-padding host-side avoids a transient
             # in-jit copy of X at atlas scale
-            X_dev = np.pad(X, ((0, 0), (0, pad)))
-            Ys_dev = [np.pad(y, ((0, 0), (0, pad))) for y in Ys]
-        else:
-            X_dev, Ys_dev = X, Ys
+            X_dev = np.pad(X_dev, ((0, 0), (0, pad)))
+            Ys_dev = [np.pad(y, ((0, 0), (0, pad))) for y in Ys_dev]
         Xd = placement.put_x_matrix(X_dev)
         Ysd = tuple(placement.put_cells_matrix(y) for y in Ys_dev)
         # keep the device copy of X for a same-data transform: the
         # host->device upload dominates atlas-scale wall-clock through the
         # axon tunnel (measured ~30 s for 800 MB vs 0.3 s of transform
-        # compute).  Keyed by a sampled fingerprint of adata.X.
-        self._x_cache = (Xd, self._x_fingerprint(adata.X), n_sample)
+        # compute).  Keyed by a fingerprint of adata.X; dropped from
+        # pickles (__getstate__) and releasable via free_device_cache().
+        import os as _os
+
+        self._x_cache = (
+            None
+            if _os.environ.get("ALPINE_TPU_NO_X_CACHE") or cell_perm is not None
+            else (Xd, self._x_fingerprint(adata.X), n_sample)
+        )
 
         # weighted sampling probabilities (host-side, once; reference
         # recomputes per epoch on the host, sampling.py:18-33)
@@ -209,6 +228,8 @@ class ALPINE:
             if shard_local_mb:
                 # zero weight on pad columns: never drawn; per-shard
                 # renormalization happens inside the shard_map body
+                if cell_perm is not None:
+                    w_host = w_host[cell_perm]
                 if pad:
                     w_host = np.pad(w_host, (0, pad))
                 weights = placement.put_cells_vector(jnp.asarray(w_host))
@@ -412,6 +433,10 @@ class ALPINE:
 
         W_np = np.asarray(jax.device_get(Wd), dtype=np.float32)
         H_np = np.asarray(jax.device_get(Hd), dtype=np.float32)
+        if cell_perm is not None:
+            # undo the weighted-sharding shuffle: H columns back to the
+            # caller's cell order
+            H_np = H_np[:, np.argsort(cell_perm)]
         Bs_np = [np.asarray(jax.device_get(b), dtype=np.float32) for b in Bsd]
         if self.component_bucket:
             # drop the phantom components: stored matrices are true-sized
@@ -748,19 +773,68 @@ class ALPINE:
             jnp.float32(self.eps),
         )
 
+    def free_device_cache(self) -> None:
+        """Release the device-resident X kept for same-data transforms.
+        The cache holds the full expression matrix in accelerator memory
+        (e.g. ~800 MB at 100k x 2k); drop it when keeping several fitted
+        models alive or before fitting another atlas-scale model."""
+        self._x_cache = None
+
+    def __getstate__(self):
+        # Device arrays must not leak into pickles (they would force a full
+        # device->host fetch and bloat the file by the whole dataset), and
+        # jax.Device / Mesh objects are not picklable at all — yet pickling
+        # the whole estimator is the reference's documented persistence
+        # workflow (README.md:212-215).  Serialize a device descriptor and
+        # rebuild it on load (best-effort for meshes: same platform+shape
+        # from the loading process's devices).
+        from jax.sharding import Mesh
+
+        state = dict(self.__dict__)
+        state["_x_cache"] = None
+        dev = state.get("device")
+        if isinstance(dev, Mesh):
+            state["device"] = ("__mesh__", tuple(dev.axis_names),
+                               tuple(dev.devices.shape),
+                               dev.devices.flat[0].platform)
+        elif isinstance(dev, jax.Device):
+            state["device"] = ("__device__", dev.platform)
+        return state
+
+    def __setstate__(self, state):
+        from jax.sharding import Mesh
+
+        dev = state.get("device")
+        if isinstance(dev, tuple) and dev and dev[0] in ("__mesh__", "__device__"):
+            try:
+                if dev[0] == "__device__":
+                    state["device"] = jax.devices(dev[1])[0]
+                else:
+                    _, axes, shape, platform = dev
+                    need = int(np.prod(shape))
+                    grid = np.asarray(jax.devices(platform)[:need]).reshape(shape)
+                    state["device"] = Mesh(grid, axes)
+            except Exception:
+                state["device"] = jax.devices()[0]
+        self.__dict__.update(state)
+
     @staticmethod
     def _x_fingerprint(X_host) -> tuple:
-        """Cheap identity for a host X: shape + a 4096-element strided
-        sample + its sum.  Used to reuse the fit's device-resident X when
-        transform is called on the same data (skipping the dominant
-        host->device upload); a false match needs identical shape AND
-        identical sampled values — practically impossible for real data.
-        Disable via ALPINE_TPU_NO_X_CACHE=1."""
+        """Identity for a host X: shape + a 4096-element strided sample +
+        the FULL-array float64 sum and minimum (one cheap pass over the
+        data, ~0.3 s at 800 MB vs the ~30 s upload it saves).  Used to
+        reuse the fit's device-resident X when transform is called on the
+        same data.  The full sum makes any in-place edit between fit and
+        transform a cache miss with overwhelming probability, and the full
+        minimum means data that turned negative can never match (the
+        uncached path then re-validates and raises).  Disable via
+        ALPINE_TPU_NO_X_CACHE=1."""
         arr = np.asarray(X_host)
         flat = arr.reshape(-1)
         stride = max(1, flat.size // 4096)
         sample = np.asarray(flat[::stride][:4096], dtype=np.float32)
-        return (arr.shape, sample.tobytes(), float(sample.sum()))
+        return (arr.shape, sample.tobytes(),
+                float(arr.sum(dtype=np.float64)), float(arr.min()))
 
     def _transform(self, adata, n_iter: int) -> None:
         """Out-of-sample projection: plain Frobenius MU onto frozen W

@@ -627,9 +627,13 @@ def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
     equal-size per-shard sub-batches — i.e. sampling stratified by shard.
     For "random" this is a uniformly random batch within each shard; for
     "weighted" each shard draws with its locally-renormalized balanced
-    probabilities.  Statistically equivalent for i.i.d.-distributed cells;
-    documented divergence (the global-index GSPMD path would instead move
-    O(batch) columns across chips every batch).
+    probabilities.  Statistically equivalent when cells are i.i.d. across
+    shards — which the model layer GUARANTEES for weighted mode by applying
+    a seeded global shuffle before sharding (batch-sorted atlases would
+    otherwise put whole covariate levels on single shards and cancel the
+    balancing; see ALPINE.fit's cell_perm).  Documented divergence (the
+    global-index GSPMD path would instead move O(batch) columns across
+    chips every batch).
 
     Cell padding (model layer pads X/Ys/H/weights with zero columns to
     equalize shards) is exactly neutral: zero columns contribute zero to
@@ -973,9 +977,7 @@ def bucket_blocks(blocks: Tuple[int, ...], bucket: int) -> Tuple[int, ...]:
     return tuple(-(-k // bucket) * bucket for k in blocks)
 
 
-# ~sqrt(2)-spaced size levels: enough resolution that padding waste stays
-# bounded (<~50% per block) while a whole hyperparameter sweep lands on a
-# handful of levels
+# ~sqrt(2)-spaced size levels for auto bucketing
 _GEO_LEVELS = (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256,
                384, 512, 768, 1024)
 
@@ -986,7 +988,16 @@ def auto_bucket_blocks(blocks: Tuple[int, ...]) -> Tuple[int, ...]:
     its own level — so the distinct compiled shapes of an entire search are
     bounded by O(levels²) however many trials run, not by the trial count.
     Per-block linear bucketing (bucket_blocks) still produced ~1 shape per
-    trial once 3 block sizes varied independently."""
+    trial once 3 block sizes varied independently.
+
+    Cost trade-off (deliberate): the shared guided level means a SKEWED
+    split pays for its largest guided block several times — e.g. true
+    blocks (2, 48, 50) compile as (48, 48, 64), K 160 vs 100.  Only the
+    K-scaled terms inflate (H traffic, K² stats); the dominant X passes
+    are K-independent, so even the worst draws cost ~10-30% extra traffic
+    at CV-fold shapes — cheap against the 20-120 s remote compile each
+    extra shape would cost.  Callers wanting exact shapes per trial use
+    shape_bucket=None."""
     def level(k: int) -> int:
         for l in _GEO_LEVELS:
             if l >= k:

@@ -486,6 +486,15 @@ class ComponentOptimizer:
         )
 
     # -------------------------------------------------------- persistence
+    def __getstate__(self):
+        # the fold cache holds device-resident arrays; never pickle them
+        state = dict(self.__dict__)
+        state.pop("_fold_cache", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
     def save_trials(self, filename: str):
         """Pickle the current trials (reference optimization.py:335-345)."""
         with open(filename, "wb") as f:

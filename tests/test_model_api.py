@@ -342,3 +342,43 @@ def test_transform_reuses_fit_device_x(synthetic_adata, monkeypatch):
     assert len(calls) == 2
     np.testing.assert_array_equal(synthetic_adata.obsm["ALPINE_embedding"],
                                   emb_cached)
+
+
+def test_x_cache_in_place_mutation_and_pickle(synthetic_adata, monkeypatch):
+    """In-place edits of adata.X after fit must miss the device-X cache
+    (full-sum fingerprint), negative edits must hit the validation error,
+    and pickling a fitted model must not drag the device array along."""
+    import pickle
+
+    import alpine_tpu.models.alpine as alpine_mod
+
+    m = alpine_mod.ALPINE(n_components=5, n_covariate_components=[2],
+                          lam=[1.0], device="cpu", random_state=0)
+    m.fit(synthetic_adata, ["batch"], max_iter=8)
+
+    calls = []
+    orig = alpine_mod.Placement.put_x_matrix
+    monkeypatch.setattr(alpine_mod.Placement, "put_x_matrix",
+                        lambda self, arr: calls.append(1) or orig(self, arr))
+
+    # single-element in-place edit -> full-sum fingerprint misses
+    synthetic_adata.X[3, 7] += 0.5
+    m.transform(synthetic_adata, n_iter=3)
+    assert calls == [1]
+
+    # in-place edit that turns a value negative -> miss + validation error
+    synthetic_adata.X[0, 0] = -1.0
+    with pytest.raises(ValueError, match="non-negative"):
+        m.transform(synthetic_adata, n_iter=3)
+
+    # pickling drops the device cache but the model stays usable
+    assert m._x_cache is not None
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2._x_cache is None
+    synthetic_adata.X[0, 0] = 0.0
+    m2.transform(synthetic_adata, n_iter=3)
+    assert synthetic_adata.obsm["ALPINE_embedding"].shape[1] == 5
+
+    # explicit release
+    m.free_device_cache()
+    assert m._x_cache is None
