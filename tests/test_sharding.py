@@ -228,3 +228,26 @@ def test_weighted_sharded_fit_on_batch_sorted_data():
     # (a wrong unpermute would misalign cells and blow this up)
     recomputed = float(m.compute_loss(adata))
     assert np.isclose(recomputed, tl[-1], rtol=2e-2), (recomputed, tl[-1])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_als_mode_on_mesh_matches_single_device():
+    """ALS (block-cyclic) fits run the GSPMD path on a mesh; trajectories
+    must match the single-device fit."""
+    adata_a = make_synthetic_adata(n_cells=128, n_genes=24, seed=13)
+    adata_b = adata_a.copy()
+    kw = dict(n_components=5, n_covariate_components=[2], lam=[2.0],
+              use_als=True, random_state=0)
+
+    single = ALPINE(device="cpu", **kw)
+    single.fit(adata_a, ["batch"], max_iter=10)
+
+    sharded = ALPINE(device=make_cell_mesh(8), **kw)
+    sharded.fit(adata_b, ["batch"], max_iter=10)
+
+    np.testing.assert_allclose(single.loss_history.values,
+                               sharded.loss_history.values, rtol=1e-4)
+    np.testing.assert_allclose(
+        adata_a.obsm["ALPINE_embedding"], adata_b.obsm["ALPINE_embedding"],
+        rtol=5e-3, atol=1e-5,
+    )
