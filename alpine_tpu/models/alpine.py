@@ -199,6 +199,15 @@ class ALPINE:
             # in-jit copy of X at atlas scale
             X_dev = np.pad(X_dev, ((0, 0), (0, pad)))
             Ys_dev = [np.pad(y, ((0, 0), (0, pad))) for y in Ys_dev]
+        if self.data_dtype == "bfloat16":
+            # cast HOST-side: halves the dominant host->device transfer and
+            # avoids the transient f32+bf16 double-residency of an in-jit
+            # cast at atlas scale.  ||X||^2 (and the loss) then sees the
+            # bf16-rounded values the updates use — consistent, and inside
+            # the documented bf16 approximation for this opt-in mode.
+            import ml_dtypes
+
+            X_dev = np.asarray(X_dev, dtype=ml_dtypes.bfloat16)
         Xd = placement.put_x_matrix(X_dev)
         Ysd = tuple(placement.put_cells_matrix(y) for y in Ys_dev)
         # keep the device copy of X for a same-data transform: the
@@ -864,6 +873,11 @@ class ALPINE:
             pad = (-n_sample) % self._mesh_devices() if placement.is_sharded else 0
             if pad:
                 X_array = np.pad(X_array, ((0, 0), (0, pad)))
+            if self.data_dtype == "bfloat16":
+                # same host-side cast as fit: halve the upload
+                import ml_dtypes
+
+                X_array = np.asarray(X_array, dtype=ml_dtypes.bfloat16)
             X = placement.put_x_matrix(X_array)
 
         key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), 1)

@@ -382,3 +382,25 @@ def test_x_cache_in_place_mutation_and_pickle(synthetic_adata, monkeypatch):
     # explicit release
     m.free_device_cache()
     assert m._x_cache is None
+
+
+def test_bfloat16_mode_end_to_end(synthetic_adata):
+    """data_dtype='bfloat16' (X uploaded pre-cast, half the transfer) must
+    converge to the f32 fit's loss level and keep the full API working."""
+    kw = dict(n_components=5, n_covariate_components=[2], lam=[1.0],
+              device="cpu", random_state=0)
+    a32, a16 = synthetic_adata.copy(), synthetic_adata.copy()
+
+    f32 = ALPINE(data_dtype="float32", **kw)
+    f32.fit(a32, ["batch"], max_iter=20)
+    bf16 = ALPINE(data_dtype="bfloat16", **kw)
+    bf16.fit(a16, ["batch"], max_iter=20)
+
+    l32 = f32.loss_history["total loss"].to_numpy()
+    l16 = bf16.loss_history["total loss"].to_numpy()
+    assert np.isfinite(l16).all()
+    np.testing.assert_allclose(l16, l32, rtol=6e-2)
+
+    bf16.transform(a16, n_iter=5)  # cached bf16 device X
+    assert a16.obsm["ALPINE_embedding"].shape == (synthetic_adata.shape[0], 5)
+    assert a16.obsm["ALPINE_embedding"].dtype == np.float32
