@@ -177,8 +177,12 @@ class ALPINE:
             and not self.use_als
             and (self.batch_size < n_sample or sampling_method == "weighted")
         )
-        if shard_local_mb and pad == 0:
-            pad = (-n_sample) % self._mesh_devices()
+        # ANY sharded fit needs equal cell shards (device_put / shard_map);
+        # zero columns are exactly neutral and the KL pad constant is
+        # stripped from the loss (mu.compute_loss_parts kl_pad)
+        if placement.is_sharded and pad == 0 and n_restarts == 1:
+            pad = (-n_sample) % placement.cell_shards
+        placement.check_gene_axis(self.n_features)
         # Real atlases are usually sorted by sample/batch — exactly the
         # covariates weighted sampling balances — so contiguous cell shards
         # would hold single covariate levels and per-shard renormalization
@@ -870,7 +874,8 @@ class ALPINE:
             # are neutral for the projection (columns are independent) and
             # are sliced off below (round-1 advisor finding: non-divisible
             # cell counts crashed the sharded transform)
-            pad = (-n_sample) % self._mesh_devices() if placement.is_sharded else 0
+            pad = (-n_sample) % placement.cell_shards
+            placement.check_gene_axis(self.n_features)
             if pad:
                 X_array = np.pad(X_array, ((0, 0), (0, pad)))
             if self.data_dtype == "bfloat16":

@@ -404,6 +404,10 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     X = X.astype(cfg.xdt)
     Ys = tuple(Y.astype(cfg.xdt) for Y in Ys)
     n = cfg.n_cells
+    # callers may zero-pad the cell axis (mesh shard equality / kernel
+    # tiles); exactly neutral for every update, and the closed-form KL pad
+    # constant is stripped from the loss
+    kl_pad = X.shape[1] - n
     bs = cfg.eff_batch_size
     nb = cfg.num_batches
 
@@ -438,14 +442,17 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
         if aux is not None:  # full-batch: reuse the update's WtX (and WtW
             # in joint mode) so the loss costs no extra X pass
             loss = compute_loss_parts(cfg, hyper, W, H, Bs, X, Ys, normX2,
-                                      WtX=aux[0], WtW=aux[1])
+                                      WtX=aux[0], WtW=aux[1], kl_pad=kl_pad)
         else:
-            loss = compute_loss_parts(cfg, hyper, W, H, Bs, X, Ys, normX2)
+            loss = compute_loss_parts(cfg, hyper, W, H, Bs, X, Ys, normX2,
+                                      kl_pad=kl_pad)
         _maybe_report(cfg, loss)
         return (W, H, Bs), loss
 
     keys = jax.random.split(key, cfg.max_iter)
     (W, H, Bs), losses = lax.scan(iteration, (W0, H0, Bs0), keys)
+    if H.shape[1] != n:
+        H = H[:, :n]
     return W, H, Bs, losses
 
 

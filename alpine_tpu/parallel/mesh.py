@@ -99,6 +99,26 @@ class Placement:
     def _two_d(self) -> bool:
         return self.mesh is not None and len(self.mesh.axis_names) == 2
 
+    @property
+    def cell_shards(self) -> int:
+        """Device count along the cell axis (1 when unsharded)."""
+        if self.mesh is None:
+            return 1
+        return int(self.mesh.shape[self.mesh.axis_names[-1]])
+
+    def check_gene_axis(self, n_genes: int) -> None:
+        """2-D meshes shard the gene axis, which must divide evenly (gene
+        rows are not zero-pad-neutral without zeroed W rows); fail with a
+        clear message instead of a device_put ValueError."""
+        if self._two_d:
+            gs = int(self.mesh.shape[GENE_AXIS])
+            if n_genes % gs:
+                raise ValueError(
+                    f"n_genes={n_genes} is not divisible by the mesh's "
+                    f"'{GENE_AXIS}' axis ({gs} devices); choose a gene-axis "
+                    "size that divides the gene count."
+                )
+
     def put_cells_matrix(self, arr):
         """(rows, cells) arrays: H, Y — shard the cell axis only."""
         if self.mesh is None:

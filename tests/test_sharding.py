@@ -251,3 +251,30 @@ def test_als_mode_on_mesh_matches_single_device():
         adata_a.obsm["ALPINE_embedding"], adata_b.obsm["ALPINE_embedding"],
         rtol=5e-3, atol=1e-5,
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("use_als", [False, True])
+def test_ragged_cell_count_full_batch_mesh(use_als):
+    """Full-batch fits on a mesh with cells % devices != 0 (found by
+    fuzzing: only the pallas/minibatch paths padded) must run AND match
+    the single-device trajectory exactly — the zero pad columns are
+    neutral and the KL pad constant is stripped from the loss."""
+    n_cells = 101
+    adata_a = make_synthetic_adata(n_cells=n_cells, n_genes=20, seed=21)
+    adata_b = adata_a.copy()
+    kw = dict(n_components=4, n_covariate_components=[2], lam=[2.0],
+              use_als=use_als, random_state=0)
+
+    single = ALPINE(device="cpu", **kw)
+    single.fit(adata_a, ["batch"], max_iter=10)
+    sharded = ALPINE(device=make_cell_mesh(8), **kw)
+    sharded.fit(adata_b, ["batch"], max_iter=10)
+
+    np.testing.assert_allclose(single.loss_history.values,
+                               sharded.loss_history.values, rtol=1e-4)
+    assert adata_b.obsm["ALPINE_embedding"].shape == (n_cells, 4)
+    np.testing.assert_allclose(
+        adata_a.obsm["ALPINE_embedding"], adata_b.obsm["ALPINE_embedding"],
+        rtol=5e-3, atol=1e-5,
+    )
