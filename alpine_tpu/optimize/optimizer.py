@@ -357,10 +357,19 @@ class ComponentOptimizer:
     # ------------------------------------------------------------ scoring
     def _stratified_folds(self):
         """StratifiedKFold index pairs over the joint covariate label
-        ("_"-joined strings, reference optimization.py:229-241)."""
-        labels = self.adata.obs[self.covariate_keys[0]].astype(str)
+        ("_"-joined strings, reference optimization.py:229-241).  Missing
+        covariate values stringify to "nan" — one stratification class, the
+        reference's effective behavior — rather than tripping sklearn's NaN
+        check (newer pandas string dtypes keep NaN through astype(str))."""
+        def as_str(key):
+            col = np.asarray(self.adata.obs[key], dtype=object)
+            return np.array(
+                ["nan" if pd.isna(v) else str(v) for v in col], dtype=object
+            )
+
+        labels = as_str(self.covariate_keys[0])
         for key in self.covariate_keys[1:]:
-            labels = labels + "_" + self.adata.obs[key].astype(str)
+            labels = labels + "_" + as_str(key)
         splitter = StratifiedKFold(
             n_splits=self.n_splits, shuffle=True, random_state=self.random_state
         )

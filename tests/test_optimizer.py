@@ -314,3 +314,21 @@ def test_hyperopt_trials_import_shim(tmp_path, small_adata):
     co.load_trials(p)
     hist = co.get_train_history()
     assert len(hist) == 1 and hist.iloc[0]["score"] == 0.25
+
+
+def test_search_with_nan_covariates(tmp_path):
+    """Partially-labeled data (the library's semi-supervision entry point)
+    must search fine: missing covariate values form one stratification
+    class instead of tripping sklearn's NaN check (newer pandas string
+    dtypes keep NaN through astype(str))."""
+    from alpine_tpu import ComponentOptimizer
+
+    adata = make_synthetic_adata(n_cells=90, n_genes=20,
+                                 covariates=(("batch", 2),), na_frac=0.3,
+                                 seed=7)
+    co = ComponentOptimizer(adata, ["batch"], max_iter=5, device="cpu",
+                            random_state=0)
+    co.search_hyperparams(n_total_components_range=(8, 14),
+                          lam_range=(1.0, 50.0), n_splits=2, max_evals=2)
+    hist = co.get_train_history()
+    assert len(hist) >= 1 and np.isfinite(hist["score"]).all()
