@@ -798,37 +798,18 @@ class ALPINE:
         # device->host fetch and bloat the file by the whole dataset), and
         # jax.Device / Mesh objects are not picklable at all — yet pickling
         # the whole estimator is the reference's documented persistence
-        # workflow (README.md:212-215).  Serialize a device descriptor and
-        # rebuild it on load (best-effort for meshes: same platform+shape
-        # from the loading process's devices).
-        from jax.sharding import Mesh
+        # workflow (README.md:212-215).
+        from alpine_tpu.parallel.mesh import describe_device
 
         state = dict(self.__dict__)
         state["_x_cache"] = None
-        dev = state.get("device")
-        if isinstance(dev, Mesh):
-            state["device"] = ("__mesh__", tuple(dev.axis_names),
-                               tuple(dev.devices.shape),
-                               dev.devices.flat[0].platform)
-        elif isinstance(dev, jax.Device):
-            state["device"] = ("__device__", dev.platform)
+        state["device"] = describe_device(state.get("device"))
         return state
 
     def __setstate__(self, state):
-        from jax.sharding import Mesh
+        from alpine_tpu.parallel.mesh import restore_device
 
-        dev = state.get("device")
-        if isinstance(dev, tuple) and dev and dev[0] in ("__mesh__", "__device__"):
-            try:
-                if dev[0] == "__device__":
-                    state["device"] = jax.devices(dev[1])[0]
-                else:
-                    _, axes, shape, platform = dev
-                    need = int(np.prod(shape))
-                    grid = np.asarray(jax.devices(platform)[:need]).reshape(shape)
-                    state["device"] = Mesh(grid, axes)
-            except Exception:
-                state["device"] = jax.devices()[0]
+        state["device"] = restore_device(state.get("device"))
         self.__dict__.update(state)
 
     @staticmethod

@@ -496,12 +496,19 @@ class ComponentOptimizer:
 
     # -------------------------------------------------------- persistence
     def __getstate__(self):
-        # the fold cache holds device-resident arrays; never pickle them
+        # the fold cache holds device-resident arrays (never pickle them),
+        # and jax Device/Mesh objects serialize as descriptors
+        from alpine_tpu.parallel.mesh import describe_device
+
         state = dict(self.__dict__)
         state.pop("_fold_cache", None)
+        state["device"] = describe_device(state.get("device"))
         return state
 
     def __setstate__(self, state):
+        from alpine_tpu.parallel.mesh import restore_device
+
+        state["device"] = restore_device(state.get("device"))
         self.__dict__.update(state)
 
     def save_trials(self, filename: str):

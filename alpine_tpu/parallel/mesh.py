@@ -81,6 +81,36 @@ def resolve_device(device: DeviceLike):
     raise TypeError(f"device must be a string, jax.Device or Mesh, got {type(device)}")
 
 
+def describe_device(dev):
+    """Picklable descriptor for a resolved device/mesh (jax.Device and Mesh
+    objects cannot be pickled; whole-estimator pickling is the reference's
+    documented persistence workflow)."""
+    if isinstance(dev, Mesh):
+        return ("__mesh__", tuple(dev.axis_names), tuple(dev.devices.shape),
+                dev.devices.flat[0].platform)
+    if isinstance(dev, jax.Device):
+        return ("__device__", dev.platform)
+    return dev
+
+
+def restore_device(desc):
+    """Inverse of describe_device, best-effort in the loading process (a
+    mesh rebuilds from local devices of the same platform and shape; falls
+    back to the default device when unavailable)."""
+    if not (isinstance(desc, tuple) and desc
+            and desc[0] in ("__mesh__", "__device__")):
+        return desc
+    try:
+        if desc[0] == "__device__":
+            return jax.devices(desc[1])[0]
+        _, axes, shape, platform = desc
+        need = int(np.prod(shape))
+        grid = np.asarray(jax.devices(platform)[:need]).reshape(shape)
+        return Mesh(grid, axes)
+    except Exception:
+        return jax.devices()[0]
+
+
 class Placement:
     """Knows where fit-time arrays live: single device or cell-sharded mesh."""
 

@@ -39,11 +39,14 @@ class _AxisMapping(dict):
         self._axis_name = axis_name
 
     def __setitem__(self, key: str, value: Any) -> None:
-        arr = value
-        if hasattr(arr, "shape") and len(arr.shape) >= 1 and arr.shape[0] != self._length:
+        # during unpickling, dict items are re-inserted BEFORE the instance
+        # attributes restore; skip validation until _length exists
+        length = self.__dict__.get("_length")
+        if (length is not None and hasattr(value, "shape")
+                and len(value.shape) >= 1 and value.shape[0] != length):
             raise ValueError(
                 f"value for {self._axis_name}[{key!r}] has leading dimension "
-                f"{arr.shape[0]}, expected {self._length}"
+                f"{value.shape[0]}, expected {length}"
             )
         super().__setitem__(key, value)
 

@@ -278,3 +278,31 @@ def test_ragged_cell_count_full_batch_mesh(use_als):
         adata_a.obsm["ALPINE_embedding"], adata_b.obsm["ALPINE_embedding"],
         rtol=5e-3, atol=1e-5,
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_models_pickle_roundtrip():
+    """Estimators holding a Mesh device must pickle (device descriptors)
+    and stay usable after load."""
+    import pickle
+
+    from alpine_tpu import ComponentOptimizer
+
+    adata = make_synthetic_adata(n_cells=96, n_genes=16, seed=30)
+    mesh = make_cell_mesh(8)
+    m = ALPINE(n_components=4, n_covariate_components=[2], lam=[1.0],
+               device=mesh, random_state=0)
+    m.fit(adata, ["batch"], max_iter=5)
+    m2 = pickle.loads(pickle.dumps(m))
+    from jax.sharding import Mesh
+    assert isinstance(m2.device, Mesh) and m2.device.devices.size == 8
+    fresh = adata.copy()
+    m2.transform(fresh, n_iter=3)
+    assert fresh.obsm["ALPINE_embedding"].shape == (96, 4)
+
+    co = ComponentOptimizer(adata, ["batch"], max_iter=5, device=mesh,
+                            random_state=0)
+    co.search_hyperparams(n_total_components_range=(8, 12),
+                          lam_range=(1.0, 10.0), n_splits=2, max_evals=2)
+    co2 = pickle.loads(pickle.dumps(co))
+    assert len(co2.trials.trials) == 2
