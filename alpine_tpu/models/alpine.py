@@ -27,6 +27,7 @@ the per-iteration loss history is accumulated on device and fetched once
 
 from __future__ import annotations
 
+import os
 import warnings
 from copy import copy, deepcopy
 from dataclasses import replace
@@ -194,7 +195,10 @@ class ALPINE:
             cell_perm = np.random.default_rng(self.random_state).permutation(
                 n_sample
             )
-        X_dev = X[:, cell_perm] if cell_perm is not None else X
+        # bf16 FIRST so the permute/pad copies below are half-size too
+        X_dev = self._cast_x_host(X)
+        if cell_perm is not None:
+            X_dev = X_dev[:, cell_perm]
         Ys_dev = ([y[:, cell_perm] for y in Ys] if cell_perm is not None
                   else list(Ys))
         if pad:
@@ -203,15 +207,6 @@ class ALPINE:
             # in-jit copy of X at atlas scale
             X_dev = np.pad(X_dev, ((0, 0), (0, pad)))
             Ys_dev = [np.pad(y, ((0, 0), (0, pad))) for y in Ys_dev]
-        if self.data_dtype == "bfloat16":
-            # cast HOST-side: halves the dominant host->device transfer and
-            # avoids the transient f32+bf16 double-residency of an in-jit
-            # cast at atlas scale.  ||X||^2 (and the loss) then sees the
-            # bf16-rounded values the updates use — consistent, and inside
-            # the documented bf16 approximation for this opt-in mode.
-            import ml_dtypes
-
-            X_dev = np.asarray(X_dev, dtype=ml_dtypes.bfloat16)
         Xd = placement.put_x_matrix(X_dev)
         Ysd = tuple(placement.put_cells_matrix(y) for y in Ys_dev)
         # keep the device copy of X for a same-data transform: the
@@ -219,11 +214,9 @@ class ALPINE:
         # axon tunnel (measured ~30 s for 800 MB vs 0.3 s of transform
         # compute).  Keyed by a fingerprint of adata.X; dropped from
         # pickles (__getstate__) and releasable via free_device_cache().
-        import os as _os
-
         self._x_cache = (
             None
-            if _os.environ.get("ALPINE_TPU_NO_X_CACHE") or cell_perm is not None
+            if os.environ.get("ALPINE_TPU_NO_X_CACHE") or cell_perm is not None
             else (Xd, self._x_fingerprint(adata.X), n_sample)
         )
 
@@ -734,8 +727,6 @@ class ALPINE:
     def _use_tpu_kernels(self) -> bool:
         """Fused Pallas kernels apply on a TPU device or a 1-D TPU mesh
         (per-shard kernels + psums of the small accumulators)."""
-        import os
-
         from jax.sharding import Mesh
 
         if os.environ.get("ALPINE_TPU_DISABLE_PALLAS"):
@@ -812,29 +803,43 @@ class ALPINE:
         state["device"] = restore_device(state.get("device"))
         self.__dict__.update(state)
 
+    def _cast_x_host(self, arr: np.ndarray) -> np.ndarray:
+        """bf16 mode casts X HOST-side: halves the host->device transfer
+        (the dominant atlas-scale cost through the tunnel) and avoids the
+        transient f32+bf16 double-residency of an in-jit cast.  ||X||^2 and
+        the loss then see the bf16-rounded values the updates use —
+        consistent, and inside the documented opt-in approximation."""
+        if self.data_dtype != "bfloat16":
+            return arr
+        import ml_dtypes
+
+        return np.asarray(arr, dtype=ml_dtypes.bfloat16)
+
     @staticmethod
     def _x_fingerprint(X_host) -> tuple:
         """Identity for a host X: shape + a 4096-element strided sample +
-        the FULL-array float64 sum and minimum (one cheap pass over the
-        data, ~0.3 s at 800 MB vs the ~30 s upload it saves).  Used to
-        reuse the fit's device-resident X when transform is called on the
-        same data.  The full sum makes any in-place edit between fit and
-        transform a cache miss with overwhelming probability, and the full
-        minimum means data that turned negative can never match (the
-        uncached path then re-validates and raises).  Disable via
-        ALPINE_TPU_NO_X_CACHE=1."""
+        full-array float64 sum, minimum, and a POSITION-WEIGHTED row-sum
+        hash (cheap passes over the data, ~0.5 s at 800 MB vs the ~30 s
+        upload it saves).  Used to reuse the fit's device-resident X when
+        transform is called on the same data.  The full sum catches value
+        edits; the minimum means data turned negative can never match (the
+        uncached path then re-validates and raises); the row-sum dot with a
+        fixed pseudo-random vector catches cell REORDERING, which leaves
+        sums/min/strided samples invariant for sparse integer-valued counts.
+        Disable via ALPINE_TPU_NO_X_CACHE=1."""
         arr = np.asarray(X_host)
         flat = arr.reshape(-1)
         stride = max(1, flat.size // 4096)
         sample = np.asarray(flat[::stride][:4096], dtype=np.float32)
+        row_sums = arr.sum(axis=-1, dtype=np.float64) if arr.ndim == 2 else flat
+        poskey = np.random.default_rng(0xA1F1E).random(len(row_sums))
         return (arr.shape, sample.tobytes(),
-                float(arr.sum(dtype=np.float64)), float(arr.min()))
+                float(arr.sum(dtype=np.float64)), float(arr.min()),
+                float(np.dot(np.asarray(row_sums, dtype=np.float64), poskey)))
 
     def _transform(self, adata, n_iter: int) -> None:
         """Out-of-sample projection: plain Frobenius MU onto frozen W
         (reference main.py:678-724)."""
-        import os
-
         placement = Placement(self.device)
         n_sample = adata.shape[0]
 
@@ -857,13 +862,9 @@ class ALPINE:
             # cell counts crashed the sharded transform)
             pad = (-n_sample) % placement.cell_shards
             placement.check_gene_axis(self.n_features)
+            X_array = self._cast_x_host(X_array)  # bf16 first: half-size pad
             if pad:
                 X_array = np.pad(X_array, ((0, 0), (0, pad)))
-            if self.data_dtype == "bfloat16":
-                # same host-side cast as fit: halve the upload
-                import ml_dtypes
-
-                X_array = np.asarray(X_array, dtype=ml_dtypes.bfloat16)
             X = placement.put_x_matrix(X_array)
 
         key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), 1)

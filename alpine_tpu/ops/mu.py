@@ -408,6 +408,10 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     # tiles); exactly neutral for every update, and the closed-form KL pad
     # constant is stripped from the loss
     kl_pad = X.shape[1] - n
+    if H0.shape[1] != X.shape[1]:
+        # e.g. a chunked-fit carry sliced back to n_cells (checkpointing /
+        # verbose progress chunks); zero pad columns are exactly neutral
+        H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
     bs = cfg.eff_batch_size
     nb = cfg.num_batches
 

@@ -96,7 +96,7 @@ def describe_device(dev):
 def restore_device(desc):
     """Inverse of describe_device, best-effort in the loading process (a
     mesh rebuilds from local devices of the same platform and shape; falls
-    back to the default device when unavailable)."""
+    back to the default device WITH a warning when unavailable)."""
     if not (isinstance(desc, tuple) and desc
             and desc[0] in ("__mesh__", "__device__")):
         return desc
@@ -107,7 +107,14 @@ def restore_device(desc):
         need = int(np.prod(shape))
         grid = np.asarray(jax.devices(platform)[:need]).reshape(shape)
         return Mesh(grid, axes)
-    except Exception:
+    except (RuntimeError, ValueError) as e:
+        import warnings
+
+        warnings.warn(
+            f"Could not restore pickled device {desc!r} in this process "
+            f"({e}); falling back to the default device — subsequent fits "
+            "run unsharded."
+        )
         return jax.devices()[0]
 
 

@@ -306,3 +306,32 @@ def test_mesh_models_pickle_roundtrip():
                           lam_range=(1.0, 10.0), n_splits=2, max_evals=2)
     co2 = pickle.loads(pickle.dumps(co))
     assert len(co2.trials.trials) == 2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ragged_mesh_checkpointed_fit(tmp_path):
+    """Chunked fits (checkpointing / verbose progress chunks) on a mesh
+    with ragged cell counts: chunk 1 returns H sliced to n_cells, and the
+    next chunk must re-pad it against the padded X (review-confirmed crash:
+    fit_scan lacked the H0 re-pad its siblings had)."""
+    adata = make_synthetic_adata(n_cells=101, n_genes=16, seed=31)
+    m = ALPINE(n_components=4, n_covariate_components=[2], lam=[1.0],
+               device=make_cell_mesh(8), random_state=0)
+    m.fit(adata, ["batch"], max_iter=10,
+          checkpoint_dir=str(tmp_path), checkpoint_every=4)
+    tl = m.loss_history["total loss"].to_numpy()
+    assert len(tl) == 10 and np.isfinite(tl).all()
+    assert adata.obsm["ALPINE_embedding"].shape == (101, 4)
+
+    # same path via verbose progress chunks (callbacks forced unsupported)
+    import alpine_tpu.models.alpine as am
+    orig = am.ALPINE._callbacks_supported
+    am.ALPINE._callbacks_supported = lambda self: False
+    try:
+        m2 = ALPINE(n_components=4, n_covariate_components=[2], lam=[1.0],
+                    device=make_cell_mesh(8), random_state=0)
+        m2.fit(adata.copy(), ["batch"], max_iter=10, verbose=True)
+    finally:
+        am.ALPINE._callbacks_supported = orig
+    np.testing.assert_allclose(m2.loss_history.values[-1],
+                               m.loss_history.values[-1], rtol=1e-4)
