@@ -714,11 +714,7 @@ class ALPINE:
             return 0  # minibatch mode uses the XLA path
         if self.use_als or self.sampling_method == "weighted":
             return 0
-        import jax.numpy as _jnp
-
-        itemsize = _jnp.dtype(
-            _jnp.bfloat16 if self.data_dtype == "bfloat16" else _jnp.float32
-        ).itemsize
+        itemsize = {"bfloat16": 2, "int8": 1, "int16": 2}.get(self.data_dtype, 4)
         pad = pallas_kernels.pad_target(
             self.n_features, n_sample, self._mesh_devices(), itemsize
         )
@@ -804,16 +800,40 @@ class ALPINE:
         self.__dict__.update(state)
 
     def _cast_x_host(self, arr: np.ndarray) -> np.ndarray:
-        """bf16 mode casts X HOST-side: halves the host->device transfer
-        (the dominant atlas-scale cost through the tunnel) and avoids the
-        transient f32+bf16 double-residency of an in-jit cast.  ||X||^2 and
-        the loss then see the bf16-rounded values the updates use —
-        consistent, and inside the documented opt-in approximation."""
-        if self.data_dtype != "bfloat16":
-            return arr
-        import ml_dtypes
+        """Narrow-storage modes cast X HOST-side: shrinks the host->device
+        transfer (the dominant atlas-scale cost through the tunnel) and
+        avoids the transient double-residency of an in-jit cast.
 
-        return np.asarray(arr, dtype=ml_dtypes.bfloat16)
+        bfloat16: ||X||^2 and the loss then see the bf16-rounded values the
+        updates use — consistent, and inside the documented opt-in
+        approximation.
+
+        int8/int16: EXACT storage for raw-count data (the usual single-cell
+        input); values must be non-negative integers within the dtype's
+        range — validated here so a quantizing cast can never silently
+        corrupt data.  Kernels dequantize in VMEM (int8 → bfloat16, exact;
+        int16 → float32, exact), so int8 halves even bfloat16's HBM/transfer
+        traffic while REMOVING its rounding."""
+        if self.data_dtype == "bfloat16":
+            import ml_dtypes
+
+            return np.asarray(arr, dtype=ml_dtypes.bfloat16)
+        if self.data_dtype in ("int8", "int16"):
+            limit = np.iinfo(self.data_dtype).max
+            if float(arr.max(initial=0.0)) > limit:
+                raise ValueError(
+                    f"data_dtype='{self.data_dtype}' requires all values of "
+                    f"adata.X to be <= {limit}; max found is {arr.max()}. "
+                    "Use 'int16', 'bfloat16', or 'float32' instead."
+                )
+            if np.mod(arr, 1.0).any():
+                raise ValueError(
+                    f"data_dtype='{self.data_dtype}' requires integer-valued "
+                    "adata.X (raw counts); found fractional values. Use "
+                    "'bfloat16' or 'float32' for normalized/transformed data."
+                )
+            return arr.astype(self.data_dtype)
+        return arr
 
     @staticmethod
     def _x_fingerprint(X_host) -> tuple:
@@ -959,8 +979,10 @@ class ALPINE:
         if self.matmul_precision not in ("highest", "default"):
             raise ValueError("matmul_precision must be 'highest' or 'default'.")
 
-        if self.data_dtype not in ("float32", "bfloat16"):
-            raise ValueError("data_dtype must be 'float32' or 'bfloat16'.")
+        if self.data_dtype not in ("float32", "bfloat16", "int8", "int16"):
+            raise ValueError(
+                "data_dtype must be 'float32', 'bfloat16', 'int8', or 'int16'."
+            )
 
     def _validate_fit_args(
         self, adata, covariate_keys, batch_size, max_iter, sampling_method, verbose

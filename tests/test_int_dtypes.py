@@ -1,0 +1,209 @@
+"""Integer X-storage modes (data_dtype='int8'/'int16').
+
+Raw single-cell counts are small integers, so integer storage is EXACT —
+unlike bfloat16's rounding — while moving fewer HBM bytes:
+
+- int16 dequantizes to float32 (exact for counts <= 32767), so its
+  trajectory must be BIT-IDENTICAL to data_dtype='float32' on count data.
+- int8 dequantizes to bfloat16 (exact: ints <= 256 fit bf16's 8-bit
+  mantissa), so its trajectory must be BIT-IDENTICAL to
+  data_dtype='bfloat16' on counts <= 127 — at half the traffic.
+
+These equivalences make float-mode test coverage transfer wholesale."""
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from alpine_tpu import ALPINE
+from alpine_tpu.ops import mu
+from alpine_tpu.utils.adata import AnnData
+
+
+def make_count_adata(n_cells=120, n_genes=40, max_count=100, seed=0):
+    """Synthetic AnnData whose X is integer counts (Poisson-ish low rank)."""
+    r = np.random.default_rng(seed)
+    k = 6
+    W = r.gamma(2.0, 1.0, size=(n_genes, k))
+    H = r.gamma(2.0, 0.5, size=(k, n_cells))
+    X = r.poisson(W @ H).clip(0, max_count).astype(np.float32).T
+    obs = pd.DataFrame(index=[f"cell{i}" for i in range(n_cells)])
+    obs["batch"] = [f"b{j}" for j in r.integers(0, 2, n_cells)]
+    obs["condition"] = [f"c{j}" for j in r.integers(0, 3, n_cells)]
+    var = pd.DataFrame(index=[f"gene{i}" for i in range(n_genes)])
+    return AnnData(X, obs=obs, var=var)
+
+
+def _model(**kw):
+    defaults = dict(
+        n_components=8,
+        n_covariate_components=[2, 3],
+        lam=[1.0, 2.0],
+        device="cpu",
+        random_state=0,
+    )
+    defaults.update(kw)
+    return ALPINE(**defaults)
+
+
+def _fit(data_dtype, adata=None, **fit_kw):
+    adata = adata if adata is not None else make_count_adata()
+    model = _model(data_dtype=data_dtype)
+    model.fit(adata, ["batch", "condition"], max_iter=12, **fit_kw)
+    return model
+
+
+def _assert_same_fit(m_a, m_b):
+    np.testing.assert_array_equal(
+        m_a.loss_history.values, m_b.loss_history.values
+    )
+    for wa, wb in zip(m_a.matrices["Ws"], m_b.matrices["Ws"]):
+        np.testing.assert_array_equal(wa, wb)
+    for ha, hb in zip(m_a.matrices["Hs"], m_b.matrices["Hs"]):
+        np.testing.assert_array_equal(ha, hb)
+    for ba, bb in zip(m_a.matrices["Bs"], m_b.matrices["Bs"]):
+        np.testing.assert_array_equal(ba, bb)
+
+
+def test_config_dtype_mapping():
+    base = dict(blocks=(2, 3), n_labels=(2,), n_cells=16)
+    assert mu.MUConfig(**base, x_dtype="int8").xdt == jnp.int8
+    assert mu.MUConfig(**base, x_dtype="int8").x_compute == jnp.bfloat16
+    assert mu.MUConfig(**base, x_dtype="int16").xdt == jnp.int16
+    assert mu.MUConfig(**base, x_dtype="int16").x_compute == jnp.float32
+    assert mu.MUConfig(**base, x_dtype="bfloat16").x_compute == jnp.bfloat16
+    assert mu.MUConfig(**base, x_dtype="float32").x_compute == jnp.float32
+
+
+def test_int16_matches_float32_exactly():
+    _assert_same_fit(_fit("int16"), _fit("float32"))
+
+
+def test_int8_matches_bfloat16_exactly():
+    _assert_same_fit(_fit("int8"), _fit("bfloat16"))
+
+
+def test_int8_matches_bfloat16_minibatch():
+    a = _fit("int8", batch_size=48)
+    b = _fit("bfloat16", batch_size=48)
+    _assert_same_fit(a, b)
+
+
+def test_int16_matches_float32_als():
+    a, b = make_count_adata(), make_count_adata()
+    ma = _model(data_dtype="int16", use_als=True)
+    ma.fit(a, ["batch", "condition"], max_iter=10)
+    mb = _model(data_dtype="float32", use_als=True)
+    mb.fit(b, ["batch", "condition"], max_iter=10)
+    _assert_same_fit(ma, mb)
+
+
+def test_int8_pallas_interpret_matches_xla():
+    """The fused kernels dequantize int8 tiles in VMEM; interpret mode must
+    track the XLA int8 path within the usual pallas-vs-xla tolerance."""
+    r = np.random.default_rng(3)
+    g, n, blocks, n_labels = 24, 256, (3, 5), (2,)
+    X = jnp.asarray(r.poisson(2.0, (g, n)).clip(0, 127).astype(np.int8))
+    Y = np.zeros((2, n), np.float32)
+    Y[r.integers(0, 2, n), np.arange(n)] = 1.0
+    Ys = (jnp.asarray(Y),)
+    hyper = (jnp.asarray([1.5], jnp.float32), jnp.float32(0.0),
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1e-6))
+    key = jnp.asarray(np.zeros(2, np.uint32))
+    import jax
+
+    key = jax.random.PRNGKey(7)
+
+    outs = {}
+    for backend in ("xla", "pallas_interpret"):
+        cfg = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=n,
+                          loss_kl=True, max_iter=8, x_dtype="int8",
+                          backend=backend)
+        W0, H0, Bs0 = mu.init_matrices(cfg, g, key, 1e-6)
+        outs[backend] = mu.fit_scan(cfg, W0, H0, Bs0, X, Ys, hyper, key, None)
+
+    for a, b in zip(outs["xla"][:2], outs["pallas_interpret"][:2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(outs["xla"][3]),
+                               np.asarray(outs["pallas_interpret"][3]),
+                               rtol=2e-3)
+
+
+def _with_big_count(adata, value=200.0):
+    adata.X[0, 0] = value
+    return adata
+
+
+def test_int8_rejects_large_counts():
+    adata = _with_big_count(make_count_adata())
+    assert adata.X.max() > 127
+    with pytest.raises(ValueError, match="int8.*<= 127"):
+        _fit("int8", adata)
+    # int16 accepts the same data and matches float32
+    _assert_same_fit(
+        _fit("int16", _with_big_count(make_count_adata())),
+        _fit("float32", _with_big_count(make_count_adata())),
+    )
+
+
+def test_int_dtypes_reject_fractional_data():
+    adata = make_count_adata()
+    adata.X[3, 7] = 1.5
+    with pytest.raises(ValueError, match="integer-valued"):
+        _fit("int8", adata)
+    with pytest.raises(ValueError, match="integer-valued"):
+        _fit("int16", adata)
+
+
+def test_invalid_data_dtype_message():
+    with pytest.raises(ValueError, match="int8"):
+        _model(data_dtype="float16")
+
+
+def test_int8_transform_same_and_new_data():
+    adata = make_count_adata()
+    model = _fit("int8", adata)
+    # same-data transform (device-X cache path)
+    model.transform(adata, n_iter=5)
+    assert adata.obsm["ALPINE_embedding"].shape == (120, 8)
+    # new count data
+    new = make_count_adata(n_cells=40, seed=9)
+    model.transform(new, n_iter=5)
+    assert np.isfinite(new.obsm["ALPINE_embedding"]).all()
+    # new data violating the int8 range fails loudly, not by quantizing
+    big = _with_big_count(make_count_adata(n_cells=16, seed=10))
+    with pytest.raises(ValueError, match="int8"):
+        model.transform(big, n_iter=5)
+
+
+def test_int16_weighted_sampling_matches_float32():
+    a = _fit("int16", sampling_method="weighted", batch_size=60)
+    b = _fit("float32", sampling_method="weighted", batch_size=60)
+    _assert_same_fit(a, b)
+
+
+def test_int16_sharded_matches_single_device():
+    """Integer X storage over a cell mesh: the sharded fit (GSPMD psums of
+    the small accumulators) must track the single-device trajectory."""
+    from alpine_tpu.parallel.mesh import make_cell_mesh
+
+    adata_m, adata_s = make_count_adata(), make_count_adata()
+    mm = _model(data_dtype="int16", device=make_cell_mesh())
+    mm.fit(adata_m, ["batch", "condition"], max_iter=10)
+    ms = _model(data_dtype="int16", device="cpu")
+    ms.fit(adata_s, ["batch", "condition"], max_iter=10)
+    np.testing.assert_allclose(
+        mm.loss_history.values, ms.loss_history.values, rtol=1e-5
+    )
+
+
+def test_int8_save_load_roundtrip(tmp_path):
+    model = _fit("int8")
+    path = str(tmp_path / "model.npz")
+    model.save(path)
+    loaded = ALPINE.load(path)
+    assert loaded.data_dtype == "int8"
+    for wa, wb in zip(model.matrices["Ws"], loaded.matrices["Ws"]):
+        np.testing.assert_array_equal(wa, wb)

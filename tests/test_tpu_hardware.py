@@ -46,11 +46,42 @@ rel = max(abs(a-b)/abs(b) for a, b in zip(out["pallas"], out["xla"]))
 print(json.dumps({"max_rel": rel}))
 """
 
+_INT8_SCRIPT = r"""
+import json
+import numpy as np, jax, jax.numpy as jnp
+from alpine_tpu.ops import mu
 
-def test_compiled_pallas_matches_xla_on_tpu():
+if jax.default_backend() != "tpu":
+    print(json.dumps({"skip": "no tpu backend"}))
+    raise SystemExit(0)
+
+BLOCKS=(3,4,6); N_LABELS=(2,3); G, N = 64, 3000
+r = np.random.default_rng(0)
+Xc = r.poisson(2.0, (G, N)).clip(0, 127)
+Ys = tuple(jnp.asarray((r.random((nl, N))<0.5).astype(np.float32)) for nl in N_LABELS)
+key = jax.random.PRNGKey(0)
+hyper = (jnp.asarray([2.0, 1.0], jnp.float32), jnp.float32(0.2),
+         jnp.float32(0.3), jnp.float32(0.4), jnp.float32(1e-6))
+
+out = {}
+for x_dtype, np_dt in (("int8", np.int8), ("float32", np.float32)):
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=N,
+                      loss_kl=True, max_iter=10, x_dtype=x_dtype,
+                      backend="pallas")
+    W0, H0, Bs0 = mu.init_matrices(cfg, G, key, 1e-6)
+    _, _, _, L = mu.fit_scan(cfg, W0, H0, Bs0, jnp.asarray(Xc.astype(np_dt)),
+                             Ys, hyper, key, None)
+    out[x_dtype] = np.asarray(jax.device_get(L))[:, 0].tolist()
+
+rel = max(abs(a-b)/abs(b) for a, b in zip(out["int8"], out["float32"]))
+print(json.dumps({"max_rel": rel}))
+"""
+
+
+def _run_on_tpu(script):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
-    res = subprocess.run([sys.executable, "-c", _SCRIPT],
+    res = subprocess.run([sys.executable, "-c", script],
                          capture_output=True, text=True, timeout=1200,
                          cwd=os.path.dirname(os.path.dirname(__file__)),
                          env=env)
@@ -58,4 +89,16 @@ def test_compiled_pallas_matches_xla_on_tpu():
     payload = json.loads(res.stdout.strip().splitlines()[-1])
     if "skip" in payload:
         pytest.skip(payload["skip"])
+    return payload
+
+
+def test_compiled_pallas_matches_xla_on_tpu():
+    payload = _run_on_tpu(_SCRIPT)
+    assert payload["max_rel"] < 5e-3, payload
+
+
+def test_compiled_pallas_int8_matches_float32_on_tpu():
+    """Integer X storage dequantized in VMEM: counts <= 127 are exact in the
+    int8->bf16 path, so the trajectory tracks float32 at bf16 tolerance."""
+    payload = _run_on_tpu(_INT8_SCRIPT)
     assert payload["max_rel"] < 5e-3, payload
