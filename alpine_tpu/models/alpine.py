@@ -298,6 +298,10 @@ class ALPINE:
                     "lam": self.lam, "orth_W": self.orth_W,
                     "alpha_W": self.alpha_W, "l1_ratio_W": self.l1_ratio_W,
                     "loss_type": self.loss_type, "use_als": self.use_als,
+                    # numerics regime: a snapshot must not resume under a
+                    # different storage/compute dtype or matmul precision
+                    "data_dtype": self.data_dtype,
+                    "matmul_precision": self.matmul_precision,
                     "batch_size": self.batch_size,
                     "sampling": self.sampling_method,
                     "bucket": self.component_bucket,
@@ -809,30 +813,34 @@ class ALPINE:
         approximation.
 
         int8/int16: EXACT storage for raw-count data (the usual single-cell
-        input); values must be non-negative integers within the dtype's
-        range — validated here so a quantizing cast can never silently
-        corrupt data.  Kernels dequantize in VMEM (int8 → bfloat16, exact;
-        int16 → float32, exact), so int8 halves even bfloat16's HBM/transfer
-        traffic while REMOVING its rounding."""
+        input).  The cast is verified by round-trip equality — any value the
+        integer dtype cannot represent exactly (too large, negative, or
+        fractional) raises, so a quantizing cast can never silently corrupt
+        data regardless of caller-side checks.  Kernels dequantize in VMEM
+        (int8 → bfloat16, exact; int16 → float32, exact), so int8 halves
+        even bfloat16's HBM/transfer traffic while REMOVING its rounding."""
         if self.data_dtype == "bfloat16":
             import ml_dtypes
 
             return np.asarray(arr, dtype=ml_dtypes.bfloat16)
         if self.data_dtype in ("int8", "int16"):
-            limit = np.iinfo(self.data_dtype).max
-            if float(arr.max(initial=0.0)) > limit:
-                raise ValueError(
-                    f"data_dtype='{self.data_dtype}' requires all values of "
-                    f"adata.X to be <= {limit}; max found is {arr.max()}. "
-                    "Use 'int16', 'bfloat16', or 'float32' instead."
-                )
-            if np.mod(arr, 1.0).any():
+            cast = arr.astype(self.data_dtype)
+            if not np.array_equal(arr, cast):
+                limit = np.iinfo(self.data_dtype).max
+                if float(arr.max(initial=0.0)) > limit or float(
+                        arr.min(initial=0.0)) < 0:
+                    raise ValueError(
+                        f"data_dtype='{self.data_dtype}' requires all values "
+                        f"of adata.X to be >= 0 and <= {limit}; found range "
+                        f"[{arr.min()}, {arr.max()}]. Use 'int16', "
+                        "'bfloat16', or 'float32' instead."
+                    )
                 raise ValueError(
                     f"data_dtype='{self.data_dtype}' requires integer-valued "
                     "adata.X (raw counts); found fractional values. Use "
                     "'bfloat16' or 'float32' for normalized/transformed data."
                 )
-            return arr.astype(self.data_dtype)
+            return cast
         return arr
 
     @staticmethod

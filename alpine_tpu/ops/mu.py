@@ -58,6 +58,19 @@ def _dot(a: Array, b: Array, precision: str = "highest") -> Array:
     return jnp.matmul(a, b, precision=_prec(precision))
 
 
+def x_compute_dtype(storage_dtype):
+    """THE storage→compute dtype mapping for X: integer storage dequantizes
+    to the narrowest float that represents it exactly (int8 → bfloat16 —
+    ints ≤ 256 fit bf16's 8-bit mantissa; int16 → float32 — ints ≤ 2^24);
+    float storage computes as stored.  Single source of truth shared by the
+    XLA path (MUConfig.x_compute) and the Pallas kernels
+    (pallas_kernels._load_x) so the two paths can never disagree."""
+    dt = jnp.dtype(storage_dtype)
+    if jnp.issubdtype(dt, jnp.integer):
+        return jnp.bfloat16 if dt.itemsize == 1 else jnp.float32
+    return dt
+
+
 def _dot_x(cfg: "MUConfig", a: Array, b: Array) -> Array:
     """Matmul where one operand is (a slice of) X: run in cfg.x_compute so
     narrow X storage (bfloat16 / int8 / int16) shrinks the HBM read that
@@ -163,14 +176,8 @@ class MUConfig:
 
     @property
     def x_compute(self):
-        """Dtype X-sided matmuls run in: integer storage dequantizes to the
-        narrowest float that represents it exactly (int8 → bfloat16,
-        int16 → float32); float storage computes as stored."""
-        if self.x_dtype == "int8":
-            return jnp.bfloat16
-        if self.x_dtype == "int16":
-            return jnp.float32
-        return self.xdt
+        """Dtype X-sided matmuls run in (see x_compute_dtype)."""
+        return x_compute_dtype(self.xdt)
 
 
 def _clamp(x: Array, eps: Array) -> Array:

@@ -119,16 +119,16 @@ def _mask_cols(x, i, tile_n, n_valid):
 
 
 def _load_x(X_ref):
-    """Read an X tile, dequantizing integer storage IN VMEM to the narrowest
-    float that represents it exactly (int8 → bfloat16: ints ≤ 256 fit bf16's
-    8-bit mantissa; int16 → float32).  The HBM read — the per-iteration
-    bottleneck — happens at the storage width; only the on-chip tile widens.
+    """Read an X tile, dequantizing integer storage IN VMEM per the shared
+    storage→compute mapping (mu.x_compute_dtype — one source of truth with
+    the XLA path).  The HBM read — the per-iteration bottleneck — happens at
+    the storage width; only the on-chip tile widens.
     Returns (tile, dtype the X-sided MXU passes run in)."""
+    from alpine_tpu.ops.mu import x_compute_dtype  # trace-time only
+
+    cdt = x_compute_dtype(X_ref.dtype)
     x = X_ref[:]
-    if jnp.issubdtype(x.dtype, jnp.integer):
-        cdt = jnp.bfloat16 if x.dtype == jnp.int8 else jnp.float32
-        return x.astype(cdt), cdt
-    return x, x.dtype
+    return (x.astype(cdt) if x.dtype != cdt else x), cdt
 
 
 def _h_kernel(tile_n, n_cells, eps_ref, X_ref, W_ref, H_ref,

@@ -11,6 +11,9 @@ unlike bfloat16's rounding — while moving fewer HBM bytes:
 
 These equivalences make float-mode test coverage transfer wholesale."""
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -110,9 +113,6 @@ def test_int8_pallas_interpret_matches_xla():
     Ys = (jnp.asarray(Y),)
     hyper = (jnp.asarray([1.5], jnp.float32), jnp.float32(0.0),
              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1e-6))
-    key = jnp.asarray(np.zeros(2, np.uint32))
-    import jax
-
     key = jax.random.PRNGKey(7)
 
     outs = {}
@@ -197,6 +197,54 @@ def test_int16_sharded_matches_single_device():
     np.testing.assert_allclose(
         mm.loss_history.values, ms.loss_history.values, rtol=1e-5
     )
+
+
+def test_checkpoint_not_resumed_across_data_dtype(tmp_path):
+    """A mid-fit snapshot written under one data_dtype must NOT be resumed
+    by a fit running another: the numerics regime is part of the snapshot's
+    config key, so the int8 fit below starts fresh instead of silently
+    continuing a float32 trajectory in bfloat16 compute."""
+    from alpine_tpu.io.checkpoint import FitCheckpointer
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+    orig_save = FitCheckpointer.save
+
+    def interrupting_save(self, iteration, W, H, Bs, losses):
+        orig_save(self, iteration, W, H, Bs, losses)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+
+    FitCheckpointer.save = interrupting_save
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            _model(data_dtype="float32").fit(
+                make_count_adata(), ["batch", "condition"], max_iter=12,
+                checkpoint_dir=ckpt_dir, checkpoint_every=4,
+            )
+    finally:
+        FitCheckpointer.save = orig_save
+    assert any(f.startswith("fit_snapshot") for f in os.listdir(ckpt_dir))
+
+    mixed = _model(data_dtype="int8")
+    mixed.fit(make_count_adata(), ["batch", "condition"], max_iter=12,
+              checkpoint_dir=ckpt_dir, checkpoint_every=4)
+    fresh = _model(data_dtype="int8")
+    fresh.fit(make_count_adata(), ["batch", "condition"], max_iter=12,
+              checkpoint_dir=str(tmp_path / "fresh"), checkpoint_every=4)
+    np.testing.assert_array_equal(
+        mixed.loss_history.values, fresh.loss_history.values
+    )
+
+
+def test_cast_x_host_rejects_negative_values():
+    """The quantizing cast itself must refuse values its dtype would wrap
+    (e.g. -300.0 -> int8 -44), independent of the callers' >= 0 checks."""
+    model = _model(data_dtype="int8")
+    arr = np.asarray([[3.0, -300.0], [1.0, 2.0]], np.float32)
+    with pytest.raises(ValueError, match=">= 0"):
+        model._cast_x_host(arr)
 
 
 def test_int8_save_load_roundtrip(tmp_path):
