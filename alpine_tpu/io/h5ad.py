@@ -122,7 +122,9 @@ def write_h5ad(adata: AnnData, path: str) -> None:
                 g.create_dataset(c, data=col.to_numpy())
 
     with h5py.File(path, "w") as f:
-        f.create_dataset("X", data=np.asarray(adata.X, dtype=np.float32))
+        from alpine_tpu.utils.adata import dense_x
+
+        f.create_dataset("X", data=dense_x(adata.X))
         write_df(f, "obs", adata.obs)
         write_df(f, "var", adata.var)
         for name in ("obsm", "varm", "layers"):

@@ -48,7 +48,7 @@ from alpine_tpu.ops import mu, pallas_kernels
 from alpine_tpu.ops.elbow import find_elbow
 from alpine_tpu.parallel.mesh import Placement, resolve_device
 from alpine_tpu.utils import sampling
-from alpine_tpu.utils.adata import is_anndata
+from alpine_tpu.utils.adata import dense_x, is_anndata, is_sparse_x, x_min
 from alpine_tpu.utils.encoder import FeatureEncoders
 from alpine_tpu.utils.single_cell import normalize_total
 
@@ -154,8 +154,10 @@ class ALPINE:
         self.sampling_method: str = sampling_method
         self.verbose: bool = verbose
 
-        # (genes x cells) layout, as in the reference (main.py:104)
-        X: Float32Array = copy(adata.X).astype(np.float32).T
+        # (genes x cells) layout, as in the reference (main.py:104);
+        # dense_x densifies sparse (CSR/CSC) inputs — capability beyond the
+        # reference, which requires a dense ndarray (main.py:395-400)
+        X: Float32Array = dense_x(adata.X).T
         n_sample = X.shape[1]
 
         self.fe = FeatureEncoders(covariate_keys)
@@ -564,7 +566,7 @@ class ALPINE:
                 y * np.log(np.clip(y / y_hat, a_min=self.eps, a_max=None)) - y + y_hat
             )
 
-        X = copy(adata.X).astype(np.float32).T
+        X = dense_x(adata.X).T
 
         Ws, Hs = [], []
         for covariate in self.covariate_keys:
@@ -854,15 +856,29 @@ class ALPINE:
         uncached path then re-validates and raises); the row-sum dot with a
         fixed pseudo-random vector catches cell REORDERING, which leaves
         sums/min/strided samples invariant for sparse integer-valued counts.
+        Sparse inputs fingerprint their .data stream + row sums without
+        densifying (a sparse and a dense X with equal values hash
+        differently — only a harmless cache miss).
         Disable via ALPINE_TPU_NO_X_CACHE=1."""
-        arr = np.asarray(X_host)
-        flat = arr.reshape(-1)
+        if is_sparse_x(X_host):
+            data = np.asarray(X_host.data)
+            flat = data.reshape(-1)
+            total = float(data.sum(dtype=np.float64))
+            minimum = x_min(X_host)
+            row_sums = np.asarray(X_host.sum(axis=1), dtype=np.float64).ravel()
+            shape = ("sparse",) + tuple(X_host.shape) + (int(X_host.nnz),)
+        else:
+            arr = np.asarray(X_host)
+            flat = arr.reshape(-1)
+            total = float(arr.sum(dtype=np.float64))
+            minimum = float(arr.min())
+            row_sums = (arr.sum(axis=-1, dtype=np.float64)
+                        if arr.ndim == 2 else flat)
+            shape = arr.shape
         stride = max(1, flat.size // 4096)
         sample = np.asarray(flat[::stride][:4096], dtype=np.float32)
-        row_sums = arr.sum(axis=-1, dtype=np.float64) if arr.ndim == 2 else flat
         poskey = np.random.default_rng(0xA1F1E).random(len(row_sums))
-        return (arr.shape, sample.tobytes(),
-                float(arr.sum(dtype=np.float64)), float(arr.min()),
+        return (shape, sample.tobytes(), total, minimum,
                 float(np.dot(np.asarray(row_sums, dtype=np.float64), poskey)))
 
     def _transform(self, adata, n_iter: int) -> None:
@@ -881,9 +897,9 @@ class ALPINE:
             X = cached[0]
             pad = X.shape[1] - n_sample
         if X is None:
-            X_array: Float32Array = copy(adata.X).astype(np.float32).T
-            if not np.all(X_array >= 0):
+            if x_min(adata.X) < 0:
                 raise ValueError("All elements in adata.X must be non-negative.")
+            X_array: Float32Array = dense_x(adata.X).T
             # shard_map / device_put need equal cell shards; zero columns
             # are neutral for the projection (columns are independent) and
             # are sliced off below (round-1 advisor finding: non-divisible
@@ -1002,11 +1018,14 @@ class ALPINE:
         if not is_anndata(adata):
             raise TypeError("adata must be an AnnData object.")
 
-        if not isinstance(adata.X, np.ndarray):
+        # sparse (CSR/CSC) X is accepted and densified at ingestion —
+        # capability beyond the reference's dense-only contract
+        # (main.py:395-400); the error strings below match the reference
+        if not (isinstance(adata.X, np.ndarray) or is_sparse_x(adata.X)):
             raise TypeError("adata.X must be a numpy array.")
-        elif adata.X.ndim != 2:
+        elif len(adata.X.shape) != 2:
             raise ValueError("adata.X must be a 2D numpy array.")
-        elif not np.all(adata.X >= 0):
+        elif x_min(adata.X) < 0:
             raise ValueError("All elements in adata.X must be non-negative.")
 
         if not isinstance(covariate_keys, list):

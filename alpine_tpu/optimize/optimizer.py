@@ -461,8 +461,10 @@ class ComponentOptimizer:
         encoders = FeatureEncoders(self.covariate_keys)
         Ys = encoders.fit_transform(self.adata.obs)  # (cells x labels) each
         resolved = resolve_device(self.device)
+        from alpine_tpu.utils.adata import dense_x
+
         fd = prepare_fold_data(
-            np.asarray(self.adata.X, dtype=np.float32), Ys, folds,
+            dense_x(self.adata.X), Ys, folds,
             weighted=(self.sampling_method == "weighted"),
             mesh=resolved if isinstance(resolved, Mesh) else None,
         )

@@ -6,7 +6,9 @@ writes ``adata.obsm`` / ``adata.varm`` / ``adata.layers``).  ``anndata`` is not
 available in this environment, so this module provides a small, dependency-free
 container with the subset of the AnnData API that ALPINE touches:
 
-- ``X`` (2-D ndarray), ``obs`` / ``var`` (pandas DataFrames)
+- ``X`` (2-D ndarray or scipy sparse matrix — real single-cell AnnData
+  usually carries CSR counts; the estimator densifies at ingestion since
+  the TPU compute path is dense), ``obs`` / ``var`` (pandas DataFrames)
 - ``obsm`` / ``varm`` / ``layers`` / ``uns`` mappings
 - ``obs_names`` / ``var_names`` / ``shape`` / ``n_obs`` / ``n_vars``
 - row subsetting ``adata[idx]`` and ``.copy()`` (used by the optimizer's CV
@@ -28,6 +30,34 @@ try:  # pragma: no cover - environment dependent
     import anndata as _real_anndata
 except Exception:  # pragma: no cover
     _real_anndata = None
+
+
+def is_sparse_x(X: Any) -> bool:
+    """Duck-typed scipy sparse check (matrix or sparse-array API) — avoids a
+    hard scipy dependency for users who never pass sparse data."""
+    return hasattr(X, "toarray") and hasattr(X, "nnz") and hasattr(X, "shape")
+
+
+def dense_x(X: Any) -> np.ndarray:
+    """Dense float32 COPY of an ``adata.X`` (ndarray or scipy sparse).  The
+    reference requires a dense ndarray (`main.py:395-400`); accepting sparse
+    input here is a deliberate capability beyond it — real AnnData objects
+    usually hold CSR counts, and the TPU compute path is dense regardless."""
+    if is_sparse_x(X):
+        return np.asarray(X.toarray(), dtype=np.float32)
+    return np.asarray(X).astype(np.float32)
+
+
+def x_min(X: Any) -> float:
+    """Minimum value of an adata.X without densifying (sparse implicit zeros
+    count as 0)."""
+    if is_sparse_x(X):
+        data = np.asarray(X.data)
+        explicit_min = float(data.min()) if data.size else 0.0
+        has_implicit_zero = X.nnz < X.shape[0] * X.shape[1]
+        return min(explicit_min, 0.0) if has_implicit_zero else explicit_min
+    arr = np.asarray(X)
+    return float(arr.min()) if arr.size else 0.0
 
 
 class _AxisMapping(dict):
@@ -65,8 +95,8 @@ class AnnData:
         layers: Optional[Dict[str, Any]] = None,
         uns: Optional[Dict[str, Any]] = None,
     ):
-        X = np.asarray(X)
-        if X.ndim != 2:
+        X = X if is_sparse_x(X) else np.asarray(X)
+        if len(X.shape) != 2:
             raise ValueError("X must be a 2-D array (obs x var).")
         self.X = X
         n_obs, n_vars = X.shape
@@ -125,8 +155,9 @@ class AnnData:
         holding sliced copies (the reference immediately calls ``.copy()``)."""
         if isinstance(idx, tuple):
             raise NotImplementedError("only obs-axis subsetting is supported")
+        Xs = self.X[idx] if is_sparse_x(self.X) else np.asarray(self.X[idx])
         out = AnnData(
-            np.asarray(self.X[idx]),
+            Xs,
             obs=self.obs.iloc[idx] if not isinstance(idx, slice) else self.obs[idx],
             var=self.var,
         )

@@ -11,10 +11,12 @@ from alpine_tpu import ALPINE
 from alpine_tpu.utils.adata import AnnData
 
 
-def _data(n, g, n_cov=1, levels=2, na=0.0, seed=0):
+def _data(n, g, n_cov=1, levels=2, na=0.0, seed=0, integer=False):
     r = np.random.default_rng(seed)
     X = (r.gamma(2.0, 1.0, (g, 3)) @ r.gamma(2.0, 1.0, (3, n))
          + r.random((g, n))).astype(np.float32).T
+    if integer:  # int data_dtype modes require count data
+        X = np.floor(X).clip(0, 127)
     obs = pd.DataFrame(index=[f"c{i}" for i in range(n)])
     keys = []
     for j in range(n_cov):
@@ -57,6 +59,18 @@ CASES = [
      dict(max_iter=3, batch_size=16, sampling_method="weighted"), dict(n=40, g=12)),
     ("huge_eps", dict(n_components=3, n_covariate_components=[2], lam=[1.0], eps=0.5),
      dict(max_iter=3), dict(n=20, g=8)),
+    ("int8_minibatch",
+     dict(n_components=3, n_covariate_components=[2], lam=[1.0], data_dtype="int8"),
+     dict(max_iter=3, batch_size=16), dict(n=40, g=12, integer=True)),
+    ("int16_als",
+     dict(n_components=3, n_covariate_components=[2], lam=[1.0],
+          data_dtype="int16", use_als=True),
+     dict(max_iter=3), dict(n=40, g=12, integer=True)),
+    ("int8_bucket_weighted",
+     dict(n_components=5, n_covariate_components=[2], lam=[1.0],
+          component_bucket=8, data_dtype="int8"),
+     dict(max_iter=3, batch_size=16, sampling_method="weighted"),
+     dict(n=40, g=12, integer=True)),
     ("restarts", dict(n_components=3, n_covariate_components=[2], lam=[1.0]),
      dict(max_iter=3, n_restarts=3), dict(n=20, g=8)),
 ]
