@@ -207,17 +207,23 @@ class FitCheckpointer:
         fields) degrade to a from-scratch fit — with a warning naming the
         snapshot so an atlas-scale restart is never silent.  Unexpected
         errors propagate."""
-        if not os.path.exists(self.path):
-            return None
+        path = self.path
+        if not os.path.exists(path):
+            # a preemption between save()'s two renames leaves only the
+            # previous snapshot at '.old' — still a fully valid checkpoint
+            if self.backend == "orbax" and os.path.exists(path + ".old"):
+                path = path + ".old"
+            else:
+                return None
         try:
             if self.backend == "orbax":
                 import orbax.checkpoint as ocp
 
                 with ocp.PyTreeCheckpointer() as ckptr:
-                    t = ckptr.restore(self.path)
+                    t = ckptr.restore(path)
                 return (int(t["iteration"]), t["W"], t["H"],
                         tuple(t["Bs"]), t["losses"])
-            data = np.load(self.path, allow_pickle=False)
+            data = np.load(path, allow_pickle=False)
             n_bs = int(data["n_bs"])
             return (
                 int(data["iteration"]),
@@ -228,17 +234,16 @@ class FitCheckpointer:
             )
         except (OSError, ValueError, KeyError, zipfile.BadZipFile) as e:
             warnings.warn(
-                f"Fit checkpoint at {self.path!r} is unreadable "
+                f"Fit checkpoint at {path!r} is unreadable "
                 f"({type(e).__name__}: {e}); restarting the fit from scratch."
             )
             return None
 
     def clear(self) -> None:
-        if not os.path.exists(self.path):
-            return
         if self.backend == "orbax":
             import shutil
 
             shutil.rmtree(self.path, ignore_errors=True)
-        else:
+            shutil.rmtree(self.path + ".old", ignore_errors=True)
+        elif os.path.exists(self.path):
             os.remove(self.path)

@@ -95,41 +95,62 @@ def read_h5ad(path: str) -> AnnData:
 def write_h5ad(adata: AnnData, path: str) -> None:
     """Write an AnnData-compatible object to .h5ad (dense X).  Strings are
     stored as UTF-8 variable-length (matching anndata; plain "S" dtype would
-    crash on non-ASCII labels/barcodes)."""
+    crash on non-ASCII labels/barcodes).
+
+    Every node carries the ``encoding-type``/``encoding-version`` attribute
+    pair of the anndata ≥0.8 on-disk spec — anndata's IO registry dispatches
+    readers on that pair, so files without it fail (or legacy-misparse) in
+    real scanpy sessions, defeating this module's purpose."""
     import h5py
 
     str_dt = h5py.string_dtype(encoding="utf-8")
 
+    def enc(node, etype, eversion):
+        node.attrs["encoding-type"] = etype
+        node.attrs["encoding-version"] = eversion
+        return node
+
     def utf8(values):
         return np.asarray([str(v) for v in values], dtype=object)
 
+    def write_array(g, name, arr):
+        arr = np.asarray(arr)
+        if arr.dtype.kind in ("O", "U", "S"):
+            ds = g.create_dataset(name, data=utf8(arr), dtype=str_dt)
+            return enc(ds, "string-array", "0.2.0")
+        return enc(g.create_dataset(name, data=arr), "array", "0.2.0")
+
     def write_df(f, name, df: pd.DataFrame):
-        g = f.create_group(name)
+        g = enc(f.create_group(name), "dataframe", "0.2.0")
         g.attrs["_index"] = "_index"
-        g.attrs["encoding-type"] = "dataframe"
         g.attrs.create("column-order", utf8(df.columns), dtype=str_dt)
-        g.create_dataset("_index", data=utf8(df.index), dtype=str_dt)
+        ds = g.create_dataset("_index", data=utf8(df.index), dtype=str_dt)
+        enc(ds, "string-array", "0.2.0")
         for c in df.columns:
             col = df[c]
             if col.dtype == object or str(col.dtype) == "category":
                 s = col.astype("category") if col.dtype == object else col
-                cg = g.create_group(c)
-                cg.attrs["encoding-type"] = "categorical"
-                cg.create_dataset("categories",
-                                  data=utf8(s.cat.categories), dtype=str_dt)
-                cg.create_dataset("codes", data=s.cat.codes.to_numpy())
+                cg = enc(g.create_group(c), "categorical", "0.2.0")
+                cg.attrs["ordered"] = False
+                enc(cg.create_dataset("categories",
+                                      data=utf8(s.cat.categories),
+                                      dtype=str_dt), "string-array", "0.2.0")
+                enc(cg.create_dataset("codes",
+                                      data=s.cat.codes.to_numpy()),
+                    "array", "0.2.0")
             else:
-                g.create_dataset(c, data=col.to_numpy())
+                write_array(g, c, col.to_numpy())
 
     with h5py.File(path, "w") as f:
         from alpine_tpu.utils.adata import dense_x
 
-        f.create_dataset("X", data=dense_x(adata.X))
+        enc(f, "anndata", "0.1.0")
+        write_array(f, "X", dense_x(adata.X))
         write_df(f, "obs", adata.obs)
         write_df(f, "var", adata.var)
         for name in ("obsm", "varm", "layers"):
             src = getattr(adata, name)
             if src:
-                g = f.create_group(name)
+                g = enc(f.create_group(name), "dict", "0.1.0")
                 for k, v in src.items():
-                    g.create_dataset(k, data=np.asarray(v))
+                    write_array(g, k, v)

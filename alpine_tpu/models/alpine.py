@@ -805,7 +805,7 @@ class ALPINE:
         state["device"] = restore_device(state.get("device"))
         self.__dict__.update(state)
 
-    def _cast_x_host(self, arr: np.ndarray) -> np.ndarray:
+    def _cast_x_host(self, arr: np.ndarray, *, strict: bool = True) -> np.ndarray:
         """Narrow-storage modes cast X HOST-side: shrinks the host->device
         transfer (the dominant atlas-scale cost through the tunnel) and
         avoids the transient double-residency of an in-jit cast.
@@ -815,34 +815,53 @@ class ALPINE:
         approximation.
 
         int8/int16: EXACT storage for raw-count data (the usual single-cell
-        input).  The cast is verified by round-trip equality — any value the
-        integer dtype cannot represent exactly (too large, negative, or
-        fractional) raises, so a quantizing cast can never silently corrupt
-        data regardless of caller-side checks.  Kernels dequantize in VMEM
-        (int8 → bfloat16, exact; int16 → float32, exact), so int8 halves
-        even bfloat16's HBM/transfer traffic while REMOVING its rounding."""
+        input) — the stored X values carry none of bfloat16's rounding
+        (X-sided matmuls still run in the compute dtype: bf16 for int8 —
+        same compute accuracy as bfloat16 mode — and full f32 for int16).
+        The cast is verified by round-trip equality — any value the integer
+        dtype cannot represent exactly (too large, negative, fractional, or
+        NaN) raises, so a quantizing cast can never silently corrupt data
+        regardless of caller-side checks.  With `strict=False` (the
+        transform path) non-representable data falls back to the
+        compute-width float storage instead of raising: the projection math
+        never needed integer storage, and reference transform accepts any
+        non-negative X."""
         if self.data_dtype == "bfloat16":
             import ml_dtypes
 
             return np.asarray(arr, dtype=ml_dtypes.bfloat16)
         if self.data_dtype in ("int8", "int16"):
-            cast = arr.astype(self.data_dtype)
-            if not np.array_equal(arr, cast):
-                limit = np.iinfo(self.data_dtype).max
-                if float(arr.max(initial=0.0)) > limit or float(
-                        arr.min(initial=0.0)) < 0:
-                    raise ValueError(
-                        f"data_dtype='{self.data_dtype}' requires all values "
-                        f"of adata.X to be >= 0 and <= {limit}; found range "
-                        f"[{arr.min()}, {arr.max()}]. Use 'int16', "
-                        "'bfloat16', or 'float32' instead."
-                    )
+            with np.errstate(invalid="ignore"):  # NaN→int is diagnosed below
+                cast = arr.astype(self.data_dtype)
+            if np.array_equal(arr, cast):
+                return cast
+            if not strict:
+                if self.data_dtype == "int8":
+                    import ml_dtypes
+
+                    return np.asarray(arr, dtype=ml_dtypes.bfloat16)
+                return arr  # int16's compute dtype is float32 — as passed
+            if np.isnan(arr).any():
                 raise ValueError(
                     f"data_dtype='{self.data_dtype}' requires integer-valued "
-                    "adata.X (raw counts); found fractional values. Use "
-                    "'bfloat16' or 'float32' for normalized/transformed data."
+                    "adata.X, but it contains NaN."
                 )
-            return cast
+            limit = np.iinfo(self.data_dtype).max
+            if float(arr.max(initial=0.0)) > limit or float(
+                    arr.min(initial=0.0)) < 0:
+                alternatives = ("'int16', 'bfloat16', or 'float32'"
+                                if self.data_dtype == "int8"
+                                else "'bfloat16' or 'float32'")
+                raise ValueError(
+                    f"data_dtype='{self.data_dtype}' requires all values "
+                    f"of adata.X to be >= 0 and <= {limit}; found range "
+                    f"[{arr.min()}, {arr.max()}]. Use {alternatives} instead."
+                )
+            raise ValueError(
+                f"data_dtype='{self.data_dtype}' requires integer-valued "
+                "adata.X (raw counts); found fractional values. Use "
+                "'bfloat16' or 'float32' for normalized/transformed data."
+            )
         return arr
 
     @staticmethod
@@ -861,12 +880,22 @@ class ALPINE:
         differently — only a harmless cache miss).
         Disable via ALPINE_TPU_NO_X_CACHE=1."""
         if is_sparse_x(X_host):
-            data = np.asarray(X_host.data)
+            from alpine_tpu.utils.adata import as_compressed
+
+            Xc = as_compressed(X_host)
+            data = np.asarray(Xc.data)
             flat = data.reshape(-1)
             total = float(data.sum(dtype=np.float64))
-            minimum = x_min(X_host)
-            row_sums = np.asarray(X_host.sum(axis=1), dtype=np.float64).ravel()
-            shape = ("sparse",) + tuple(X_host.shape) + (int(X_host.nnz),)
+            minimum = x_min(Xc)
+            row_sums = np.asarray(Xc.sum(axis=1), dtype=np.float64).ravel()
+            # column sums (position-weighted below ALONGSIDE the row hash):
+            # the .data stream and row sums are invariant under per-row
+            # remaps of column indices (e.g. a gene-annotation update), so
+            # without this a stale device-X cache could be silently reused
+            col_sums = np.asarray(Xc.sum(axis=0), dtype=np.float64).ravel()
+            colkey = np.random.default_rng(0xC01).random(len(col_sums))
+            col_hash = float(np.dot(col_sums, colkey))
+            shape = ("sparse",) + tuple(Xc.shape) + (int(Xc.nnz), col_hash)
         else:
             arr = np.asarray(X_host)
             flat = arr.reshape(-1)
@@ -897,7 +926,7 @@ class ALPINE:
             X = cached[0]
             pad = X.shape[1] - n_sample
         if X is None:
-            if x_min(adata.X) < 0:
+            if not (x_min(adata.X) >= 0):  # NaN fails this like a negative
                 raise ValueError("All elements in adata.X must be non-negative.")
             X_array: Float32Array = dense_x(adata.X).T
             # shard_map / device_put need equal cell shards; zero columns
@@ -906,7 +935,11 @@ class ALPINE:
             # cell counts crashed the sharded transform)
             pad = (-n_sample) % placement.cell_shards
             placement.check_gene_axis(self.n_features)
-            X_array = self._cast_x_host(X_array)  # bf16 first: half-size pad
+            # narrow cast first: half-size pad.  strict=False: out-of-sample
+            # data need not be integer-representable (the reference's
+            # transform accepts any non-negative X); int-fit models project
+            # fractional queries at the compute-dtype width instead
+            X_array = self._cast_x_host(X_array, strict=False)
             if pad:
                 X_array = np.pad(X_array, ((0, 0), (0, pad)))
             X = placement.put_x_matrix(X_array)
@@ -1025,7 +1058,7 @@ class ALPINE:
             raise TypeError("adata.X must be a numpy array.")
         elif len(adata.X.shape) != 2:
             raise ValueError("adata.X must be a 2D numpy array.")
-        elif x_min(adata.X) < 0:
+        elif not (x_min(adata.X) >= 0):  # NaN fails this like a negative
             raise ValueError("All elements in adata.X must be non-negative.")
 
         if not isinstance(covariate_keys, list):

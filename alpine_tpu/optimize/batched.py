@@ -85,8 +85,13 @@ def prepare_fold_data(
     *,
     weighted: bool,
     mesh=None,
+    device=None,
 ) -> FoldData:
-    """Build the trial-invariant stacked fold tensors and place them."""
+    """Build the trial-invariant stacked fold tensors and place them.
+    `mesh` shards the fold axis across a 1-D mesh; `device` (a jax.Device)
+    pins everything to that device — without it an explicit
+    ComponentOptimizer(device="cpu") would silently run its batched fits on
+    the default accelerator."""
     n_folds = len(folds)
     g = X_cells_by_genes.shape[1]
     X_all = X_cells_by_genes.astype(np.float32)
@@ -121,6 +126,8 @@ def prepare_fold_data(
             fold_sh, rep_sh = sharding
             put_fold = lambda x: jax.device_put(x, fold_sh(x.ndim))
             put_rep = lambda x: jax.device_put(x, rep_sh)
+    elif device is not None:
+        put_fold = put_rep = lambda x: jax.device_put(x, device)
 
     col = np.arange(n_tr)[None, None, :]
     tr_sizes = np.asarray([len(tr) for tr, _ in folds])[:, None, None]

@@ -343,13 +343,18 @@ class ComponentOptimizer:
 
         record = dict(params)
         record["lam"] = list(record["lam"])
+        # the max_iter this trial actually ran: the frozen/user value, or —
+        # for the trial that ran elbow detection — its last fold's elbow.
+        # (self.max_iter, not max_iter_detect, is the discriminator: once
+        # frozen, later trials run batched and append no iter_records, and a
+        # repeated search starts with an empty iter_records list.)
         record["max_iter"] = (
-            self.iter_records[-1] if self.max_iter_detect else self.max_iter
+            self.max_iter if self.max_iter is not None else self.iter_records[-1]
         )
         record["score"] = score
 
         # freeze max_iter to the mean elbow once one full CV round ran
-        if self.max_iter_detect and len(self.iter_records) >= self.n_splits:
+        if self.max_iter is None and len(self.iter_records) >= self.n_splits:
             self.max_iter = int(sum(self.iter_records) / len(self.iter_records))
 
         return {"loss": score, "status": STATUS_OK, "params": record}
@@ -440,7 +445,9 @@ class ComponentOptimizer:
         model.store_embeddings(train_adata)
         model.transform(val_adata)
 
-        if self.max_iter_detect:
+        if self.max_iter_detect and self.max_iter is None:
+            # only while elbow detection is live: after the freeze the fits
+            # run at the frozen value and must not drift the recorded mean
             self.iter_records.append(model.max_iter)
         return np.asarray(val_adata.obsm["ALPINE_embedding"])
 
@@ -467,6 +474,7 @@ class ComponentOptimizer:
             dense_x(self.adata.X), Ys, folds,
             weighted=(self.sampling_method == "weighted"),
             mesh=resolved if isinstance(resolved, Mesh) else None,
+            device=None if isinstance(resolved, Mesh) else resolved,
         )
         self._fold_cache = (key, fd)
         return fd
@@ -581,7 +589,8 @@ class ComponentOptimizer:
         random_state twice (inside **best_param AND explicitly,
         optimization.py:496-501), which raises TypeError; fixed here by
         relying on best_param["random_state"] alone."""
-        if not hasattr(self, "best_param"):
+        if not self.best_param:  # __init__ sets {}; a hasattr guard (as in
+            # the reference) could never fire
             raise RuntimeError(
                 "Please run bayesian_search() to find the best parameters first."
             )

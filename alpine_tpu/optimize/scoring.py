@@ -53,11 +53,12 @@ def _smooth_knn_bandwidths(dist: np.ndarray, n_iter: int = 64):
 
 
 def knn_graph(
-    emb: np.ndarray, n_neighbors: int = 15, seed: int = 0
+    emb: np.ndarray, n_neighbors: int = 15
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Symmetric weighted kNN graph on the (cells x dims) embedding using
     UMAP fuzzy-simplicial-set connectivities (scanpy's default neighbors
-    weighting).  Returns (src, dst, weight), each undirected edge once."""
+    weighting).  Returns (src, dst, weight), each undirected edge once.
+    Fully deterministic (exact NearestNeighbors) — no seed."""
     from scipy import sparse
 
     n = emb.shape[0]
@@ -169,7 +170,7 @@ def leiden(
     """Cluster an embedding: kNN graph + Leiden (native C++; Louvain
     fallback).  Returns integer labels (cells,)."""
     n = emb.shape[0]
-    src, dst, w = knn_graph(emb, n_neighbors=n_neighbors, seed=seed)
+    src, dst, w = knn_graph(emb, n_neighbors=n_neighbors)
     labels = leiden_native(n, src, dst, w, resolution=resolution, seed=seed)
     if labels is None:
         labels = _python_louvain(n, src, dst, w, resolution=resolution, seed=seed)

@@ -195,16 +195,15 @@ class _Parzen:
         order = np.argsort(all_mu)
         sorted_mu = all_mu[order]
         sorted_w = all_w[order]
-        sigma = np.empty_like(sorted_mu)
         if len(sorted_mu) == 1:
-            sigma[:] = prior_sigma
+            sigma = np.full_like(sorted_mu, prior_sigma)
         else:
-            # bandwidth = max distance to neighbors, clipped
+            # bandwidth = max distance to neighbors, clipped; the prepend/
+            # append duplicates make each endpoint's "missing side" diff 0,
+            # so the maximum picks its single real neighbor distance
             left = np.diff(sorted_mu, prepend=sorted_mu[0])
             right = np.diff(sorted_mu, append=sorted_mu[-1])
             sigma = np.maximum(left, right)
-            sigma[0] = sorted_mu[1] - sorted_mu[0]
-            sigma[-1] = sorted_mu[-1] - sorted_mu[-2]
         sigma_max = prior_sigma
         sigma_min = prior_sigma / max(100.0, float(len(sorted_mu)))
         sigma = np.clip(sigma, sigma_min, sigma_max)
@@ -321,7 +320,10 @@ def fmin(
 
     exprs = _flatten_space(space)
 
-    tid = len(trials.trials)
+    # next free tid: imported hyperopt pickles may carry gapped/non-0-based
+    # tids, and a duplicate would make tid-keyed lookups resolve to the old
+    # imported trial instead of the new one
+    tid = 1 + max((t["tid"] for t in trials.trials), default=-1)
     while len(trials.trials) < max_evals:
         vals = algo(exprs, trials, rng)
         structured = _evaluate_space(space, vals)

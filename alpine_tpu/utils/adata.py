@@ -38,6 +38,17 @@ def is_sparse_x(X: Any) -> bool:
     return hasattr(X, "toarray") and hasattr(X, "nnz") and hasattr(X, "shape")
 
 
+def as_compressed(X: Any):
+    """Canonicalize a sparse X to a compressed row format.  COO/DIA/BSR etc.
+    are not subscriptable (row subsetting would crash) and may carry
+    duplicate entries whose .data values misrepresent the dense matrix
+    (e.g. +5/-3 at one position = dense 2); .tocsr() fixes both (it sums
+    duplicates).  CSR/CSC pass through unchanged."""
+    if is_sparse_x(X) and not hasattr(X, "indptr"):
+        return X.tocsr()
+    return X
+
+
 def dense_x(X: Any) -> np.ndarray:
     """Dense float32 COPY of an ``adata.X`` (ndarray or scipy sparse).  The
     reference requires a dense ndarray (`main.py:395-400`); accepting sparse
@@ -50,9 +61,10 @@ def dense_x(X: Any) -> np.ndarray:
 
 def x_min(X: Any) -> float:
     """Minimum value of an adata.X without densifying (sparse implicit zeros
-    count as 0)."""
+    count as 0).  NaN anywhere propagates to a NaN return — validate with
+    `not (x_min(X) >= 0)` so NaN fails like any negative would."""
     if is_sparse_x(X):
-        data = np.asarray(X.data)
+        data = np.asarray(as_compressed(X).data)
         explicit_min = float(data.min()) if data.size else 0.0
         has_implicit_zero = X.nnz < X.shape[0] * X.shape[1]
         return min(explicit_min, 0.0) if has_implicit_zero else explicit_min
@@ -95,7 +107,7 @@ class AnnData:
         layers: Optional[Dict[str, Any]] = None,
         uns: Optional[Dict[str, Any]] = None,
     ):
-        X = X if is_sparse_x(X) else np.asarray(X)
+        X = as_compressed(X) if is_sparse_x(X) else np.asarray(X)
         if len(X.shape) != 2:
             raise ValueError("X must be a 2-D array (obs x var).")
         self.X = X

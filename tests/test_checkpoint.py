@@ -207,3 +207,24 @@ def test_corrupt_snapshot_warns_not_silent(tmp_path):
         f.write(b"not a zip archive")
     with pytest.warns(UserWarning, match="unreadable"):
         assert ck.load() is None
+
+
+def test_orbax_old_snapshot_fallback(tmp_path):
+    """A preemption between save()'s two renames leaves only '<path>.old';
+    load() must restore it instead of silently restarting from scratch."""
+    import os as _os
+
+    pytest.importorskip("orbax.checkpoint")
+    from alpine_tpu.io.checkpoint import FitCheckpointer
+
+    ck = FitCheckpointer(str(tmp_path), {"x": 1}, backend="orbax")
+    W = np.ones((2, 2), np.float32)
+    ck.save(3, W, W, (), np.zeros((3, 2), np.float32))
+    # simulate dying after `rename(path, path+'.old')` but before
+    # `rename(tmp, path)`
+    _os.rename(ck.path, ck.path + ".old")
+    restored = ck.load()
+    assert restored is not None and restored[0] == 3
+    ck.clear()
+    assert not _os.path.exists(ck.path + ".old")
+    assert ck.load() is None

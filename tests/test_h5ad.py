@@ -117,3 +117,31 @@ def test_non_ascii_strings_round_trip(tmp_path):
     back = read_h5ad(p)
     assert list(back.obs.index) == ["バー1", "バー2", "バー3"]
     assert list(back.obs["célл"]) == ["naïve", "naïve", "Tγδ"]
+
+
+def test_written_files_carry_anndata_encoding_metadata(tmp_path):
+    """anndata's IO registry dispatches readers on the
+    (encoding-type, encoding-version) attribute pair; files without it fail
+    or legacy-misparse in real scanpy sessions."""
+    import h5py
+
+    ad = _sample_adata()
+    p = str(tmp_path / "enc.h5ad")
+    write_h5ad(ad, p)
+    with h5py.File(p, "r") as f:
+        assert f.attrs["encoding-type"] == "anndata"
+        assert f["X"].attrs["encoding-type"] == "array"
+        assert f["X"].attrs["encoding-version"] == "0.2.0"
+        for name in ("obs", "var"):
+            g = f[name]
+            assert g.attrs["encoding-type"] == "dataframe"
+            assert g.attrs["encoding-version"] == "0.2.0"
+            assert g["_index"].attrs["encoding-type"] == "string-array"
+        cat = f["obs"]["batch"]
+        assert cat.attrs["encoding-type"] == "categorical"
+        assert cat.attrs["encoding-version"] == "0.2.0"
+        assert cat.attrs["ordered"] == False  # noqa: E712
+        assert cat["categories"].attrs["encoding-type"] == "string-array"
+        assert cat["codes"].attrs["encoding-type"] == "array"
+        assert f["obsm"].attrs["encoding-type"] == "dict"
+        assert f["obsm"]["emb"].attrs["encoding-type"] == "array"

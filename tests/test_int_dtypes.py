@@ -157,6 +157,33 @@ def test_int_dtypes_reject_fractional_data():
         _fit("int16", adata)
 
 
+def test_nan_x_rejected_every_dtype():
+    """NaN in adata.X must be rejected in every data_dtype (regression: the
+    x_min refactor briefly let NaN through the non-negativity check)."""
+    for dt in ("float32", "bfloat16", "int16", "int8"):
+        adata = make_count_adata()
+        adata.X[2, 3] = np.nan
+        with pytest.raises(ValueError, match="non-negative"):
+            _fit(dt, adata)
+
+
+def test_int_cast_nan_message():
+    """If NaN reaches the quantizing cast itself, the error must say NaN —
+    not 'fractional values'."""
+    model = _model(data_dtype="int8")
+    arr = np.asarray([[1.0, np.nan]], np.float32)
+    with pytest.raises(ValueError, match="NaN"):
+        model._cast_x_host(arr)
+
+
+def test_int16_range_message_does_not_suggest_int16():
+    model = _model(data_dtype="int16")
+    arr = np.asarray([[40000.0, 1.0]], np.float32)
+    with pytest.raises(ValueError) as e:
+        model._cast_x_host(arr)
+    assert "Use 'bfloat16' or 'float32' instead" in str(e.value)
+
+
 def test_invalid_data_dtype_message():
     with pytest.raises(ValueError, match="int8"):
         _model(data_dtype="float16")
@@ -172,10 +199,17 @@ def test_int8_transform_same_and_new_data():
     new = make_count_adata(n_cells=40, seed=9)
     model.transform(new, n_iter=5)
     assert np.isfinite(new.obsm["ALPINE_embedding"]).all()
-    # new data violating the int8 range fails loudly, not by quantizing
+    # transform accepts non-int8-representable query data by falling back
+    # to the compute-width float storage (the projection math never needed
+    # integer storage; the reference accepts any non-negative X) — it must
+    # NOT quantize silently and NOT reject
     big = _with_big_count(make_count_adata(n_cells=16, seed=10))
-    with pytest.raises(ValueError, match="int8"):
-        model.transform(big, n_iter=5)
+    model.transform(big, n_iter=5)
+    assert np.isfinite(big.obsm["ALPINE_embedding"]).all()
+    frac = make_count_adata(n_cells=16, seed=11)
+    frac.X[0, 0] = 1.5
+    model.transform(frac, n_iter=5)
+    assert np.isfinite(frac.obsm["ALPINE_embedding"]).all()
 
 
 def test_int16_weighted_sampling_matches_float32():

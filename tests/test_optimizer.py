@@ -192,6 +192,20 @@ def test_component_optimizer_auto_max_iter(small_adata):
     )
     # after >= n_splits fold fits, max_iter freezes to the average elbow
     assert co.max_iter is not None and co.max_iter > 0
+    frozen = co.max_iter
+
+    # regression: a SECOND search used to crash with IndexError (batched
+    # path + reset iter_records); it must run and keep reporting the freeze
+    co.search_hyperparams(
+        n_total_components_range=(8, 12), lam_range=(1.0, 10.0),
+        n_splits=2, max_evals=2,
+    )
+    assert co.max_iter == frozen
+    # every trial after the detection trial ran at — and must report — the
+    # frozen value, not a stale elbow record
+    recs = [t["result"]["params"] for t in co.trials.trials
+            if t["result"]["status"] == "ok" and "params" in t["result"]]
+    assert all(r["max_iter"] == frozen for r in recs[1:])
 
 
 def test_optimizer_validation(small_adata):
@@ -251,6 +265,30 @@ def test_optimizer_rejects_bad_sampling_method(small_adata):
     with pytest.raises(ValueError, match="Unknown sampling method"):
         ComponentOptimizer(small_adata, ["batch"], max_iter=5,
                            sampling_method="bogus")
+
+
+def test_fmin_tids_unique_after_gapped_import():
+    """Imported hyperopt pickles can carry gapped tids; new trials must get
+    fresh tids or tid-keyed lookups resolve to the wrong trial."""
+    trials = Trials()
+    for t in (0, 5):  # gapped, as after exp_key filtering
+        trials.append(t, {"x": float(t)}, {"loss": float(t), "status": STATUS_OK})
+    space = {"x": hp.uniform("x", 0.0, 1.0)}
+    fmin(lambda s: {"loss": s["x"], "status": STATUS_OK}, space,
+         max_evals=4, trials=trials, rstate=np.random.default_rng(0))
+    tids = [t["tid"] for t in trials.trials]
+    assert len(tids) == len(set(tids)) == 4
+    assert max(tids) > 5
+
+
+def test_fit_the_best_param_before_search_raises():
+    from alpine_tpu import ComponentOptimizer
+
+    co = ComponentOptimizer(
+        make_synthetic_adata(n_cells=40, n_genes=10, covariates=(("batch", 2),)),
+        ["batch"], max_iter=5, device="cpu")
+    with pytest.raises(RuntimeError, match="best parameters"):
+        co.fit_the_best_param()
 
 
 def test_tpe_linear_forgetting_weights():

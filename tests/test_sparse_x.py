@@ -125,6 +125,44 @@ def test_sparse_h5ad_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(back.X), dense_x(sp.X))
 
 
+def test_coo_input_canonicalized():
+    """COO (not subscriptable, may carry duplicate entries) canonicalizes
+    to CSR at container construction; duplicates sum correctly."""
+    coo = sparse.coo_matrix(
+        (np.array([5.0, -3.0, 2.0], np.float32),
+         (np.array([0, 0, 1]), np.array([1, 1, 0]))), shape=(3, 2))
+    # duplicate (+5, -3) at (0,1) -> dense 2.0: non-negative, x_min must
+    # not false-reject on the raw .data stream
+    assert x_min(coo) == 0.0
+    ad = AnnData(coo)
+    assert hasattr(ad.X, "indptr")  # compressed now
+    sub = ad[np.arange(2)]
+    np.testing.assert_array_equal(
+        dense_x(sub.X), np.array([[0.0, 2.0], [2.0, 0.0]], np.float32))
+
+
+def test_sparse_fingerprint_detects_column_remap():
+    """Moving nonzeros to different gene columns leaves .data, row sums and
+    totals unchanged — the fingerprint must still differ, or transform
+    would silently reuse the stale device-X cache."""
+    from alpine_tpu.models.alpine import ALPINE as _A
+
+    X = sparse.csr_matrix(
+        (np.array([1.0, 2.0, 3.0], np.float32),
+         np.array([0, 2, 1]), np.array([0, 1, 2, 3])), shape=(3, 4))
+    remapped = sparse.csr_matrix(
+        (np.array([1.0, 2.0, 3.0], np.float32),
+         np.array([1, 3, 2]), np.array([0, 1, 2, 3])), shape=(3, 4))
+    assert _A._x_fingerprint(X) != _A._x_fingerprint(remapped)
+
+
+def test_sparse_nan_rejected():
+    _, sp = _sparsify(make_synthetic_adata())
+    sp.X.data[0] = np.nan
+    with pytest.raises(ValueError, match="non-negative"):
+        _model().fit(sp, ["batch", "condition"], max_iter=3)
+
+
 def test_sparse_container_slicing_and_copy():
     _, sp = _sparsify(make_synthetic_adata())
     sub = sp[np.arange(10)]
