@@ -16,9 +16,11 @@ int8 storage (count data; kernels dequantize tiles in VMEM) halves the X
 read again, at which point the bench shape stops being bandwidth-bound: the
 two X-sided matmuls pad their K=40 output dimension to the MXU's 128 lanes,
 so ~0.5 ms/iter of matrix-unit time becomes the binding floor (measured
-int8 ~1737 it/s vs the pure-bandwidth floor's ~2900).  The bandwidth
-fraction this script prints is therefore NOT the right lens for int8 at
-small K; it is for bf16/f32, where DMA dominates.
+int8 ~1740-1770 it/s vs the pure-bandwidth floor's ~3500).  The bandwidth
+fraction this script prints is therefore NOT the right lens for JOINT int8
+at small K; it is for bf16/f32, where DMA dominates — and for ALS int8,
+which stays bandwidth-bound (4 X passes/iter) and gains the full byte
+factor: measured 643 it/s vs 389 bf16 = 73% of peak for int8 traffic.
 
 ALS mode (mu.als_batch_update) has a *semantic* floor of (n_blocks + 1)
 X passes per iteration — X@H_start^T for all W numerators plus one

@@ -346,3 +346,43 @@ def test_pallas_kl_pred_pad_bias_removed():
     # accuracy, far below the would-be bias of ~n_pad * 1e-2
     np.testing.assert_allclose(np.asarray(Lx)[:, 2:], np.asarray(Lp)[:, 2:],
                                rtol=2e-5)
+
+
+def test_sharded_pallas_int8_matches_single_device():
+    """int8 X through the sharded fused-kernel path (per-shard in-VMEM
+    dequant + psums) must reproduce the single-device int8 trajectory."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    G2, N2 = 30, 1024
+    r = np.random.default_rng(9)
+    X = jnp.asarray(r.poisson(2.0, (G2, N2)).clip(0, 127).astype(np.int8))
+    Ys = []
+    for nl in N_LABELS:
+        y = np.zeros((nl, N2), np.float32)
+        y[r.integers(0, nl, N2), np.arange(N2)] = 1.0
+        Ys.append(jnp.asarray(y))
+    Ys = tuple(Ys)
+    hyper = (jnp.asarray([2.0, 1.0], jnp.float32), jnp.float32(0.1),
+             jnp.float32(0.2), jnp.float32(0.3), jnp.float32(EPS))
+    key = jax.random.PRNGKey(0)
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=N2,
+                      loss_kl=True, max_iter=8, x_dtype="int8",
+                      backend="pallas_interpret")
+    W0, H0, Bs0 = mu.init_matrices(cfg, G2, key, EPS)
+
+    Ws, Hs, Bss, Ls = mu.fit_scan(cfg, W0, H0, Bs0, X, Ys, hyper, key, None)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("cells",))
+    sh = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "cells")))
+    rp = lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+    Wm, Hm, Bsm, Lm = mu.fit_scan_sharded(
+        cfg, mesh, rp(W0), sh(H0), tuple(rp(b) for b in Bs0),
+        sh(X), tuple(sh(y) for y in Ys), hyper)
+
+    np.testing.assert_allclose(np.asarray(Ls), np.asarray(Lm), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(Ws), np.asarray(Wm), rtol=1e-3,
+                               atol=1e-6)
