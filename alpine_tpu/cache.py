@@ -19,6 +19,13 @@ import os
 _done = False
 
 
+def env_flag(name: str) -> bool:
+    """Boolean env-var parsing shared by all ALPINE_TPU_* switches:
+    unset/''/'0'/'false' (any case) mean OFF.  A bare truthiness check
+    would treat FLAG=0 as on — the opposite of what users mean."""
+    return os.environ.get(name, "").lower() not in ("", "0", "false")
+
+
 def enable_compilation_cache(allow_backend_check: bool = False) -> None:
     """Idempotently point JAX's persistent compilation cache at a per-user
     directory (no-op if the user configured their own or opted out).
@@ -32,7 +39,7 @@ def enable_compilation_cache(allow_backend_check: bool = False) -> None:
     global _done
     if _done:
         return
-    if os.environ.get("ALPINE_TPU_NO_CACHE", "").lower() not in ("", "0", "false"):
+    if env_flag("ALPINE_TPU_NO_CACHE"):
         _done = True
         return
     import jax

@@ -48,6 +48,7 @@ from alpine_tpu.ops import mu, pallas_kernels
 from alpine_tpu.ops.elbow import find_elbow
 from alpine_tpu.parallel.mesh import Placement, resolve_device
 from alpine_tpu.utils import sampling
+from alpine_tpu.cache import env_flag
 from alpine_tpu.utils.adata import dense_x, is_anndata, is_sparse_x, x_min
 from alpine_tpu.utils.encoder import FeatureEncoders
 from alpine_tpu.utils.single_cell import normalize_total
@@ -218,7 +219,7 @@ class ALPINE:
         # pickles (__getstate__) and releasable via free_device_cache().
         self._x_cache = (
             None
-            if os.environ.get("ALPINE_TPU_NO_X_CACHE") or cell_perm is not None
+            if env_flag("ALPINE_TPU_NO_X_CACHE") or cell_perm is not None
             else (Xd, self._x_fingerprint(adata.X), n_sample)
         )
 
@@ -391,9 +392,14 @@ class ALPINE:
 
                 pbar = tqdm(total=max_iter or 200, desc="Iteration", ncols=100)
 
-                def _hook(loss):
-                    pbar.set_postfix({"objective loss": float(loss[0])})
-                    pbar.update(1)
+                def _hook(loss, it):
+                    # absolute position: under sharded execution the device
+                    # callback may fire once per shard per iteration, and
+                    # bar.n = it+1 is idempotent where update(1) overcounts
+                    pbar.set_postfix({"objective loss": float(loss[0])},
+                                     refresh=False)
+                    pbar.n = int(it) + 1
+                    pbar.refresh()
 
                 mu.set_progress_hook(_hook)
             except Exception:
@@ -731,7 +737,7 @@ class ALPINE:
         (per-shard kernels + psums of the small accumulators)."""
         from jax.sharding import Mesh
 
-        if os.environ.get("ALPINE_TPU_DISABLE_PALLAS"):
+        if env_flag("ALPINE_TPU_DISABLE_PALLAS"):
             return False
         dev = self.device
         if isinstance(dev, Mesh):
@@ -833,7 +839,12 @@ class ALPINE:
         if self.data_dtype in ("int8", "int16"):
             with np.errstate(invalid="ignore"):  # NaN→int is diagnosed below
                 cast = arr.astype(self.data_dtype)
-            if np.array_equal(arr, cast):
+            # round-trip equality + sign: -5.0 round-trips through int8, but
+            # negative storage would corrupt the non-negativity the MU math
+            # assumes — enforce it HERE, not only at the fit/transform call
+            # sites, so the documented guarantee holds for any caller
+            if np.array_equal(arr, cast) and (
+                    not cast.size or int(cast.min()) >= 0):
                 return cast
             if not strict:
                 if self.data_dtype == "int8":
@@ -918,7 +929,7 @@ class ALPINE:
 
         cached = getattr(self, "_x_cache", None)
         X = None
-        if (cached is not None and not os.environ.get("ALPINE_TPU_NO_X_CACHE")
+        if (cached is not None and not env_flag("ALPINE_TPU_NO_X_CACHE")
                 and cached[2] == n_sample
                 and cached[1] == self._x_fingerprint(adata.X)):
             # same data the model was fit on: reuse the device-resident X

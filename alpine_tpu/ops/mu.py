@@ -58,6 +58,17 @@ def _dot(a: Array, b: Array, precision: str = "highest") -> Array:
     return jnp.matmul(a, b, precision=_prec(precision))
 
 
+def block_offsets(blocks: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Start offset of each component block in the concatenated W/H layout.
+    THE single implementation — shared by MUConfig.offsets, the bucketing
+    helpers, and the Pallas kernels so block layout can never diverge."""
+    out, acc = [], 0
+    for k in blocks:
+        out.append(acc)
+        acc += k
+    return tuple(out)
+
+
 def x_compute_dtype(storage_dtype):
     """THE storage→compute dtype mapping for X: integer storage dequantizes
     to the narrowest float that represents it exactly (int8 → bfloat16 —
@@ -135,11 +146,7 @@ class MUConfig:
 
     @property
     def offsets(self) -> Tuple[int, ...]:
-        out, acc = [], 0
-        for k in self.blocks:
-            out.append(acc)
-            acc += k
-        return tuple(out)
+        return block_offsets(self.blocks)
 
     @property
     def full_batch(self) -> bool:
@@ -202,15 +209,20 @@ def set_progress_hook(fn) -> None:
     _progress_hook = fn
 
 
-def _emit_progress(loss) -> None:
+def _emit_progress(loss, it) -> None:
     hook = _progress_hook
     if hook is not None:
-        hook(loss)
+        hook(loss, it)
 
 
-def _maybe_report(cfg: "MUConfig", loss: Array) -> None:
+def _maybe_report(cfg: "MUConfig", loss: Array, it) -> None:
+    """Report (loss, iteration) to the host hook.  The iteration index is
+    passed so the hook can set absolute progress — under sharded execution
+    the callback may fire once PER DEVICE per iteration, and an absolute
+    `bar.n = it+1` is idempotent where a relative `update(1)` would
+    overcount by n_shards."""
     if cfg.progress:
-        jax.debug.callback(_emit_progress, loss)
+        jax.debug.callback(_emit_progress, loss, it)
 
 
 # ---------------------------------------------------------------------------
@@ -449,7 +461,8 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     bs = cfg.eff_batch_size
     nb = cfg.num_batches
 
-    def iteration(carry, it_key):
+    def iteration(carry, xs):
+        it_key, it = xs
         W, H, Bs = carry
         if cfg.full_batch:
             W, Bs, H, aux = update(cfg, hyper, W, Bs, H, X, Ys)
@@ -484,11 +497,12 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
         else:
             loss = compute_loss_parts(cfg, hyper, W, H, Bs, X, Ys, normX2,
                                       kl_pad=kl_pad)
-        _maybe_report(cfg, loss)
+        _maybe_report(cfg, loss, it)
         return (W, H, Bs), loss
 
     keys = jax.random.split(key, cfg.max_iter)
-    (W, H, Bs), losses = lax.scan(iteration, (W0, H0, Bs0), keys)
+    (W, H, Bs), losses = lax.scan(iteration, (W0, H0, Bs0),
+                                  (keys, jnp.arange(cfg.max_iter)))
     if H.shape[1] != n:
         H = H[:, :n]
     return W, H, Bs, losses
@@ -602,8 +616,10 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
         if n_pad:
             X = jnp.pad(X, ((0, 0), (0, n_pad)))
             Ys = tuple(jnp.pad(y, ((0, 0), (0, n_pad))) for y in Ys)
-        if H0.shape[1] != X.shape[1]:
-            H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
+    if H0.shape[1] != X.shape[1]:
+        # also reached in the unguided path when the caller pre-padded X
+        # (e.g. sharded shards); H must match X's padded width
+        H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
 
     XHt0 = _dot_x(cfg, X, H0.T)
     HHt0 = dot(H0, H0.T)
@@ -611,7 +627,7 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     bnums0, bdens0 = _b_stats(cfg, hyper, Bs0, H0, Ys) if cfg.n_cov else ((), ())
     total_pad = X.shape[1] - n
 
-    def iteration(carry, _):
+    def iteration(carry, it):
         W, H, Bs, XHt, HHt, bnums, bdens = carry
 
         W = _update_w(cfg, hyper, W, XHt, HHt)
@@ -635,15 +651,17 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
         for i in range(cfg.n_cov):
             total = total + lam[i] * preds[i]
         loss = jnp.stack([total, recon] + list(preds))
-        _maybe_report(cfg, loss)
+        _maybe_report(cfg, loss, it)
 
         return (W, H, Bs, XHt, HHt, bnums, bdens), loss
 
     (W, H, Bs, *_), losses = lax.scan(
-        iteration, (W0, H0, Bs0, XHt0, HHt0, bnums0, bdens0), None,
-        length=cfg.max_iter,
+        iteration, (W0, H0, Bs0, XHt0, HHt0, bnums0, bdens0),
+        jnp.arange(cfg.max_iter),
     )
-    if cfg.n_cov and H.shape[1] != n:
+    if H.shape[1] != n:
+        # covers both the in-function covariate pad AND caller-pre-padded X
+        # in the unguided path (zero columns are exact fixed points)
         H = H[:, :n]
     return W, H, Bs, losses
 
@@ -710,7 +728,8 @@ def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
             # columns, which are neutral
             p_loc = w_loc / _clamp(jnp.sum(w_loc), jnp.float32(1e-30))
 
-        def iteration(carry, it_key):
+        def iteration(carry, xs):
+            it_key, it = xs
             W, H, Bs = carry
             if cfg.weighted:
                 idx = jax.random.choice(
@@ -741,11 +760,12 @@ def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
                 cfg, hyper, W, H, Bs, X_loc, Ys_loc, normX2, r=psum,
                 kl_pad=n_loc * n_shards - cfg.n_cells,
             )
-            _maybe_report(cfg, loss)
+            _maybe_report(cfg, loss, it)
             return (W, H, Bs), loss
 
         keys = jax.random.split(key, cfg.max_iter)
-        (W, H, Bs), losses = lax.scan(iteration, (W0, H0_loc, Bs0), keys)
+        (W, H, Bs), losses = lax.scan(iteration, (W0, H0_loc, Bs0),
+                                      (keys, jnp.arange(cfg.max_iter)))
         return W, H, Bs, losses
 
     n_cov = cfg.n_cov
@@ -827,7 +847,7 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
         else:
             bn0, bd0 = (), ()
 
-        def iteration(carry, _):
+        def iteration(carry, it):
             W, H, Bs, XHt, HHt, bnums, bdens = carry
             W = _update_w(cfg, hyper, W, XHt, HHt)
             WtW = dot(W.T, W)
@@ -859,12 +879,12 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
             for i in range(cfg.n_cov):
                 total = total + lam[i] * preds[i]
             loss = jnp.stack([total, recon] + list(preds))
-            _maybe_report(cfg, loss)
+            _maybe_report(cfg, loss, it)
             return (W, H, Bs, XHt, HHt, bnums, bdens), loss
 
         (W, H, Bs, *_), losses = lax.scan(
-            iteration, (W0, H0_loc, Bs0, XHt0, HHt0, bn0, bd0), None,
-            length=cfg.max_iter,
+            iteration, (W0, H0_loc, Bs0, XHt0, HHt0, bn0, bd0),
+            jnp.arange(cfg.max_iter),
         )
         return W, H, Bs, losses
 
@@ -1077,10 +1097,7 @@ def mask_block_padding(blocks: Tuple[int, ...], true_blocks: Tuple[int, ...],
     W = W * valid[None, :]
     H = H * valid[:, None]
     newBs = []
-    offsets, acc = [], 0
-    for k in blocks:
-        offsets.append(acc)
-        acc += k
+    offsets = block_offsets(blocks)
     for i, B in enumerate(Bs):
         o, kp = offsets[i], blocks[i]
         newBs.append(B * valid[o:o + kp][None, :])

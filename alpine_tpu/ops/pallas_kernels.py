@@ -47,12 +47,20 @@ except Exception:  # pragma: no cover
 Array = jax.Array
 
 
-def _block_offsets(blocks):
-    out, acc = [], 0
-    for k in blocks:
-        out.append(acc)
-        acc += k
-    return out
+# single implementations shared with the XLA path (mu imports this module
+# only lazily, so no cycle)
+from alpine_tpu.ops.mu import block_offsets as _block_offsets
+from alpine_tpu.ops.mu import x_compute_dtype as _x_compute_dtype
+
+
+def _smem_spec(shape, index_map):
+    """Scalar-operand BlockSpec: SMEM on TPU installs; on installs where
+    pltpu failed to import (interpret-only use) memory spaces don't apply —
+    dereferencing pltpu.SMEM there would crash the very fallback path the
+    import guard exists for."""
+    if pltpu is not None:
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.SMEM)
+    return pl.BlockSpec(shape, index_map)
 
 # VMEM budget for the X tile (bytes); double buffering doubles this.
 # Swept on a v5e chip at 100k cells x 2k genes (bf16 X) with the scoped
@@ -124,9 +132,7 @@ def _load_x(X_ref):
     the XLA path).  The HBM read — the per-iteration bottleneck — happens at
     the storage width; only the on-chip tile widens.
     Returns (tile, dtype the X-sided MXU passes run in)."""
-    from alpine_tpu.ops.mu import x_compute_dtype  # trace-time only
-
-    cdt = x_compute_dtype(X_ref.dtype)
+    cdt = _x_compute_dtype(X_ref.dtype)
     x = X_ref[:]
     return (x.astype(cdt) if x.dtype != cdt else x), cdt
 
@@ -192,7 +198,7 @@ def fused_h_update(
     by_cells = lambda i: (0, i)
 
     in_specs = [
-        pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),  # eps
+        _smem_spec((1, 1), full),  # eps
         pl.BlockSpec((g, tile_n), by_cells),                   # X
         pl.BlockSpec((g, K), full),                            # W
         pl.BlockSpec((K, tile_n), by_cells),                   # H
@@ -210,7 +216,7 @@ def fused_h_update(
         pl.BlockSpec((K, tile_n), by_cells),
         pl.BlockSpec((g, K), full),
         pl.BlockSpec((K, K), full),
-        pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+        _smem_spec((1, 1), full),
     )
 
     kernel = functools.partial(_h_kernel, tile_n, n)
@@ -379,8 +385,8 @@ def fused_iteration(
     by_cells = lambda i: (0, i)
 
     in_specs = [
-        pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),              # eps
-        pl.BlockSpec((max(n_cov, 1), 1), full, memory_space=pltpu.SMEM),  # lam
+        _smem_spec((1, 1), full),              # eps
+        _smem_spec((max(n_cov, 1), 1), full),  # lam
         pl.BlockSpec((g, tile_n), by_cells),
         pl.BlockSpec((g, K), full),
         pl.BlockSpec((K, tile_n), by_cells),
@@ -406,7 +412,7 @@ def fused_iteration(
         pl.BlockSpec((K, tile_n), by_cells),
         pl.BlockSpec((g, K), full),
         pl.BlockSpec((K, K), full),
-        pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+        _smem_spec((1, 1), full),
     ]
     stat_rows = sum(n_labels) + 2 * n_cov
     out_shape.append(jax.ShapeDtypeStruct((max(stat_rows, 1), K), jnp.float32))
@@ -481,7 +487,7 @@ def fused_transform(
         functools.partial(_transform_kernel, n_iter),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            _smem_spec((1, 1), full),
             pl.BlockSpec((K, tile_n), by_cells),
             pl.BlockSpec((K, tile_n), by_cells),
             pl.BlockSpec((K, K), full),

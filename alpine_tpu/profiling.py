@@ -6,9 +6,9 @@ The reference has no profiling support beyond a tqdm bar (SURVEY.md §5;
 - `trace(logdir)`: context manager around `jax.profiler` producing a
   Perfetto/TensorBoard trace of everything inside (compile + device time).
 - `annotate(name)`: named TraceAnnotation so fit phases show up in traces.
-- `StepTimer`: lightweight wall-clock phase timer; `ALPINE.fit` fills
-  `model.timings_` with per-phase seconds when profiling is enabled via the
-  ALPINE_TPU_PROFILE env var or `enable(True)`.
+- `StepTimer`: lightweight wall-clock phase timer; `ALPINE.fit` always
+  fills `model.timings_` with per-phase seconds (a few perf_counter calls
+  per fit — too cheap to need an off switch).
 - `enable_debug_checks()`: turns on jax_debug_nans/jax_debug_infs — the
   clamp-protected divides (ops/mu.py) should never produce them; this flag
   is the race/sanitizer-equivalent for a pure-functional program.
@@ -17,25 +17,10 @@ The reference has no profiling support beyond a tqdm bar (SURVEY.md §5;
 from __future__ import annotations
 
 import contextlib
-import os
 import time
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
-
-_ENABLED: Optional[bool] = None
-
-
-def enable(value: bool = True) -> None:
-    """Force phase timing on/off (overrides the ALPINE_TPU_PROFILE env var)."""
-    global _ENABLED
-    _ENABLED = value
-
-
-def is_enabled() -> bool:
-    if _ENABLED is not None:
-        return _ENABLED
-    return bool(os.environ.get("ALPINE_TPU_PROFILE"))
 
 
 @contextlib.contextmanager

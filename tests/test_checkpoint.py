@@ -111,13 +111,9 @@ def test_checkpoint_resume(tmp_path, synthetic_adata):
 
 
 def test_profiling_timer(synthetic_adata):
-    profiling.enable(True)
-    try:
-        model = _model()
-        model.fit(synthetic_adata, ["batch"], max_iter=5)
-        assert "fit" in model.timings_ and model.timings_["fit"] > 0
-    finally:
-        profiling.enable(False)
+    model = _model()
+    model.fit(synthetic_adata, ["batch"], max_iter=5)
+    assert "fit" in model.timings_ and model.timings_["fit"] > 0
 
 
 def test_trace_context(tmp_path, synthetic_adata):

@@ -335,3 +335,46 @@ def test_ragged_mesh_checkpointed_fit(tmp_path):
         am.ALPINE._callbacks_supported = orig
     np.testing.assert_allclose(m2.loss_history.values[-1],
                                m.loss_history.values[-1], rtol=1e-4)
+
+
+def test_sharded_verbose_progress_reports_absolute_iterations():
+    """Under shard_map the host callback fires per device per iteration;
+    the hook receives the ITERATION INDEX so consumers can set absolute
+    progress (bar.n = it+1) instead of overcounting by n_shards."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from alpine_tpu.ops import mu
+
+    n, g, max_iter = 64, 10, 6
+    r = np.random.default_rng(0)
+    X = jnp.asarray(r.random((g, n), dtype=np.float32))
+    Y = np.zeros((2, n), np.float32)
+    Y[r.integers(0, 2, n), np.arange(n)] = 1.0
+    Ys = (jnp.asarray(Y),)
+    hyper = (jnp.asarray([1.0], jnp.float32), jnp.float32(0.0),
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1e-6))
+    key = jax.random.PRNGKey(0)
+    cfg = mu.MUConfig(blocks=(2, 4), n_labels=(2,), n_cells=n,
+                      batch_size=16, max_iter=max_iter, progress=True)
+    W0, H0, Bs0 = mu.init_matrices(cfg, g, key, 1e-6)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("cells",))
+    sh = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "cells")))
+    rp = lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+
+    seen = []
+    mu.set_progress_hook(lambda loss, it: seen.append(int(it)))
+    try:
+        out = mu.fit_scan_minibatch_sharded(
+            cfg, mesh, rp(W0), sh(H0), tuple(rp(b) for b in Bs0),
+            sh(X), tuple(sh(y) for y in Ys), hyper, key)
+        np.asarray(out[3])  # force completion (callbacks flush)
+    finally:
+        mu.set_progress_hook(None)
+    assert seen, "progress hook never fired"
+    # indices are 0..max_iter-1 (possibly repeated per shard) — never more
+    assert min(seen) == 0 and max(seen) == max_iter - 1
+    assert set(seen) == set(range(max_iter))
