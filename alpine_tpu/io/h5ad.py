@@ -31,20 +31,33 @@ def _decode(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
+def _attr_str(node, name, default=""):
+    """String attribute, decoding bytes (older h5py / non-Python writers
+    store fixed-length attrs that read back as bytes)."""
+    v = node.attrs.get(name, default)
+    return v.decode("utf-8") if isinstance(v, bytes) else v
+
+
 def _read_array(node) -> np.ndarray:
     import h5py
 
     if isinstance(node, h5py.Dataset):
         return _decode(node[()])
-    enc = node.attrs.get("encoding-type", "")
+    enc = _attr_str(node, "encoding-type")
     if enc in ("csr_matrix", "csc_matrix") or (
         "data" in node and "indices" in node and "indptr" in node
     ):
         from scipy import sparse
 
         shape = tuple(node.attrs["shape"])
-        cls = sparse.csr_matrix if enc != "csc_matrix" else sparse.csc_matrix
-        mat = cls((node["data"][()], node["indices"][()], node["indptr"][()]),
+        indptr = node["indptr"][()]
+        fmt = enc.replace("_matrix", "") or _attr_str(node, "h5sparse_format")
+        if fmt not in ("csr", "csc"):
+            # legacy file with no format metadata: the indptr length
+            # identifies the compressed axis (rows+1 for CSR, cols+1 CSC)
+            fmt = "csr" if len(indptr) == shape[0] + 1 else "csc"
+        cls = sparse.csr_matrix if fmt == "csr" else sparse.csc_matrix
+        mat = cls((node["data"][()], node["indices"][()], indptr),
                   shape=shape)
         return np.asarray(mat.todense())
     if enc == "categorical" or ("categories" in node and "codes" in node):
@@ -54,6 +67,16 @@ def _read_array(node) -> np.ndarray:
         mask = codes >= 0
         out[mask] = cats[codes[mask]]
         out[~mask] = None  # NaN category (semi-supervised entry point)
+        return out
+    if enc.startswith("nullable-") or ("values" in node and "mask" in node):
+        # anndata >= 0.8 nullable-integer / nullable-boolean columns
+        # (pandas Int64/boolean dtypes): masked entries become None — the
+        # same NA convention the categorical branch and encoder use
+        values = node["values"][()]
+        mask = node["mask"][()].astype(bool)
+        out = np.empty(len(values), dtype=object)
+        out[~mask] = values[~mask].tolist()
+        out[mask] = None
         return out
     raise ValueError(f"unsupported h5ad node encoding: {enc!r}")
 

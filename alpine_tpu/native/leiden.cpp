@@ -51,6 +51,23 @@ Partition singleton_partition(const Graph& g) {
   return p;
 }
 
+// Partition seeded from compacted labels (ids in [0, g.n)).  Canonical
+// Leiden initializes each aggregate level from the PREVIOUS level's
+// partition and keeps moving — restarting from singletons would discard
+// merges whose pairwise block-merge gain is non-positive.
+Partition partition_from_labels(const Graph& g,
+                                const std::vector<int64_t>& labels) {
+  Partition p;
+  p.comm = labels;
+  p.K.assign(g.n, 0.0);
+  p.size.assign(g.n, 0);
+  for (int64_t v = 0; v < g.n; ++v) {
+    p.K[labels[v]] += g.strength[v];
+    p.size[labels[v]] += 1;
+  }
+  return p;
+}
+
 // Queue-based fast local move. Returns true if anything moved.
 bool local_move(const Graph& g, Partition& p, std::mt19937_64& rng,
                 double gamma) {
@@ -135,9 +152,6 @@ Partition refine(const Graph& g, const Partition& p, std::mt19937_64& rng,
     for (int64_t e = g.offs[v]; e < g.offs[v + 1]; ++e)
       if (p.comm[g.nbr[e]] == p.comm[v]) k_in_P[v] += g.w[e];
 
-  // internal edge weight of each refined community (starts at self-loops)
-  std::vector<double> r_internal(g.n);
-  for (int64_t v = 0; v < g.n; ++v) r_internal[v] = g.self_w[v];
   // edge weight from refined community to rest of its P-community
   std::vector<double> r_ext(g.n);
   for (int64_t v = 0; v < g.n; ++v) r_ext[v] = k_in_P[v];
@@ -184,7 +198,6 @@ Partition refine(const Graph& g, const Partition& p, std::mt19937_64& rng,
       r.size[rc_old] -= 1;
       r.K[rc_best] += kv;
       r.size[rc_best] += 1;
-      r_internal[rc_best] += k_to[rc_best];
       r_ext[rc_best] += k_in_P[v] - 2.0 * k_to[rc_best];
       r.comm[v] = rc_best;
     }
@@ -319,9 +332,13 @@ int64_t alpine_leiden(int64_t n_nodes, int64_t n_edges, const int64_t* src,
 
   Graph cur = std::move(g);
   std::vector<int64_t> final_comm;
+  // compacted previous-level partition of the current (aggregate) nodes;
+  // empty only at level 0
+  std::vector<int64_t> init_comm;
 
   for (int64_t level = 0; level < max_levels; ++level) {
-    Partition p = singleton_partition(cur);
+    Partition p = init_comm.empty() ? singleton_partition(cur)
+                                    : partition_from_labels(cur, init_comm);
     bool moved = local_move(cur, p, rng, resolution);
 
     // count communities
@@ -347,19 +364,21 @@ int64_t alpine_leiden(int64_t n_nodes, int64_t n_edges, const int64_t* src,
       break;
     }
 
+    int64_t old_n = cur.n;  // agg_comm ids live in the old node-id domain
     for (int64_t v = 0; v < n_nodes; ++v) node_map[v] = node_of[node_map[v]];
     cur = std::move(next);
 
-    if (level == max_levels - 1) {
-      // use the carried p-community of aggregate nodes as final labels
-      std::vector<int64_t> remap2(n_nodes, -1);
-      int64_t nc = 0;
-      final_comm.resize(cur.n);
-      for (int64_t a = 0; a < cur.n; ++a) {
-        if (remap2[agg_comm[a]] < 0) remap2[agg_comm[a]] = nc++;
-        final_comm[a] = remap2[agg_comm[a]];
-      }
+    // compact the carried p-communities of the aggregate nodes; they SEED
+    // the next level's local move (canonical Leiden), and double as the
+    // final labels if max_levels is exhausted
+    std::vector<int64_t> remap2(old_n, -1);
+    int64_t nc = 0;
+    init_comm.assign(cur.n, 0);
+    for (int64_t a = 0; a < cur.n; ++a) {
+      if (remap2[agg_comm[a]] < 0) remap2[agg_comm[a]] = nc++;
+      init_comm[a] = remap2[agg_comm[a]];
     }
+    if (level == max_levels - 1) final_comm = init_comm;
   }
 
   if (final_comm.empty()) {

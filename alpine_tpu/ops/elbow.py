@@ -81,6 +81,8 @@ def find_elbow(
         if after.size and np.any(after < thresh):
             idx = int(m)
             return (n - 1 - idx) if flip_x else idx
-    # fall back to the global interior max if no threshold crossing occurred
-    m = int(maxima[np.argmax(d[maxima])])
-    return (n - 1 - m) if flip_x else m
+    # no threshold crossing: kneed's KneeLocator reports no knee, and the
+    # reference then warns + uses the default max_iter (main.py:766-770);
+    # returning the global interior max here would silently pick a spurious
+    # near-end iteration count instead
+    return None

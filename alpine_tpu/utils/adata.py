@@ -39,13 +39,20 @@ def is_sparse_x(X: Any) -> bool:
 
 
 def as_compressed(X: Any):
-    """Canonicalize a sparse X to a compressed row format.  COO/DIA/BSR etc.
-    are not subscriptable (row subsetting would crash) and may carry
-    duplicate entries whose .data values misrepresent the dense matrix
-    (e.g. +5/-3 at one position = dense 2); .tocsr() fixes both (it sums
-    duplicates).  CSR/CSC pass through unchanged."""
-    if is_sparse_x(X) and not hasattr(X, "indptr"):
+    """Canonicalize a sparse X to a compressed format with summed
+    duplicates.  COO/DIA/BSR etc. are not subscriptable (row subsetting
+    would crash) and may carry duplicate entries whose .data values
+    misrepresent the dense matrix (e.g. +5/-3 at one position = dense 2);
+    .tocsr() fixes both.  A hand-built CSR/CSC can carry duplicates too —
+    sum them on a COPY (never mutate the caller's matrix) so .data-based
+    logic (x_min, fingerprints) sees true per-position values."""
+    if not is_sparse_x(X):
+        return X
+    if not hasattr(X, "indptr"):
         return X.tocsr()
+    if not getattr(X, "has_canonical_format", True):
+        X = X.copy()
+        X.sum_duplicates()
     return X
 
 
@@ -64,9 +71,10 @@ def x_min(X: Any) -> float:
     count as 0).  NaN anywhere propagates to a NaN return — validate with
     `not (x_min(X) >= 0)` so NaN fails like any negative would."""
     if is_sparse_x(X):
-        data = np.asarray(as_compressed(X).data)
+        Xc = as_compressed(X)  # sums duplicate entries (on a copy)
+        data = np.asarray(Xc.data)
         explicit_min = float(data.min()) if data.size else 0.0
-        has_implicit_zero = X.nnz < X.shape[0] * X.shape[1]
+        has_implicit_zero = Xc.nnz < Xc.shape[0] * Xc.shape[1]
         return min(explicit_min, 0.0) if has_implicit_zero else explicit_min
     arr = np.asarray(X)
     return float(arr.min()) if arr.size else 0.0
@@ -167,6 +175,11 @@ class AnnData:
         holding sliced copies (the reference immediately calls ``.copy()``)."""
         if isinstance(idx, tuple):
             raise NotImplementedError("only obs-axis subsetting is supported")
+        if np.isscalar(idx) and not isinstance(idx, (slice, bool)):
+            # real anndata returns a 1-obs view for adata[i]; a bare
+            # integer index on a dense X would drop to 1-D and fail the
+            # 2-D constructor check
+            idx = np.asarray([idx])
         Xs = self.X[idx] if is_sparse_x(self.X) else np.asarray(self.X[idx])
         out = AnnData(
             Xs,

@@ -23,16 +23,21 @@ import numpy as np
 
 def joint_label_ids(Ys: Sequence[np.ndarray]) -> np.ndarray:
     """Vectorized joint-label construction.  ``Ys[i]`` is (labels_i, cells);
-    a cell's joint label id mixes the per-covariate argmaxes in mixed radix.
+    a cell's joint label id identifies its tuple of per-covariate argmaxes.
     All-zero columns (NaN covariates) take argmax 0, matching torch.argmax on
-    a zero vector (reference sampling.py:49)."""
+    a zero vector (reference sampling.py:49).
+
+    Implementation: unique-row factorization of the (cells, n_cov) argmax
+    codes — collision-free for any covariate count/cardinality (a
+    mixed-radix int64 mix would silently wrap once the radix product
+    exceeds 2^63, e.g. 10 covariates x 100 labels).  Only grouping
+    identity matters downstream (balanced_sample_probabilities counts per
+    group), so the id values themselves are arbitrary."""
     if not Ys:
         raise ValueError("joint_label_ids requires at least one dummy matrix")
-    n = Ys[0].shape[1]
-    ids = np.zeros(n, dtype=np.int64)
-    for Y in Ys:
-        ids = ids * Y.shape[0] + np.argmax(Y, axis=0)
-    return ids
+    codes = np.stack([np.argmax(Y, axis=0) for Y in Ys], axis=1)
+    _, ids = np.unique(codes, axis=0, return_inverse=True)
+    return ids.astype(np.int64).reshape(-1)
 
 
 def create_joint_labels_from_dummy_matrices(Ys: Sequence[np.ndarray]) -> List[str]:

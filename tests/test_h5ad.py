@@ -145,3 +145,66 @@ def test_written_files_carry_anndata_encoding_metadata(tmp_path):
         assert cat["codes"].attrs["encoding-type"] == "array"
         assert f["obsm"].attrs["encoding-type"] == "dict"
         assert f["obsm"]["emb"].attrs["encoding-type"] == "array"
+
+
+def test_read_csc_with_bytes_encoding_attr(tmp_path):
+    """encoding-type attrs written as fixed-length/bytes (older h5py,
+    non-Python writers) must still dispatch the right sparse format; a CSC
+    misread as CSR corrupts or crashes."""
+    import h5py
+    from scipy import sparse
+
+    r = np.random.default_rng(0)
+    X = (r.random((6, 4)) < 0.5) * r.random((6, 4)).astype(np.float32)
+    csc = sparse.csc_matrix(X)
+    p = str(tmp_path / "csc_bytes.h5ad")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("X")
+        g.attrs["encoding-type"] = np.bytes_("csc_matrix")
+        g.attrs["shape"] = X.shape
+        g.create_dataset("data", data=csc.data)
+        g.create_dataset("indices", data=csc.indices)
+        g.create_dataset("indptr", data=csc.indptr)
+    back = read_h5ad(p)
+    np.testing.assert_allclose(np.asarray(back.X), X, rtol=1e-6)
+
+
+def test_read_legacy_sparse_without_encoding(tmp_path):
+    """Legacy files carry data/indices/indptr with no encoding-type at all;
+    the indptr length identifies the compressed axis."""
+    import h5py
+    from scipy import sparse
+
+    r = np.random.default_rng(1)
+    X = (r.random((3, 7)) < 0.5) * r.random((3, 7)).astype(np.float32)
+    for fmt, mat in (("csr", sparse.csr_matrix(X)), ("csc", sparse.csc_matrix(X))):
+        p = str(tmp_path / f"legacy_{fmt}.h5ad")
+        with h5py.File(p, "w") as f:
+            g = f.create_group("X")
+            g.attrs["shape"] = X.shape
+            g.create_dataset("data", data=mat.data)
+            g.create_dataset("indices", data=mat.indices)
+            g.create_dataset("indptr", data=mat.indptr)
+        back = read_h5ad(p)
+        np.testing.assert_allclose(np.asarray(back.X), X, rtol=1e-6)
+
+
+def test_read_nullable_integer_column(tmp_path):
+    """anndata >= 0.8 stores pandas Int64/boolean obs columns as
+    nullable-integer groups (values + mask); masked entries become None —
+    the semi-supervised NA convention."""
+    import h5py
+
+    p = str(tmp_path / "nullable.h5ad")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("X", data=np.ones((3, 2), np.float32))
+        obs = f.create_group("obs")
+        obs.attrs["_index"] = "_index"
+        obs.attrs["column-order"] = np.array(["count"], dtype=object)
+        obs.create_dataset("_index", data=np.array(["a", "b", "c"], dtype=object))
+        col = obs.create_group("count")
+        col.attrs["encoding-type"] = "nullable-integer"
+        col.create_dataset("values", data=np.array([1, 2, 3]))
+        col.create_dataset("mask", data=np.array([False, True, False]))
+    back = read_h5ad(p)
+    assert list(back.obs["count"]) == [1, None, 3]

@@ -370,3 +370,41 @@ def test_search_with_nan_covariates(tmp_path):
                           lam_range=(1.0, 50.0), n_splits=2, max_evals=2)
     hist = co.get_train_history()
     assert len(hist) >= 1 and np.isfinite(hist["score"]).all()
+
+
+def test_leiden_two_scale_hierarchy():
+    """Multi-level behavior: each aggregate level must be SEEDED with the
+    previous level's partition (canonical Leiden) — restarting from
+    singletons can discard level-1 merges and leave the hierarchy
+    unresolved.  A two-scale graph (8 cliques in 2 macro-groups) must
+    resolve to the macro-groups at low resolution and the cliques at
+    resolution 1."""
+    from alpine_tpu.native import leiden_native
+
+    r = np.random.default_rng(0)
+    n_cl, sz = 8, 8
+    n = n_cl * sz
+    src, dst, w = [], [], []
+
+    def add(a, b):
+        src.append(a)
+        dst.append(b)
+        w.append(1.0)
+
+    for c in range(n_cl):
+        base = c * sz
+        for i in range(sz):
+            for j in range(i + 1, sz):
+                add(base + i, base + j)
+    for half in (0, 1):
+        for a in range(half * 4, half * 4 + 4):
+            for b in range(a + 1, half * 4 + 4):
+                for _ in range(6):
+                    add(a * sz + r.integers(0, sz), b * sz + r.integers(0, sz))
+    add(0, n - 1)  # weak bridge between halves
+
+    args = (n, np.array(src), np.array(dst), np.array(w, np.float64))
+    macro = leiden_native(*args, resolution=0.05, seed=0)
+    assert macro is not None and len(set(macro.tolist())) == 2
+    micro = leiden_native(*args, resolution=1.0, seed=0)
+    assert micro is not None and len(set(micro.tolist())) == 8

@@ -171,3 +171,23 @@ def test_sparse_container_slicing_and_copy():
     cp = sp.copy()
     assert is_sparse_x(cp.X)
     np.testing.assert_array_equal(dense_x(cp.X), dense_x(sp.X))
+
+
+def test_x_min_noncanonical_csr_duplicates():
+    """A hand-built CSR with duplicate entries (+5, -3 at one position =
+    dense 2) must not be false-rejected: x_min sums duplicates on a copy."""
+    X = sparse.csr_matrix(
+        (np.array([5.0, -3.0], np.float32), np.array([0, 0]),
+         np.array([0, 2, 2])), shape=(2, 2))
+    assert not X.has_canonical_format
+    assert x_min(X) == 0.0
+    assert not X.has_canonical_format  # caller's matrix untouched
+
+
+def test_container_scalar_index():
+    """adata[0] returns a 1-obs subset like real anndata (a bare integer on
+    a dense X would drop to 1-D and crash the constructor)."""
+    ad = make_synthetic_adata()
+    sub = ad[0]
+    assert sub.shape == (1, 40)
+    assert list(sub.obs.index) == [ad.obs.index[0]]

@@ -124,3 +124,37 @@ def test_normalize_total():
     np.testing.assert_allclose(out.sum(1), [10, 10, 0, 10], rtol=1e-6)
     out2 = normalize_total(X)  # median of nonzero totals = 4
     np.testing.assert_allclose(out2[0].sum(), 4.0, rtol=1e-6)
+
+
+def test_joint_label_ids_no_overflow_collisions():
+    """Mixed-radix int64 mixing would wrap past ~2^63 (e.g. 12 covariates
+    x 50 labels); the unique-row factorization must keep distinct argmax
+    tuples distinct."""
+    from alpine_tpu.utils.sampling import joint_label_ids
+
+    r = np.random.default_rng(0)
+    n, n_cov, levels = 500, 12, 50
+    Ys = []
+    codes = []
+    for _ in range(n_cov):
+        c = r.integers(0, levels, n)
+        y = np.zeros((levels, n), np.float32)
+        y[c, np.arange(n)] = 1.0
+        Ys.append(y)
+        codes.append(c)
+    ids = joint_label_ids(Ys)
+    tuples = list(zip(*codes))
+    # same tuple <=> same id, both directions
+    by_tuple = {}
+    for t, i in zip(tuples, ids):
+        assert by_tuple.setdefault(t, i) == i
+    assert len(set(ids.tolist())) == len(by_tuple)
+
+
+def test_find_elbow_returns_none_without_threshold_crossing():
+    """kneed reports no knee on curves whose difference curve never drops
+    past the threshold (e.g. a straight line); the caller then falls back
+    to the default max_iter with a warning (reference main.py:766-770)."""
+    from alpine_tpu.ops.elbow import find_elbow
+
+    assert find_elbow(np.linspace(5.0, 1.0, 50)) is None
