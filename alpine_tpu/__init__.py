@@ -18,7 +18,8 @@ collectives.  See ``alpine_tpu/ops/mu.py`` for the numerical core.
 
 from typing import TYPE_CHECKING
 
-__all__ = ["ALPINE", "ComponentOptimizer", "AlpineMatrices", "AnnData"]
+__all__ = ["ALPINE", "ComponentOptimizer", "AlpineMatrices", "AnnData",
+           "suggest_data_dtype"]
 __version__ = "0.1.0"
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -32,6 +33,7 @@ _LAZY = {
     "AlpineMatrices": ("alpine_tpu.models.state", "AlpineMatrices"),
     "ComponentOptimizer": ("alpine_tpu.optimize.optimizer", "ComponentOptimizer"),
     "AnnData": ("alpine_tpu.utils.adata", "AnnData"),
+    "suggest_data_dtype": ("alpine_tpu.utils.adata", "suggest_data_dtype"),
 }
 
 

@@ -289,3 +289,24 @@ def test_int8_save_load_roundtrip(tmp_path):
     assert loaded.data_dtype == "int8"
     for wa, wb in zip(model.matrices["Ws"], loaded.matrices["Ws"]):
         np.testing.assert_array_equal(wa, wb)
+
+
+def test_suggest_data_dtype():
+    from scipy import sparse
+
+    from alpine_tpu import suggest_data_dtype
+
+    counts = make_count_adata()  # Poisson counts <= 100
+    assert suggest_data_dtype(counts) == "int8"
+    assert suggest_data_dtype(counts.X) == "int8"
+    assert suggest_data_dtype(sparse.csr_matrix(counts.X)) == "int8"
+    big = _with_big_count(make_count_adata(), 300.0)
+    assert suggest_data_dtype(big) == "int16"
+    huge = _with_big_count(make_count_adata(), 40000.0)
+    assert suggest_data_dtype(huge) == "float32"
+    frac = make_count_adata()
+    frac.X[0, 0] = 1.5
+    assert suggest_data_dtype(frac) == "float32"
+    # the suggestion is always accepted by fit
+    model = _model(data_dtype=suggest_data_dtype(counts))
+    model.fit(counts, ["batch", "condition"], max_iter=3)
