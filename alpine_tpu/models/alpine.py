@@ -642,9 +642,19 @@ class ALPINE:
             adata.varm[condition + "_gene_scores"] = df
         return None
 
-    def get_normalized_expression(self, adata, library_size: Optional[float] = None) -> None:
+    def get_normalized_expression(self, adata, library_size: Optional[float] = None,
+                                  on_device: bool = False) -> None:
         """Batch-corrected expression from the unguided block only
-        (reference main.py:275-301)."""
+        (reference main.py:275-301).
+
+        ``on_device=True`` runs the (genes×k)@(k×cells) reconstruction on
+        the accelerator and fetches the result — at atlas scale the host
+        matmul dominates this call (~10+ s at 100k×2k), so this is the
+        fast path on directly-attached accelerators.  Off by default: over
+        a slow host↔device link (e.g. a tunneled chip) fetching the full
+        (cells×genes) matrix can cost more than the host matmul saves, and
+        the host path is bit-reproducible numpy.  Device/host results agree
+        to float32 reduction order (~1e-6 relative)."""
         if not hasattr(self, "matrices"):
             raise RuntimeError("Model is not trained yet. Please fit the model first.")
         elif not is_anndata(adata):
@@ -658,7 +668,14 @@ class ALPINE:
 
         W: Float32Array = self.matrices["Ws"][-1]
         H: Float32Array = np.asarray(adata.obsm["ALPINE_embedding"]).T
-        X_normalized = np.dot(W, H).astype(np.float32).T
+        if on_device:
+            Xd = jnp.matmul(
+                jnp.asarray(W), jnp.asarray(H),
+                precision=jax.lax.Precision.HIGHEST,
+            ).T
+            X_normalized = np.asarray(jax.device_get(Xd), dtype=np.float32)
+        else:
+            X_normalized = np.dot(W, H).astype(np.float32).T
 
         adata.layers["normalized_expression"] = normalize_total(
             X_normalized, target_sum=library_size

@@ -404,3 +404,14 @@ def test_bfloat16_mode_end_to_end(synthetic_adata):
     bf16.transform(a16, n_iter=5)  # cached bf16 device X
     assert a16.obsm["ALPINE_embedding"].shape == (synthetic_adata.shape[0], 5)
     assert a16.obsm["ALPINE_embedding"].dtype == np.float32
+
+
+def test_get_normalized_expression_on_device_matches_host(synthetic_adata):
+    model = _model()
+    model.fit(synthetic_adata, ["batch", "condition"], max_iter=8)
+    model.get_normalized_expression(synthetic_adata, library_size=100.0)
+    host = np.asarray(synthetic_adata.layers["normalized_expression"]).copy()
+    model.get_normalized_expression(synthetic_adata, library_size=100.0,
+                                    on_device=True)
+    dev = np.asarray(synthetic_adata.layers["normalized_expression"])
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
