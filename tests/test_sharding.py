@@ -378,3 +378,23 @@ def test_sharded_verbose_progress_reports_absolute_iterations():
     # indices are 0..max_iter-1 (possibly repeated per shard) — never more
     assert min(seen) == 0 and max(seen) == max_iter - 1
     assert set(seen) == set(range(max_iter))
+
+
+def test_comm_audit_cell_count_invariance():
+    """The compiled sharded fit's all-reduce payload must not grow with the
+    cell count (communication is O(genes*K + K^2)/iter), and must contain
+    no all-to-all or all-gather (benchmarks/comm_audit.py is the runnable
+    artifact; this pins the invariant in CI)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "comm_audit",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "benchmarks", "comm_audit.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    a, b = mod.audit(2048), mod.audit(8192)
+    assert a["allreduce_instructions"] > 0
+    assert a["allreduce_bytes"] == b["allreduce_bytes"]
+    assert a["all_to_all"] == 0 and a["all_gather"] == 0
