@@ -102,3 +102,46 @@ def test_compiled_pallas_int8_matches_float32_on_tpu():
     int8->bf16 path, so the trajectory tracks float32 at bf16 tolerance."""
     payload = _run_on_tpu(_INT8_SCRIPT)
     assert payload["max_rel"] < 5e-3, payload
+
+
+_BIGK_SCRIPT = r"""
+import json
+import numpy as np, jax, jax.numpy as jnp
+from alpine_tpu.ops import mu
+
+if jax.default_backend() != "tpu":
+    print(json.dumps({"skip": "no tpu backend"}))
+    raise SystemExit(0)
+
+# component counts past the 128-lane MXU tile (reference supports hundreds)
+r = np.random.default_rng(0)
+g, n = 512, 4096
+blocks, n_labels = (30, 50, 120), (4, 7)
+X = jnp.asarray(r.random((g, n), dtype=np.float32))
+Ys = []
+for nl in n_labels:
+    y = np.zeros((nl, n), np.float32)
+    y[r.integers(0, nl, n), np.arange(n)] = 1.0
+    Ys.append(jnp.asarray(y))
+Ys = tuple(Ys)
+hyper = (jnp.asarray([1.0, 1.0], jnp.float32), jnp.float32(0.1),
+         jnp.float32(0.1), jnp.float32(0.2), jnp.float32(1e-6))
+key = jax.random.PRNGKey(0)
+
+out = {}
+for backend in ("pallas", "xla"):
+    cfg = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=n,
+                      loss_kl=True, max_iter=6, backend=backend)
+    W0, H0, Bs0 = mu.init_matrices(cfg, g, key, 1e-6)
+    _, _, _, L = mu.fit_scan(cfg, W0, H0, Bs0, X, Ys, hyper, key, None)
+    out[backend] = np.asarray(jax.device_get(L))[:, 0].tolist()
+
+rel = max(abs(a-b)/abs(b) for a, b in zip(out["pallas"], out["xla"]))
+print(json.dumps({"max_rel": rel}))
+"""
+
+
+def test_compiled_pallas_large_k_on_tpu():
+    """K=200 (> the 128-lane MXU tile) through the compiled fused kernel."""
+    payload = _run_on_tpu(_BIGK_SCRIPT)
+    assert payload["max_rel"] < 5e-3, payload
