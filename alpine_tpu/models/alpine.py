@@ -149,6 +149,13 @@ class ALPINE:
             raise ValueError("n_restarts must be a positive integer.")
         if n_restarts > 1 and checkpoint_dir is not None:
             raise ValueError("n_restarts > 1 is incompatible with checkpointing.")
+        if n_restarts > 1 and self._mesh_devices() > 1:
+            # reject BEFORE the X upload/padding (the deep check in
+            # _run_restarts would otherwise fire only after an atlas-scale
+            # transfer, or crash in device_put on non-divisible cell counts)
+            raise ValueError(
+                "n_restarts > 1 is not supported with a sharded (Mesh) device."
+            )
         self.feature_names: List[str] = adata.var_names.tolist()
         self.n_features: int = adata.shape[1]
         self.covariate_keys: List[str] = covariate_keys
@@ -308,6 +315,10 @@ class ALPINE:
                     "batch_size": self.batch_size,
                     "sampling": self.sampling_method,
                     "bucket": self.component_bucket,
+                    # shard-local minibatch sampling distributions and key
+                    # schedules depend on the shard count, so a snapshot
+                    # must not resume on a different device topology
+                    "cell_shards": self._mesh_devices(),
                     "seed": self.random_state, "max_iter": n_iter,
                     # the chunk key schedule depends on the chunk size, so a
                     # different checkpoint_every must not resume this snapshot
@@ -340,6 +351,7 @@ class ALPINE:
                 chunk = min(checkpoint_every, n_iter - done)
                 cfg = self._make_cfg(Ys, n_sample, chunk)
                 ck = jax.random.fold_in(fit_key, chunk_idx)
+                progress_base["iters"] = done  # chunk-local it -> global bar
                 W, H, Bs, L = do_fit(cfg, W, H, Bs, ck)
                 L = np.asarray(jax.device_get(L))
                 losses_parts.append(L)
@@ -386,6 +398,10 @@ class ALPINE:
         # per-iteration tqdm updates with the objective loss, fed by a host
         # callback from inside the jitted scan when verbose=True
         pbar = None
+        # chunked/checkpointed fits re-run the scan with per-chunk iteration
+        # indices starting at 0; run_checkpointed advances this base so the
+        # absolute bar position stays global
+        progress_base = {"iters": 0}
         if verbose and self._callbacks_supported():
             try:
                 from tqdm import tqdm
@@ -395,10 +411,11 @@ class ALPINE:
                 def _hook(loss, it):
                     # absolute position: under sharded execution the device
                     # callback may fire once per shard per iteration, and
-                    # bar.n = it+1 is idempotent where update(1) overcounts
+                    # bar.n = base+it+1 is idempotent where update(1)
+                    # overcounts
                     pbar.set_postfix({"objective loss": float(loss[0])},
                                      refresh=False)
-                    pbar.n = int(it) + 1
+                    pbar.n = progress_base["iters"] + int(it) + 1
                     pbar.refresh()
 
                 mu.set_progress_hook(_hook)
@@ -669,11 +686,15 @@ class ALPINE:
         W: Float32Array = self.matrices["Ws"][-1]
         H: Float32Array = np.asarray(adata.obsm["ALPINE_embedding"]).T
         if on_device:
-            Xd = jnp.matmul(
-                jnp.asarray(W), jnp.asarray(H),
-                precision=jax.lax.Precision.HIGHEST,
-            ).T
-            X_normalized = np.asarray(jax.device_get(Xd), dtype=np.float32)
+            # math lives in ops/mu (repo invariant); pinned to the model's
+            # device so an explicit device="cpu" is never silently ignored
+            from jax.sharding import Mesh
+
+            dev = self.device
+            target = dev.devices.flat[0] if isinstance(dev, Mesh) else (
+                dev if hasattr(dev, "platform") else None)
+            X_normalized = mu.reconstruct_expression(
+                W, H, device=target, precision=self.matmul_precision)
         else:
             X_normalized = np.dot(W, H).astype(np.float32).T
 
@@ -735,15 +756,15 @@ class ALPINE:
         divides EVERY device's cell shard (0 when the pallas path won't be
         used).  The sharded path needs tile alignment even without
         covariates (shard_map shards must be equal)."""
+        itemsize = mu.x_storage_itemsize(self.data_dtype)
         if not (self._use_tpu_kernels()
                 and (self.n_covariate_components or include_unguided)
-                and pallas_kernels.h_update_supported(self.n_features)):
+                and pallas_kernels.h_update_supported(self.n_features, itemsize)):
             return 0
         if self.batch_size is not None and self.batch_size < n_sample:
             return 0  # minibatch mode uses the XLA path
         if self.use_als or self.sampling_method == "weighted":
             return 0
-        itemsize = {"bfloat16": 2, "int8": 1, "int16": 2}.get(self.data_dtype, 4)
         pad = pallas_kernels.pad_target(
             self.n_features, n_sample, self._mesh_devices(), itemsize
         )
@@ -788,7 +809,8 @@ class ALPINE:
             cfg.full_batch
             and not cfg.use_als
             and self._use_tpu_kernels()
-            and pallas_kernels.h_update_supported(self.n_features)
+            and pallas_kernels.h_update_supported(
+                self.n_features, mu.x_storage_itemsize(self.data_dtype))
         ):
             cfg = replace(cfg, backend="pallas")
         return cfg

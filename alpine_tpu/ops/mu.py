@@ -69,6 +69,25 @@ def block_offsets(blocks: Tuple[int, ...]) -> Tuple[int, ...]:
     return tuple(out)
 
 
+def x_storage_dtype(x_dtype: str):
+    """THE storage-name → dtype mapping for X (single source of truth;
+    MUConfig.xdt and the model layer's itemsize arithmetic both use it)."""
+    if x_dtype == "bfloat16":
+        return jnp.bfloat16
+    if x_dtype == "int8":
+        return jnp.int8
+    if x_dtype == "int16":
+        return jnp.int16
+    if x_dtype == "float64":  # exactness testing under jax x64
+        return jnp.float64
+    return jnp.float32
+
+
+def x_storage_itemsize(x_dtype: str) -> int:
+    """Bytes per element of X in HBM / on the wire for a storage name."""
+    return jnp.dtype(x_storage_dtype(x_dtype)).itemsize
+
+
 def x_compute_dtype(storage_dtype):
     """THE storage→compute dtype mapping for X: integer storage dequantizes
     to the narrowest float that represents it exactly (int8 → bfloat16 —
@@ -170,16 +189,8 @@ class MUConfig:
 
     @property
     def xdt(self):
-        """Storage dtype of X (and Ys) in HBM."""
-        if self.x_dtype == "bfloat16":
-            return jnp.bfloat16
-        if self.x_dtype == "int8":
-            return jnp.int8
-        if self.x_dtype == "int16":
-            return jnp.int16
-        if self.x_dtype == "float64":  # exactness testing under jax x64
-            return jnp.float64
-        return jnp.float32
+        """Storage dtype of X (and Ys) in HBM (see x_storage_dtype)."""
+        return x_storage_dtype(self.x_dtype)
 
     @property
     def x_compute(self):
@@ -984,6 +995,22 @@ def run_transform(W, X, H0, eps, *, n_iter: int, precision: str = "highest",
         ))(num2, H0, WtW2, eps)
         return H[:, :n] if n_pad else H
     return transform_scan(W, X, H0, eps, n_iter=n_iter, precision=precision)
+
+
+def reconstruct_expression(W, H, device=None, precision: str = "highest"):
+    """Device-side dense reconstruction ``(W @ H).T`` -> (cells x genes)
+    float32 numpy array (the hot matmul of get_normalized_expression,
+    reference main.py:292-294).  `device` pins the computation (a model
+    built with an explicit device must not silently run on the default
+    accelerator); None uses the JAX default."""
+    Wd, Hd = jnp.asarray(W), jnp.asarray(H)
+    if device is not None:
+        Wd = jax.device_put(Wd, device)
+        Hd = jax.device_put(Hd, device)
+    import numpy as _np
+
+    out = _dot(Wd, Hd, precision).T
+    return _np.asarray(jax.device_get(out), dtype=_np.float32)
 
 
 # ---------------------------------------------------------------------------

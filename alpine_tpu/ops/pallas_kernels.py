@@ -118,8 +118,12 @@ def pad_target(n_genes: int, n_cells: int, n_devices: int = 1,
     return (-n_cells) % (t * n_devices)
 
 
-def h_update_supported(n_genes: int) -> bool:
-    return pltpu is not None and _budget_tile(n_genes) is not None
+def h_update_supported(n_genes: int, itemsize: int = 4) -> bool:
+    """Whether the fused kernels fit a (genes x tile) X block in the VMEM
+    budget.  `itemsize` is the STORAGE width — narrow dtypes (bf16/int16: 2,
+    int8: 1) fit 2-4x more genes, so gating with the default 4 would
+    silently drop exactly the atlas-scale fits the narrow modes target."""
+    return pltpu is not None and _budget_tile(n_genes, itemsize) is not None
 
 
 def _mask_cols(x, i, tile_n, n_valid):

@@ -119,15 +119,23 @@ def prepare_fold_data(
     # across a 1-D mesh so each device fits (a subset of) the folds — the
     # TPU-slice equivalent of running the reference's sequential fold loop
     # on k GPUs at once (SURVEY.md §2 equivalents (b))
-    put_fold = put_rep = lambda x: x
+    put_fold = put_rep = None
     if mesh is not None and n_folds > 1:
         sharding = _fold_sharding(mesh, n_folds)
         if sharding is not None:
             fold_sh, rep_sh = sharding
             put_fold = lambda x: jax.device_put(x, fold_sh(x.ndim))
             put_rep = lambda x: jax.device_put(x, rep_sh)
-    elif device is not None:
-        put_fold = put_rep = lambda x: jax.device_put(x, device)
+    if put_fold is None:
+        # no usable fold sharding: still honor the requested placement —
+        # a mesh whose device count doesn't divide the folds falls back to
+        # its first device, never silently to the JAX default
+        if device is None and mesh is not None:
+            device = mesh.devices.flat[0]
+        if device is not None:
+            put_fold = put_rep = lambda x: jax.device_put(x, device)
+        else:
+            put_fold = put_rep = lambda x: x
 
     col = np.arange(n_tr)[None, None, :]
     tr_sizes = np.asarray([len(tr) for tr, _ in folds])[:, None, None]

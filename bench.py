@@ -78,7 +78,7 @@ def bench_tpu(X, Ys):
         backend = ("pallas"
                    if not USE_ALS
                    and jax.default_backend() == "tpu"
-                   and pk.h_update_supported(N_GENES)
+                   and pk.h_update_supported(N_GENES, mu.x_storage_itemsize(x_dtype))
                    else "xla")
 
     def run(n_iter):

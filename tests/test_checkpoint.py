@@ -224,3 +224,39 @@ def test_orbax_old_snapshot_fallback(tmp_path):
     ck.clear()
     assert not _os.path.exists(ck.path + ".old")
     assert ck.load() is None
+
+
+def test_checkpointed_verbose_bar_reaches_global_total(synthetic_adata, monkeypatch):
+    """Chunked/checkpointed fits re-run the scan with per-chunk iteration
+    indices starting at 0; the absolute-position progress hook must add the
+    chunk base so the bar ends at max_iter, not at the last chunk's size."""
+    positions = []
+
+    class FakeBar:
+        def __init__(self, total=None, **kw):
+            self.total = total
+            self.n = 0
+
+        def set_postfix(self, *a, **kw):
+            pass
+
+        def refresh(self):
+            positions.append(self.n)
+
+        def close(self):
+            pass
+
+    import tqdm as tqdm_mod
+
+    monkeypatch.setattr(tqdm_mod, "tqdm", FakeBar)
+    import os as _os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        m = _model()
+        m.fit(synthetic_adata.copy(), ["batch"], max_iter=12, verbose=True,
+              checkpoint_dir=d, checkpoint_every=5)
+    assert positions, "hook never fired"
+    assert max(positions) == 12, positions
+    # monotone non-decreasing: no per-chunk resets
+    assert all(b >= a for a, b in zip(positions, positions[1:])), positions

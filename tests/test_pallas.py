@@ -386,3 +386,16 @@ def test_sharded_pallas_int8_matches_single_device():
     np.testing.assert_allclose(np.asarray(Ls), np.asarray(Lm), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(Ws), np.asarray(Wm), rtol=1e-3,
                                atol=1e-6)
+
+
+def test_fused_kernel_gate_uses_storage_itemsize():
+    """Narrow X storage fits 2-4x more genes in the VMEM tile budget; the
+    support gate must use the STORAGE itemsize or atlas-scale int8/bf16
+    fits silently lose the fused kernels (falling back to XLA)."""
+    g = 20_000  # whole-transcriptome scale
+    assert pk._budget_tile(g, 4) is None
+    assert pk._budget_tile(g, 2) is not None
+    assert pk._budget_tile(g, 1) is not None
+    if pk.pltpu is not None:
+        assert pk.h_update_supported(g, 1)
+        assert not pk.h_update_supported(g, 4)

@@ -398,3 +398,43 @@ def test_comm_audit_cell_count_invariance():
     assert a["allreduce_instructions"] > 0
     assert a["allreduce_bytes"] == b["allreduce_bytes"]
     assert a["all_to_all"] == 0 and a["all_gather"] == 0
+
+
+def test_restarts_on_mesh_rejected_before_upload():
+    """n_restarts>1 with a Mesh must raise the clean error up front — even
+    with a shard-count-indivisible cell count (which used to crash in
+    device_put after mutating model state)."""
+    import pytest as _pytest
+
+    from .conftest import make_synthetic_adata
+    from alpine_tpu import ALPINE
+    from alpine_tpu.parallel.mesh import make_cell_mesh
+
+    adata = make_synthetic_adata(n_cells=61)  # 61 % 8 != 0
+    m = ALPINE(n_components=4, n_covariate_components=[2], lam=[1.0],
+               device=make_cell_mesh(), random_state=0)
+    with _pytest.raises(ValueError, match="n_restarts > 1 is not supported"):
+        m.fit(adata, ["batch"], max_iter=3, n_restarts=2)
+
+
+def test_fold_data_placement_falls_back_to_mesh_device():
+    """A mesh whose device count has no divisor among the folds must still
+    pin the fold tensors to the mesh's devices, never the JAX default."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from alpine_tpu.optimize.batched import prepare_fold_data
+
+    devs = jax.devices()
+    if len(devs) < 3:
+        pytest.skip("needs 3 virtual devices")
+    mesh = Mesh(np.asarray(devs[1:3]), ("fold",))
+    r = np.random.default_rng(0)
+    X = r.random((30, 10)).astype(np.float32)
+    Ys = [np.zeros((30, 2), np.float32)]
+    idx = np.arange(30)
+    folds = [(idx[:20], idx[20:]), (idx[5:25], idx[:5]), (idx[10:], idx[:10])]
+    fd = prepare_fold_data(X, Ys, folds, weighted=False, mesh=mesh)
+    placed = {d for d in fd.Xtr.devices()}
+    assert placed == {devs[1]}, placed
