@@ -648,12 +648,14 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
             Bs = _update_bs(cfg, hyper, Bs, bnums, bdens, HHt)
             H, XHt, HHt, lossdot, preds, bnums, bdens = pk.fused_iteration(
                 X, W, H, WtW, Ys, Bs, lam, eps,
-                blocks=cfg.blocks, loss_kl=cfg.loss_kl, interpret=interpret,
+                blocks=cfg.blocks, loss_kl=cfg.loss_kl,
+                precision=cfg.precision, interpret=interpret,
             )
             preds = _strip_kl_pad_bias(cfg, preds, total_pad, eps)
         else:
             H, XHt, HHt, lossdot = pk.fused_h_update(
-                X, W, H, WtW, eps, interpret=interpret
+                X, W, H, WtW, eps, precision=cfg.precision,
+                interpret=interpret
             )
             preds = ()
 
@@ -868,7 +870,7 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
                 H, XHt_p, HHt_p, ld_p, preds_p, bn_p, bd_p = pk.fused_iteration(
                     X_loc, W, H, WtW, Ys_loc, Bs, lam, eps,
                     blocks=cfg.blocks, loss_kl=cfg.loss_kl,
-                    interpret=interpret,
+                    precision=cfg.precision, interpret=interpret,
                 )
                 bnums, bdens = tsum(bn_p), tsum(bd_p)
                 preds = tuple(psum(p) for p in preds_p)
@@ -880,7 +882,8 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
                 )
             else:
                 H, XHt_p, HHt_p, ld_p = pk.fused_h_update(
-                    X_loc, W, H, WtW, eps, interpret=interpret
+                    X_loc, W, H, WtW, eps, precision=cfg.precision,
+                    interpret=interpret
                 )
                 preds = ()
             XHt, HHt, lossdot = psum(XHt_p), psum(HHt_p), psum(ld_p)
@@ -970,6 +973,7 @@ def run_transform(W, X, H0, eps, *, n_iter: int, precision: str = "highest",
         WtW2 = 2.0 * _dot(W.T, W, precision)
         if mesh is None:
             return pk.fused_transform(num2, H0, WtW2, eps, n_iter=n_iter,
+                                      precision=precision,
                                       interpret=interpret)
 
         shard_map, _sm_kwargs = _get_shard_map()
@@ -985,7 +989,8 @@ def run_transform(W, X, H0, eps, *, n_iter: int, precision: str = "highest",
             num2 = jnp.pad(num2, ((0, 0), (0, n_pad)))
             H0 = jnp.pad(H0, ((0, 0), (0, n_pad)))
         local = lambda n2, h0, w2, e: pk.fused_transform(
-            n2, h0, w2, e, n_iter=n_iter, interpret=interpret
+            n2, h0, w2, e, n_iter=n_iter, precision=precision,
+            interpret=interpret
         )
         H = jax.jit(shard_map(
             local, mesh=mesh,

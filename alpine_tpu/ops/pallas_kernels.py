@@ -53,6 +53,18 @@ from alpine_tpu.ops.mu import block_offsets as _block_offsets
 from alpine_tpu.ops.mu import x_compute_dtype as _x_compute_dtype
 
 
+def _prec(precision: str):
+    """Map the config's precision name onto the in-kernel dots.  Mosaic
+    only emits fp32 contraction passes when the flag is EXPLICIT — a plain
+    dot_general lowers to the hardware default (bf16 passes), silently
+    breaking matmul_precision='highest' parity with the XLA path (measured
+    7.9e-4 vs 2.9e-7 max rel on a 256x256 f32 dot).  Only the f32-operand
+    dots change; bf16-operand X-side dots are single-pass either way."""
+    import jax.lax as lax
+
+    return lax.Precision.HIGHEST if precision == "highest" else None
+
+
 def _smem_spec(shape, index_map):
     """Scalar-operand BlockSpec: SMEM on TPU installs; on installs where
     pltpu failed to import (interpret-only use) memory spaces don't apply —
@@ -143,23 +155,28 @@ def _load_x(X_ref):
     return (x.astype(cdt) if x.dtype != cdt else x), cdt
 
 
-def _h_kernel(tile_n, n_cells, eps_ref, X_ref, W_ref, H_ref,
+def _h_kernel(tile_n, n_cells, precision, eps_ref, X_ref, W_ref, H_ref,
               WtW_ref, *rest):
     Hn_ref, XHt_ref, HHt_ref, ld_ref = rest
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
+    prec = _prec(precision)
 
     Xt, xdt = _load_x(X_ref)  # narrow X storage shrinks the dominant HBM read
+    # bf16-operand X dots are exact single-pass (8-bit mantissa products fit
+    # f32); forcing fp32 contraction there costs ~6x MXU for identical bits
+    xprec = None if xdt == jnp.bfloat16 else prec
     Xm = _mask_cols(Xt, i, tile_n, n_cells)
     Hm = _mask_cols(H_ref[:], i, tile_n, n_cells)
 
     WtX = jax.lax.dot_general(
         W_ref[:].astype(xdt), Xm, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        precision=xprec, preferred_element_type=jnp.float32,
     )  # (K, tile_n), float32
 
     num = 2.0 * WtX
-    den = 2.0 * jnp.dot(WtW_ref[:], Hm, preferred_element_type=jnp.float32)
+    den = 2.0 * jnp.dot(WtW_ref[:], Hm, precision=prec,
+                        preferred_element_type=jnp.float32)
     Hn = Hm * (num / jnp.maximum(den, eps))
     Hn = _mask_cols(Hn, i, tile_n, n_cells)
     Hn_ref[:] = Hn
@@ -172,15 +189,16 @@ def _h_kernel(tile_n, n_cells, eps_ref, X_ref, W_ref, H_ref,
 
     XHt_ref[:] += jax.lax.dot_general(
         Xm, Hn.astype(xdt), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        precision=xprec, preferred_element_type=jnp.float32,
     )
     HHt_ref[:] += jax.lax.dot_general(
-        Hn, Hn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        Hn, Hn, (((1,), (1,)), ((), ())), precision=prec,
+        preferred_element_type=jnp.float32
     )
     ld_ref[0, 0] += jnp.sum(WtX * Hn)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
 def fused_h_update(
     X: Array,
     W: Array,
@@ -188,6 +206,7 @@ def fused_h_update(
     WtW: Array,
     eps: Array,
     *,
+    precision: str = "highest",
     interpret: bool = False,
 ) -> Tuple[Array, Array, Array, Array]:
     """Unguided (no-covariate) H update pass.
@@ -225,7 +244,7 @@ def fused_h_update(
         _smem_spec((1, 1), full),
     )
 
-    kernel = functools.partial(_h_kernel, tile_n, n)
+    kernel = functools.partial(_h_kernel, tile_n, n, precision)
     kwargs = {}
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -243,7 +262,7 @@ def fused_h_update(
     return Hn, XHt, HHt, ld[0, 0]
 
 
-def _iter_kernel(blocks, n_labels, loss_kl, *refs):
+def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
     """Whole-iteration kernel (cell axis pre-padded to a tile multiple, so
     no edge masking): H update with in-kernel guided terms, PLUS
     per-covariate prediction-loss partials and the B-update statistics for
@@ -271,15 +290,19 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
 
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
+    prec = _prec(precision)
     Xm, xdt = _load_x(X_ref)
+    # see _h_kernel: bf16-operand X dots are exact single-pass
+    xprec = None if xdt == jnp.bfloat16 else prec
     Hm = H_ref[:]
 
     WtX = jax.lax.dot_general(
         W_ref[:].astype(xdt), Xm, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        precision=xprec, preferred_element_type=jnp.float32,
     )
     num = 2.0 * WtX
-    den = 2.0 * jnp.dot(WtW_ref[:], Hm, preferred_element_type=jnp.float32)
+    den = 2.0 * jnp.dot(WtW_ref[:], Hm, precision=prec,
+                        preferred_element_type=jnp.float32)
 
     Ys_f32, Bs = [], []
     gnum_rows, gden_rows = [], []
@@ -289,16 +312,18 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
         Hi = Hm[o:o + k]
         Yi = Y_refs[c][:].astype(jnp.float32)
         B = B_refs[c][:]
-        BHi = jnp.dot(B, Hi, preferred_element_type=jnp.float32)
+        BHi = jnp.dot(B, Hi, precision=prec,
+                      preferred_element_type=jnp.float32)
         if loss_kl:
             gnum = lam_c * jnp.dot(B.T, Yi / jnp.maximum(BHi, eps),
+                                   precision=prec,
                                    preferred_element_type=jnp.float32)
             gden = lam_c * jnp.broadcast_to(
                 jnp.sum(B, axis=0)[:, None], Hi.shape)
         else:
-            gnum = 2.0 * lam_c * jnp.dot(B.T, Yi,
+            gnum = 2.0 * lam_c * jnp.dot(B.T, Yi, precision=prec,
                                          preferred_element_type=jnp.float32)
-            gden = 2.0 * lam_c * jnp.dot(B.T, BHi,
+            gden = 2.0 * lam_c * jnp.dot(B.T, BHi, precision=prec,
                                          preferred_element_type=jnp.float32)
         gnum_rows.append(gnum)
         gden_rows.append(gden)
@@ -320,10 +345,11 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
 
     XHt_ref[:] += jax.lax.dot_general(
         Xm, Hn.astype(xdt), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        precision=xprec, preferred_element_type=jnp.float32,
     )
     HHt_ref[:] += jax.lax.dot_general(
-        Hn, Hn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        Hn, Hn, (((1,), (1,)), ((), ())), precision=prec,
+        preferred_element_type=jnp.float32
     )
     ld_ref[0, 0] += jnp.sum(WtX * Hn)
 
@@ -338,15 +364,18 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
         o, k = offsets[c], blocks[c]
         Hni = Hn[o:o + k]
         Yi, B = Ys_f32[c], Bs[c]
-        yhat = jnp.dot(B, Hni, preferred_element_type=jnp.float32)
+        yhat = jnp.dot(B, Hni, precision=prec,
+                       preferred_element_type=jnp.float32)
         if loss_kl:
             yh = jnp.maximum(yhat, eps)
             pred = jnp.sum(Yi * jnp.log(jnp.maximum(Yi / yh, eps)) - Yi + yh)
-            bnum = jnp.dot(Yi / yh, Hn.T, preferred_element_type=jnp.float32)
+            bnum = jnp.dot(Yi / yh, Hn.T, precision=prec,
+                           preferred_element_type=jnp.float32)
         else:
             d = Yi - yhat
             pred = jnp.sum(d * d)
-            bnum = jnp.dot(Yi, Hn.T, preferred_element_type=jnp.float32)
+            bnum = jnp.dot(Yi, Hn.T, precision=prec,
+                           preferred_element_type=jnp.float32)
         stat_rows.append(bnum)                                   # (labels, K)
         stat_rows.append(rowsum_Hn)                              # (1, K)
         stat_rows.append(jnp.broadcast_to(jnp.reshape(pred, (1, 1)),
@@ -356,7 +385,7 @@ def _iter_kernel(blocks, n_labels, loss_kl, *refs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blocks", "loss_kl", "interpret")
+    jax.jit, static_argnames=("blocks", "loss_kl", "precision", "interpret")
 )
 def fused_iteration(
     X: Array,
@@ -370,6 +399,7 @@ def fused_iteration(
     *,
     blocks: Tuple[int, ...],
     loss_kl: bool,
+    precision: str = "highest",
     interpret: bool = False,
 ):
     """One full H-update pass with in-kernel guided terms, prediction-loss
@@ -424,7 +454,7 @@ def fused_iteration(
     out_shape.append(jax.ShapeDtypeStruct((max(stat_rows, 1), K), jnp.float32))
     out_specs.append(pl.BlockSpec((max(stat_rows, 1), K), full))
 
-    kernel = functools.partial(_iter_kernel, blocks, n_labels, loss_kl)
+    kernel = functools.partial(_iter_kernel, blocks, n_labels, loss_kl, precision)
     kwargs = {}
     if not interpret and pltpu is not None:
         # v5e has ~128MB of VMEM; the default 16MB scoped limit throttles
@@ -459,19 +489,21 @@ def fused_iteration(
 # ---------------------------------------------------------------------------
 
 
-def _transform_kernel(n_iter, eps_ref, num_ref, H_ref, WtW2_ref, out_ref):
+def _transform_kernel(n_iter, precision, eps_ref, num_ref, H_ref, WtW2_ref, out_ref):
     eps = eps_ref[0, 0]
+    prec = _prec(precision)
     num = num_ref[:]
     WtW2 = WtW2_ref[:]
 
     def body(_, h):
-        den = jnp.dot(WtW2, h, preferred_element_type=jnp.float32)
+        den = jnp.dot(WtW2, h, precision=prec,
+                      preferred_element_type=jnp.float32)
         return h * (num / jnp.maximum(den, eps))
 
     out_ref[:] = jax.lax.fori_loop(0, n_iter, body, H_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_iter", "precision", "interpret"))
 def fused_transform(
     num2: Array,  # 2 * WᵀX, (K, n)
     H0: Array,
@@ -479,6 +511,7 @@ def fused_transform(
     eps: Array,
     *,
     n_iter: int,
+    precision: str = "highest",
     interpret: bool = False,
 ) -> Array:
     """All n_iter projection iterations in one pass over H (columns are
@@ -490,7 +523,7 @@ def fused_transform(
     by_cells = lambda i: (0, i)
 
     return pl.pallas_call(
-        functools.partial(_transform_kernel, n_iter),
+        functools.partial(_transform_kernel, n_iter, precision),
         grid=grid,
         in_specs=[
             _smem_spec((1, 1), full),

@@ -9,7 +9,11 @@ unlike bfloat16's rounding — while moving fewer HBM bytes:
   mantissa), so its trajectory must be BIT-IDENTICAL to
   data_dtype='bfloat16' on counts <= 127 — at half the traffic.
 
-These equivalences make float-mode test coverage transfer wholesale."""
+Scope: the bit-identity holds on the XLA path (what these CPU tests run
+and what sharded/minibatch/ALS fits use).  On the TPU Pallas path the
+tile width follows the storage itemsize, so int8-vs-bf16 trajectories
+there agree only to f32 summation order (~1e-5 over a few iterations —
+covered by tests/test_tpu_hardware.py at its tolerance), not bitwise."""
 
 import os
 

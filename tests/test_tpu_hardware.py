@@ -93,8 +93,11 @@ def _run_on_tpu(script):
 
 
 def test_compiled_pallas_matches_xla_on_tpu():
+    # with matmul precision threaded into the kernels the compiled path
+    # tracks XLA-HIGHEST at f32 rounding (measured 5e-7 over 10 iters);
+    # the old 5e-3 tolerance was masking un-flagged bf16-pass dots
     payload = _run_on_tpu(_SCRIPT)
-    assert payload["max_rel"] < 5e-3, payload
+    assert payload["max_rel"] < 1e-5, payload
 
 
 def test_compiled_pallas_int8_matches_float32_on_tpu():
