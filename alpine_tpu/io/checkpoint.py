@@ -92,7 +92,11 @@ def load_model(path: str, device="auto"):
     from alpine_tpu.models.alpine import ALPINE
 
     npz_path = path if path.endswith(".npz") else path + ".npz"
-    data = np.load(npz_path, allow_pickle=False)
+    with np.load(npz_path, allow_pickle=False) as data:
+        return _restore_model(ALPINE, pd, data, path, device)
+
+
+def _restore_model(ALPINE, pd, data, path, device):
     meta = json.loads(bytes(data["_meta"]).decode("utf-8"))
     if meta.get("format_version") != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version: {meta.get('format_version')}")
@@ -223,15 +227,15 @@ class FitCheckpointer:
                     t = ckptr.restore(path)
                 return (int(t["iteration"]), t["W"], t["H"],
                         tuple(t["Bs"]), t["losses"])
-            data = np.load(path, allow_pickle=False)
-            n_bs = int(data["n_bs"])
-            return (
-                int(data["iteration"]),
-                data["W"],
-                data["H"],
-                tuple(data[f"B_{i}"] for i in range(n_bs)),
-                data["losses"],
-            )
+            with np.load(path, allow_pickle=False) as data:
+                n_bs = int(data["n_bs"])
+                return (
+                    int(data["iteration"]),
+                    data["W"],
+                    data["H"],
+                    tuple(data[f"B_{i}"] for i in range(n_bs)),
+                    data["losses"],
+                )
         except (OSError, ValueError, KeyError, zipfile.BadZipFile) as e:
             warnings.warn(
                 f"Fit checkpoint at {path!r} is unreadable "
@@ -243,7 +247,11 @@ class FitCheckpointer:
         if self.backend == "orbax":
             import shutil
 
+            # also sweep temp artifacts a preemption mid-save leaves behind
             shutil.rmtree(self.path, ignore_errors=True)
             shutil.rmtree(self.path + ".old", ignore_errors=True)
-        elif os.path.exists(self.path):
-            os.remove(self.path)
+            shutil.rmtree(self.path + ".tmp", ignore_errors=True)
+        else:
+            for leftover in (self.path, self.path + ".tmp.npz"):
+                if os.path.exists(leftover):
+                    os.remove(leftover)

@@ -156,22 +156,36 @@ class ALPINE:
             raise ValueError(
                 "n_restarts > 1 is not supported with a sharded (Mesh) device."
             )
-        self.feature_names: List[str] = adata.var_names.tolist()
-        self.n_features: int = adata.shape[1]
-        self.covariate_keys: List[str] = covariate_keys
-        self.sampling_method: str = sampling_method
-        self.verbose: bool = verbose
+        if checkpoint_dir is not None and checkpoint_backend not in ("npz", "orbax"):
+            # FitCheckpointer would raise this anyway — but only after the
+            # atlas-scale upload and a possible 200-iteration warm-up fit
+            raise ValueError("checkpoint backend must be 'npz' or 'orbax'")
+        if sampling_method == "weighted" and not covariate_keys:
+            raise ValueError(
+                "weighted sampling requires at least one covariate "
+                "(balancing is over the joint covariate labels)."
+            )
 
+        # all fallible preprocessing runs on LOCALS first — a failed re-fit
+        # must never leave a previously fitted estimator half-mutated
+        # (e.g. a fresh empty encoder paired with the old matrices)
         # (genes x cells) layout, as in the reference (main.py:104);
         # dense_x densifies sparse (CSR/CSC) inputs — capability beyond the
         # reference, which requires a dense ndarray (main.py:395-400)
         X: Float32Array = dense_x(adata.X).T
         n_sample = X.shape[1]
 
-        self.fe = FeatureEncoders(covariate_keys)
-        Y: List[Float32Array] = self.fe.fit_transform(adata.obs)
+        fe = FeatureEncoders(covariate_keys)
+        Y: List[Float32Array] = fe.fit_transform(adata.obs)
         Ys = [y.T.copy() for y in Y]  # (labels_i, cells), main.py:446-449
 
+        # commit estimator state only after the encoders fitted
+        self.fe = fe
+        self.feature_names: List[str] = adata.var_names.tolist()
+        self.n_features: int = adata.shape[1]
+        self.covariate_keys: List[str] = covariate_keys
+        self.sampling_method: str = sampling_method
+        self.verbose: bool = verbose
         self.batch_size: int = batch_size if batch_size is not None else n_sample
 
         placement = Placement(self.device)
@@ -219,26 +233,24 @@ class ALPINE:
             Ys_dev = [np.pad(y, ((0, 0), (0, pad))) for y in Ys_dev]
         Xd = placement.put_x_matrix(X_dev)
         Ysd = tuple(placement.put_cells_matrix(y) for y in Ys_dev)
-        # keep the device copy of X for a same-data transform: the
-        # host->device upload dominates atlas-scale wall-clock through the
-        # axon tunnel (measured ~30 s for 800 MB vs 0.3 s of transform
-        # compute).  Keyed by a fingerprint of adata.X; dropped from
-        # pickles (__getstate__) and releasable via free_device_cache().
-        self._x_cache = (
+        # device copy of X for a same-data transform: the host->device
+        # upload dominates atlas-scale wall-clock through the axon tunnel
+        # (measured ~30 s for 800 MB vs 0.3 s of transform compute).  Keyed
+        # by a fingerprint of adata.X; INSTALLED only after the fit
+        # succeeds (a failed fit must not strand the dataset in HBM on an
+        # instance whose transform can never use it); dropped from pickles
+        # (__getstate__) and releasable via free_device_cache().
+        new_x_cache = (
             None
             if env_flag("ALPINE_TPU_NO_X_CACHE") or cell_perm is not None
             else (Xd, self._x_fingerprint(adata.X), n_sample)
         )
 
         # weighted sampling probabilities (host-side, once; reference
-        # recomputes per epoch on the host, sampling.py:18-33)
+        # recomputes per epoch on the host, sampling.py:18-33); the
+        # covariate requirement was validated up front
         weights = None
         if sampling_method == "weighted":
-            if not Ys:
-                raise ValueError(
-                    "weighted sampling requires at least one covariate "
-                    "(balancing is over the joint covariate labels)."
-                )
             ids = sampling.joint_label_ids(Ys)
             w_host = sampling.balanced_sample_probabilities(ids)
             if shard_local_mb:
@@ -398,6 +410,7 @@ class ALPINE:
         # per-iteration tqdm updates with the objective loss, fed by a host
         # callback from inside the jitted scan when verbose=True
         pbar = None
+        prev_hook = mu.get_progress_hook()
         # chunked/checkpointed fits re-run the scan with per-chunk iteration
         # indices starting at 0; run_checkpointed advances this base so the
         # absolute bar position stays global
@@ -448,7 +461,10 @@ class ALPINE:
                     cfg, (Wd, Hd, Bsd, losses) = run(self.max_iter)
         finally:
             if pbar is not None:
-                mu.set_progress_hook(None)
+                # restore (not just clear) so an outer fit whose hook this
+                # one displaced keeps its bar alive; the hook is process-
+                # global, one VERBOSE fit at a time is the supported shape
+                mu.set_progress_hook(prev_hook)
                 pbar.close()
 
         if self.scale_needed:
@@ -489,6 +505,10 @@ class ALPINE:
             Bs=Bs_np,
         )
         self.matrices: Dict[str, Union[Float32Array, List[Float32Array]]] = m.to_numpy()
+
+        # the fit succeeded: NOW pair the device-resident X with this fit
+        # (any previous fit's cache is superseded)
+        self._x_cache = new_x_cache
 
         self.store_embeddings(adata)
         return self

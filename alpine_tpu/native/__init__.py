@@ -28,14 +28,25 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # per-process temp name: a fixed tmp path would (a) leak a partial file
+    # when g++ is killed, and (b) let concurrent processes on a fresh
+    # checkout promote each other's half-written output via os.replace,
+    # loading a torn .so
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB + ".tmp"]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        os.replace(_LIB + ".tmp", _LIB)
+        os.replace(tmp, _LIB)  # atomic promote; last complete build wins
         return True
     except Exception:
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def load_leiden() -> Optional[ctypes.CDLL]:

@@ -220,6 +220,11 @@ def set_progress_hook(fn) -> None:
     _progress_hook = fn
 
 
+def get_progress_hook():
+    """Current hook (so callers can save/restore around their own)."""
+    return _progress_hook
+
+
 def _emit_progress(loss, it) -> None:
     hook = _progress_hook
     if hook is not None:

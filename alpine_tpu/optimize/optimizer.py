@@ -595,6 +595,10 @@ class ComponentOptimizer:
                 "Please run bayesian_search() to find the best parameters first."
             )
 
+        # the search is over: release the device-resident fold tensors
+        # (~n_splits copies of the dataset in HBM) before the full-data fit
+        # uploads X again
+        self.free_device_cache()
         model = ALPINE(
             **self.best_param,
             use_als=self.use_als,
@@ -609,6 +613,12 @@ class ComponentOptimizer:
             verbose=False,
         )
         return model
+
+    def free_device_cache(self) -> None:
+        """Release the device-resident stacked CV fold tensors kept across
+        trials (≈ n_splits copies of the dataset in accelerator memory).
+        They rebuild on demand if another search runs."""
+        self._fold_cache = None
 
     # -------------------------------------------------------- validation
     @staticmethod

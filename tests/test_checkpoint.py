@@ -260,3 +260,18 @@ def test_checkpointed_verbose_bar_reaches_global_total(synthetic_adata, monkeypa
     assert max(positions) == 12, positions
     # monotone non-decreasing: no per-chunk resets
     assert all(b >= a for a, b in zip(positions, positions[1:])), positions
+
+
+def test_clear_removes_crash_leaked_tmp(tmp_path):
+    """A preemption mid-save leaves a full-size .tmp snapshot; clear() must
+    sweep it along with the snapshot itself."""
+    from alpine_tpu.io.checkpoint import FitCheckpointer
+
+    ck = FitCheckpointer(str(tmp_path), {"x": 1})
+    W = np.ones((2, 2), np.float32)
+    ck.save(1, W, W, (), np.zeros((1, 2), np.float32))
+    with open(ck.path + ".tmp.npz", "wb") as f:
+        f.write(b"partial write from a preempted save")
+    ck.clear()
+    assert not os.path.exists(ck.path)
+    assert not os.path.exists(ck.path + ".tmp.npz")

@@ -415,3 +415,47 @@ def test_get_normalized_expression_on_device_matches_host(synthetic_adata):
                                     on_device=True)
     dev = np.asarray(synthetic_adata.layers["normalized_expression"])
     np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
+
+
+def test_failed_refit_leaves_previous_fit_intact():
+    """A failing re-fit must not half-mutate a fitted estimator (e.g. a
+    fresh empty encoder paired with the old matrices)."""
+    adata = make_synthetic_adata()
+    model = _model()
+    model.fit(adata, ["batch", "condition"], max_iter=8)
+    old_loss = model.compute_loss(adata)
+
+    bad = make_synthetic_adata()
+    bad.obs["batch"] = np.array([None] * bad.n_obs, dtype=object)  # all-NaN
+    with pytest.raises(Exception):
+        model.fit(bad, ["batch", "condition"], max_iter=8)
+
+    # previous fit still fully functional
+    assert np.isclose(model.compute_loss(adata), old_loss)
+    new = make_synthetic_adata(n_cells=20, seed=3)
+    model.transform(new, n_iter=3)
+    assert np.isfinite(new.obsm["ALPINE_embedding"]).all()
+
+
+def test_bad_checkpoint_backend_rejected_before_work(tmp_path):
+    model = _model()
+    with pytest.raises(ValueError, match="npz.*orbax"):
+        model.fit(make_synthetic_adata(), ["batch", "condition"], max_iter=5,
+                  checkpoint_dir=str(tmp_path), checkpoint_backend="zarr")
+    assert not hasattr(model, "matrices")
+
+
+def test_failed_fit_does_not_install_x_cache(monkeypatch):
+    """A fit that dies mid-scan must not strand the device-resident X on an
+    instance whose transform can never use it."""
+    from alpine_tpu.ops import mu as _mu
+
+    model = _model()
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected scan failure")
+
+    monkeypatch.setattr(_mu, "fit_scan", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        model.fit(make_synthetic_adata(), ["batch", "condition"], max_iter=5)
+    assert getattr(model, "_x_cache", None) is None
