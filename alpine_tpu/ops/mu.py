@@ -619,11 +619,12 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     n = cfg.n_cells
     g = X.shape[0]
     if cfg.n_cov:
-        n_pad = pk.pad_target(g, X.shape[1], 1, jnp.dtype(cfg.xdt).itemsize)
+        n_pad = pk.pad_target(g, X.shape[1], 1, jnp.dtype(cfg.xdt).itemsize,
+                              cfg.K, cfg.n_labels)
         if n_pad is None:
             raise ValueError(
-                f"n_genes={g} too large for the fused iteration kernel; "
-                "use backend='xla'"
+                f"n_genes={g}, K={cfg.K} working set exceeds the VMEM limit "
+                "for the fused iteration kernel; use backend='xla'"
             )
         # Pad the cell axis to a tile multiple.  Callers may pre-pad X/Ys
         # with zero columns host-side (the model layer does — see

@@ -90,39 +90,81 @@ _VMEM_LIMIT_BYTES = int(float(_os.environ.get("ALPINE_TPU_VMEM_MB", 64)) * 1024 
 _LANE = 128
 
 
-def _budget_tile(n_genes: int, itemsize: int = 4) -> Optional[int]:
-    """Maximum cell-tile width whose (genes x tile) X block fits the VMEM
-    budget (lane-aligned); None when even one lane-width column block does
-    not fit."""
-    per_col = itemsize * n_genes
-    tile = (_X_TILE_BYTES // per_col) // _LANE * _LANE
-    if tile < _LANE:
-        return None
-    return tile
+def working_set_bytes(n_genes: int, K: int, tile: int, itemsize: int = 4,
+                      n_labels: Tuple[int, ...] = ()) -> int:
+    """Conservative VMEM bytes for one fused-iteration grid step at a given
+    cell-tile width.  Covers the WHOLE working set — not just the X tile
+    (the round-2 gate's gap: large genes x K shapes passed the X-only check
+    and then failed, or hung, inside Mosaic):
+
+    - grid-invariant full blocks, resident once: W (g,K), the XHt (g,K)
+      accumulator, WtW (K,K), the packed B-stats block, Bs (counted at
+      width K — conservative vs the true k_i),
+    - per-step streamed blocks, double-buffered by the pipeline: the X and
+      Y tiles at STORAGE width, H in + H out tiles (f32),
+    - ~4 K-row f32 temporaries the kernel body materializes per tile
+      (WtX, num, den, the guided ratio)."""
+    labels = sum(n_labels)
+    stat_rows = labels + 2 * len(n_labels)
+    fixed = 4 * (2 * n_genes * K + K * K + stat_rows * K + labels * K)
+    per_tile = tile * (2 * (n_genes + labels) * itemsize + 8 * K * 4)
+    return fixed + per_tile
 
 
-def _choose_tile_n(n_genes: int, n_cells: int, itemsize: int = 4) -> Optional[int]:
+def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
+              n_labels: Tuple[int, ...] = ()) -> Optional[int]:
+    """Width-independent largest usable cell-tile (a lane multiple >= 128).
+
+    Two caps: the X-tile byte budget (throughput-swept heuristic — beyond
+    it, wider tiles stop helping), and — when K is known — the WHOLE
+    working set against the scoped VMEM limit, stepping the tile down to a
+    single lane before giving up.  Unlike the round-2 X-only gate, a large
+    gene count alone no longer disqualifies the kernel: g=20k float32
+    exceeds the 6MB X budget at any lane multiple but fits the VMEM limit
+    at tile=128 (SURVEY §7 "X >> VMEM"; round-2 verdict item 3).
+
+    With K=None (legacy callers without shape info) only the X budget
+    applies — the conservative pre-round-3 behavior."""
+    base = (_X_TILE_BYTES // (itemsize * n_genes)) // _LANE * _LANE
+    if K is None:
+        return base if base >= _LANE else None
+    tile = max(base, _LANE)
+    while tile >= _LANE:
+        if working_set_bytes(n_genes, K, tile, itemsize,
+                             n_labels) <= _VMEM_LIMIT_BYTES:
+            return tile
+        tile -= _LANE
+    return None
+
+
+def _choose_tile_n(n_genes: int, n_cells: int, itemsize: int = 4,
+                   K: Optional[int] = None,
+                   n_labels: Tuple[int, ...] = ()) -> Optional[int]:
     """Tile actually used by a kernel whose input width is n_cells: the
-    budget tile, capped at the (lane-rounded) array width so tiny problems
-    don't allocate huge blocks."""
-    tile = _budget_tile(n_genes, itemsize)
+    width-independent max tile, capped at the (lane-rounded) array width so
+    tiny problems don't allocate huge blocks.  (A smaller tile only shrinks
+    the working set, so the cap preserves the VMEM guarantee.)"""
+    tile = _max_tile(n_genes, itemsize, K, n_labels)
     if tile is None:
         return None
     return min(tile, max(_LANE, (n_cells + _LANE - 1) // _LANE * _LANE))
 
 
 def pad_target(n_genes: int, n_cells: int, n_devices: int = 1,
-               itemsize: int = 4) -> Optional[int]:
+               itemsize: int = 4, K: Optional[int] = None,
+               n_labels: Tuple[int, ...] = ()) -> Optional[int]:
     """Zero-columns of cell-axis padding so that each of n_devices equal
     shards of the padded width W satisfies (W/n_devices) % tile == 0 for the
     tile _choose_tile_n picks AT THAT WIDTH.  Proof sketch: with
-    T' = min(budget, round_up(cdiv(n, ndev), 128)) and
+    T' = min(max_tile, round_up(cdiv(n, ndev), 128)) and
     pad = (-n) % (T' * ndev), each shard is exactly one multiple of T'
     (pad < T'*ndev bounds the shard below 2T'), and _choose_tile_n at shard
-    width s = m*T' returns min(budget, s) which divides s.  Keeping this
-    arithmetic in ONE place is what guarantees the model layer, the engine
-    pad, and the kernels can never disagree on divisibility."""
-    t = _budget_tile(n_genes, itemsize)
+    width s = m*T' returns min(max_tile, s) which divides s (m > 1 only
+    when T' = max_tile).  Keeping this arithmetic in ONE place is what
+    guarantees the model layer, the engine pad, and the kernels can never
+    disagree on divisibility.  Pass the SAME K/n_labels the kernel will
+    run with — they participate in the tile choice."""
+    t = _max_tile(n_genes, itemsize, K, n_labels)
     if t is None:
         return None
     per_shard = -(-n_cells // n_devices)
@@ -130,12 +172,19 @@ def pad_target(n_genes: int, n_cells: int, n_devices: int = 1,
     return (-n_cells) % (t * n_devices)
 
 
-def h_update_supported(n_genes: int, itemsize: int = 4) -> bool:
-    """Whether the fused kernels fit a (genes x tile) X block in the VMEM
-    budget.  `itemsize` is the STORAGE width — narrow dtypes (bf16/int16: 2,
-    int8: 1) fit 2-4x more genes, so gating with the default 4 would
-    silently drop exactly the atlas-scale fits the narrow modes target."""
-    return pltpu is not None and _budget_tile(n_genes, itemsize) is not None
+def h_update_supported(n_genes: int, itemsize: int = 4,
+                       K: Optional[int] = None,
+                       n_labels: Tuple[int, ...] = ()) -> bool:
+    """Whether the fused kernels fit their whole working set in the scoped
+    VMEM limit at SOME lane-multiple tile.  `itemsize` is the STORAGE
+    width — narrow dtypes (bf16/int16: 2, int8: 1) fit 2-4x more genes, so
+    gating with the default 4 would silently drop exactly the atlas-scale
+    fits the narrow modes target.  Pass K (total components, at the
+    COMPILED/bucketed width) and n_labels so the W/XHt/stat blocks are
+    budgeted too — the gate must reject every shape the kernel itself
+    cannot compile, and accept every shape it can."""
+    return pltpu is not None and _max_tile(n_genes, itemsize, K,
+                                           n_labels) is not None
 
 
 def _mask_cols(x, i, tile_n, n_valid):
@@ -214,9 +263,12 @@ def fused_h_update(
     Covariate configurations use ``fused_iteration`` instead."""
     g, n = X.shape
     K = H.shape[0]
-    tile_n = _choose_tile_n(g, n, X.dtype.itemsize)
+    tile_n = _choose_tile_n(g, n, X.dtype.itemsize, K)
     if tile_n is None:
-        raise ValueError(f"n_genes={g} too large for the fused H kernel")
+        raise ValueError(
+            f"n_genes={g}, K={K} working set exceeds the VMEM limit for "
+            "the fused H kernel"
+        )
     grid = (pl.cdiv(n, tile_n),)
 
     full = lambda i: (0, 0)
@@ -412,7 +464,7 @@ def fused_iteration(
     K = H.shape[0]
     n_cov = len(Ys)
     n_labels = tuple(y.shape[0] for y in Ys)
-    tile_n = _choose_tile_n(g, n, X.dtype.itemsize)
+    tile_n = _choose_tile_n(g, n, X.dtype.itemsize, K, n_labels)
     if tile_n is None or n % tile_n:
         raise ValueError(f"cell axis {n} must be padded to a multiple of {tile_n}")
     grid = (n // tile_n,)

@@ -257,20 +257,21 @@ def test_pad_target_consistency():
     fits at e.g. 2000 genes, 2 devices, 1025 cells)."""
     from alpine_tpu.ops.pallas_kernels import _choose_tile_n, pad_target
 
-    for g in (30, 500, 2000, 11000):
+    for g in (30, 500, 2000, 11000, 20000):
         for itemsize in (2, 4):
-            for ndev in (1, 2, 4, 8):
-                for n in (128, 300, 1025, 2048, 99999):
-                    if n < ndev:
-                        continue
-                    p = pad_target(g, n, ndev, itemsize)
-                    if p is None:
-                        continue
-                    W = n + p
-                    assert W % ndev == 0
-                    s = W // ndev
-                    t = _choose_tile_n(g, s, itemsize)
-                    assert s % t == 0, (g, itemsize, ndev, n, s, t)
+            for K, n_labels in ((None, ()), (40, (2, 3)), (200, (4, 7))):
+                for ndev in (1, 2, 4, 8):
+                    for n in (128, 300, 1025, 2048, 99999):
+                        if n < ndev:
+                            continue
+                        p = pad_target(g, n, ndev, itemsize, K, n_labels)
+                        if p is None:
+                            continue
+                        W = n + p
+                        assert W % ndev == 0
+                        s = W // ndev
+                        t = _choose_tile_n(g, s, itemsize, K, n_labels)
+                        assert s % t == 0, (g, itemsize, K, ndev, n, s, t)
 
 
 def test_sharded_fused_transform_matches_scan():
@@ -389,13 +390,97 @@ def test_sharded_pallas_int8_matches_single_device():
 
 
 def test_fused_kernel_gate_uses_storage_itemsize():
-    """Narrow X storage fits 2-4x more genes in the VMEM tile budget; the
-    support gate must use the STORAGE itemsize or atlas-scale int8/bf16
-    fits silently lose the fused kernels (falling back to XLA)."""
+    """Narrow X storage fits 2-4x more genes in the X-tile budget, and the
+    legacy (K-less) gate must use the STORAGE itemsize.  With K given, the
+    working-set gate now also accepts f32 at whole-transcriptome scale by
+    stepping the tile down to a single lane (round-2 verdict item 3)."""
     g = 20_000  # whole-transcriptome scale
-    assert pk._budget_tile(g, 4) is None
-    assert pk._budget_tile(g, 2) is not None
-    assert pk._budget_tile(g, 1) is not None
+    assert pk._max_tile(g, 4) is None       # legacy X-budget-only gate
+    assert pk._max_tile(g, 2) is not None
+    assert pk._max_tile(g, 1) is not None
+    # shape-aware gate: f32 g=20k fits at tile=128 even at K=200
+    assert pk._max_tile(g, 4, K=200, n_labels=(4, 7)) == 128
     if pk.pltpu is not None:
         assert pk.h_update_supported(g, 1)
-        assert not pk.h_update_supported(g, 4)
+        assert pk.h_update_supported(g, 4, 200, (4, 7))
+
+
+def test_working_set_gate_rejects_oversized_shapes():
+    """Shapes whose grid-invariant blocks (W + XHt at f32) alone exceed the
+    scoped VMEM limit must be rejected BY THE GATE — the round-2 gap was a
+    Mosaic compile failure (or hang) past an X-only check."""
+    g = 20_000
+    # fixed blocks at K=2000: 2*g*K*4 = 320 MB >> the 64 MB limit
+    assert pk._max_tile(g, 4, K=2000, n_labels=(4, 7)) is None
+    if pk.pltpu is not None:
+        assert not pk.h_update_supported(g, 4, 2000, (4, 7))
+
+    # the model layer must fall back to XLA cleanly for such shapes (and
+    # still pick the kernel for supported ones) — simulate the TPU branch
+    if pk.pltpu is None:
+        return
+    from alpine_tpu import ALPINE
+
+    Ys_shapes = [np.zeros((4, 64), np.float32), np.zeros((7, 64), np.float32)]
+
+    def make(n_comp, n_genes):
+        m = ALPINE(n_components=n_comp, n_covariate_components=[4, 6],
+                   lam=[1.0, 1.0], device="cpu", random_state=0,
+                   data_dtype="float32")
+        m.n_features = n_genes
+        m.batch_size = 64
+        m.sampling_method = "random"
+        m._use_tpu_kernels = lambda: True
+        return m
+
+    cfg = make(1990, 20_000)._make_cfg(Ys_shapes, 64, 3)
+    assert cfg.backend == "xla"  # working set over budget -> clean fallback
+    cfg = make(190, 20_000)._make_cfg(Ys_shapes, 64, 3)
+    assert cfg.backend == "pallas"  # f32 g=20k now KEEPS the fused kernel
+
+
+def test_working_set_accounting_is_monotone_and_covers_fixed_blocks():
+    ws = pk.working_set_bytes
+    # monotone in tile
+    assert ws(2000, 40, 256, 2, (2, 3)) > ws(2000, 40, 128, 2, (2, 3))
+    # fixed blocks dominate at large K: W + XHt = 2*g*K*4
+    base = ws(20_000, 200, 128, 4, ())
+    assert base > 2 * 20_000 * 200 * 4
+
+
+def test_min_lane_tile_interpret_parity():
+    """When the X-tile budget would demand a sub-lane tile (large genes),
+    the kernel now runs at the 128-lane minimum; interpret-mode trajectory
+    must still match XLA exactly as before."""
+    import alpine_tpu.ops.pallas_kernels as pkm
+
+    old = pkm._X_TILE_BYTES
+    pkm._X_TILE_BYTES = 64 * 1024  # force base < 128 lanes at g=300 f32
+    try:
+        g, n = 300, 256
+        assert pkm._max_tile(g, 4) is None  # legacy gate would reject
+        assert pkm._max_tile(g, 4, K=15, n_labels=(2, 3)) == 128
+        r = np.random.default_rng(5)
+        X = jnp.asarray(r.random((g, n), dtype=np.float32))
+        Ys = []
+        for nl in (2, 3):
+            y = np.zeros((nl, n), np.float32)
+            y[r.integers(0, nl, n), np.arange(n)] = 1.0
+            Ys.append(jnp.asarray(y))
+        Ys = tuple(Ys)
+        hyper = (jnp.asarray([1.0, 2.0], jnp.float32), jnp.float32(0.1),
+                 jnp.float32(0.1), jnp.float32(0.2), jnp.float32(EPS))
+        key = jax.random.PRNGKey(0)
+        out = {}
+        for backend in ("pallas_interpret", "xla"):
+            cfg = mu.MUConfig(blocks=(4, 5, 6), n_labels=(2, 3), n_cells=n,
+                              loss_kl=True, max_iter=5, backend=backend)
+            W0, H0, Bs0 = mu.init_matrices(cfg, g, key, EPS)
+            out[backend] = mu.fit_scan(cfg, W0, H0, Bs0, X, Ys, hyper, key,
+                                       None)
+        np.testing.assert_allclose(
+            np.asarray(out["pallas_interpret"][3]),
+            np.asarray(out["xla"][3]), rtol=2e-4,
+        )
+    finally:
+        pkm._X_TILE_BYTES = old
