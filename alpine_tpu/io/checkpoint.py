@@ -61,6 +61,9 @@ def save_model(model, path: str) -> None:
         "random_state": model.random_state,
         "matmul_precision": model.matmul_precision,
         "data_dtype": model.data_dtype,
+        # the RESOLVED storage dtype (data_dtype="auto" picks per dataset);
+        # transform-after-load must cast query data the same way the fit did
+        "data_dtype_": getattr(model, "data_dtype_", None),
         "max_iter": model.max_iter,
         "covariate_keys": model.covariate_keys,
         "feature_names": model.feature_names,
@@ -118,6 +121,12 @@ def _restore_model(ALPINE, pd, data, path, device):
         data_dtype=meta.get("data_dtype", "float32"),
     )
     model.max_iter = meta["max_iter"]
+    resolved = meta.get("data_dtype_")
+    if resolved is None:
+        # pre-"auto" save files always carried a concrete data_dtype
+        resolved = meta.get("data_dtype", "float32")
+        resolved = "float32" if resolved == "auto" else resolved
+    model.data_dtype_ = resolved
     model.covariate_keys = meta["covariate_keys"]
     model.feature_names = meta["feature_names"]
     model.n_features = meta["n_features"]

@@ -19,6 +19,13 @@ obsm/varm/layers-key-for-key, with these documented divergences:
   fixed here: invalid values actually raise.
 - `matmul_precision` (extra kwarg, default "highest") selects true-f32 MXU
   matmuls; "default" allows XLA's fast TPU path for throughput runs.
+- `data_dtype` (extra kwarg, default "auto"): X storage in HBM.  "auto"
+  resolves per dataset at fit time (utils.adata.suggest_data_dtype):
+  validated integer counts — the typical raw single-cell input — store as
+  the narrowest EXACT integer dtype (int8/int16; zero numerics risk, 2-4x
+  less traffic on the X passes that dominate each iteration), fractional
+  data stays float32.  The resolution is recorded as `data_dtype_`;
+  explicit "float32"/"bfloat16"/"int8"/"int16" override it.
 
 Training runs as a single jitted `lax.scan` (see `alpine_tpu/ops/mu.py`);
 the per-iteration loss history is accumulated on device and fetched once
@@ -49,7 +56,9 @@ from alpine_tpu.ops.elbow import find_elbow
 from alpine_tpu.parallel.mesh import Placement, resolve_device
 from alpine_tpu.utils import sampling
 from alpine_tpu.cache import env_flag
-from alpine_tpu.utils.adata import dense_x, is_anndata, is_sparse_x, x_min
+from alpine_tpu.utils.adata import (
+    dense_x, is_anndata, is_sparse_x, suggest_data_dtype, x_min,
+)
 from alpine_tpu.utils.encoder import FeatureEncoders
 from alpine_tpu.utils.single_cell import normalize_total
 
@@ -72,7 +81,7 @@ class ALPINE:
         eps: float = 1e-6,
         random_state: int = 42,
         matmul_precision: str = "highest",
-        data_dtype: str = "float32",
+        data_dtype: str = "auto",
         component_bucket: Optional[int] = None,
     ):
         self.n_components = n_components
@@ -175,12 +184,27 @@ class ALPINE:
         X: Float32Array = dense_x(adata.X).T
         n_sample = X.shape[1]
 
+        # data_dtype="auto" (the default): validated integer counts store as
+        # the narrowest EXACT integer dtype (int8/int16 — zero numerics
+        # risk, 2-4x less HBM traffic on the dominant X passes); fractional
+        # (normalized/log) data stays float32.  Resolved per dataset; the
+        # choice is recorded as `data_dtype_` (used by transform and
+        # persisted by save/load) and an explicit data_dtype overrides it.
+        resolved_dtype = (
+            suggest_data_dtype(adata.X) if self.data_dtype == "auto"
+            else self.data_dtype
+        )
+
         fe = FeatureEncoders(covariate_keys)
         Y: List[Float32Array] = fe.fit_transform(adata.obs)
         Ys = [y.T.copy() for y in Y]  # (labels_i, cells), main.py:446-449
 
         # commit estimator state only after the encoders fitted
         self.fe = fe
+        self.data_dtype_ = resolved_dtype
+        if verbose and self.data_dtype == "auto":
+            print(f"ALPINE fit: data_dtype='auto' resolved to "
+                  f"'{resolved_dtype}'")
         self.feature_names: List[str] = adata.var_names.tolist()
         self.n_features: int = adata.shape[1]
         self.covariate_keys: List[str] = covariate_keys
@@ -189,9 +213,11 @@ class ALPINE:
         self.batch_size: int = batch_size if batch_size is not None else n_sample
 
         placement = Placement(self.device)
+        n_labels = tuple(y.shape[0] for y in Ys)
         # restarts run the XLA (vmapped) path, which needs no tile padding;
         # the sharded kernel path needs tile-aligned shards even unguided
-        pad = (self._pallas_pad(n_sample, include_unguided=placement.is_sharded)
+        pad = (self._pallas_pad(n_sample, n_labels,
+                                include_unguided=placement.is_sharded)
                if n_restarts == 1 else 0)
         # shard-local minibatch sampling (mu.fit_scan_minibatch_sharded)
         # runs inside shard_map, which needs equal cell shards
@@ -322,7 +348,9 @@ class ALPINE:
                     "loss_type": self.loss_type, "use_als": self.use_als,
                     # numerics regime: a snapshot must not resume under a
                     # different storage/compute dtype or matmul precision
-                    "data_dtype": self.data_dtype,
+                    # (the RESOLVED dtype: "auto" may resolve differently
+                    # on different data)
+                    "data_dtype": self.data_dtype_,
                     "matmul_precision": self.matmul_precision,
                     "batch_size": self.batch_size,
                     "sampling": self.sampling_method,
@@ -747,8 +775,14 @@ class ALPINE:
         once per device so verbose fits degrade to a summary line instead of
         crashing."""
         dev = self.device
-        target = dev if hasattr(dev, "platform") else None
-        key = getattr(target, "id", "mesh"), getattr(target, "platform", "mesh")
+        if hasattr(dev, "platform"):  # jax.Device
+            target = dev
+            key = (dev.platform, dev.id)
+        else:  # Mesh: probe one of ITS devices, keyed by the full device
+            # set (a constant key would reuse a CPU-mesh probe result for a
+            # TPU mesh in the same process)
+            target = dev.devices.flat[0]
+            key = (target.platform, tuple(d.id for d in dev.devices.flat))
         cache = ALPINE._callback_probe_cache
         if key not in cache:
             try:
@@ -771,22 +805,46 @@ class ALPINE:
 
         return self.device.devices.size if isinstance(self.device, Mesh) else 1
 
-    def _pallas_pad(self, n_sample: int, include_unguided: bool = False) -> int:
+    @property
+    def _storage_dtype(self) -> str:
+        """The resolved X storage dtype (`data_dtype_`, set at fit); before
+        any fit, the constructor dtype with "auto" read as float32."""
+        dt = getattr(self, "data_dtype_", None)
+        if dt is None:
+            dt = "float32" if self.data_dtype == "auto" else self.data_dtype
+        return dt
+
+    def _cfg_blocks(self) -> tuple:
+        """The COMPILED block shapes (bucket-padded when component_bucket is
+        set) — the single source shared by _make_cfg and the kernel-gate
+        arithmetic, which must see the same K."""
+        blocks = tuple(self.n_all_components)
+        if isinstance(self.component_bucket, tuple):
+            return self.component_bucket
+        if self.component_bucket:
+            return mu.bucket_blocks(blocks, self.component_bucket)
+        return blocks
+
+    def _pallas_pad(self, n_sample: int, n_labels: tuple,
+                    include_unguided: bool = False) -> int:
         """Columns of host-side zero padding so the fused kernel's tile grid
         divides EVERY device's cell shard (0 when the pallas path won't be
         used).  The sharded path needs tile alignment even without
         covariates (shard_map shards must be equal)."""
-        itemsize = mu.x_storage_itemsize(self.data_dtype)
+        itemsize = mu.x_storage_itemsize(self._storage_dtype)
+        K = sum(self._cfg_blocks())
         if not (self._use_tpu_kernels()
                 and (self.n_covariate_components or include_unguided)
-                and pallas_kernels.h_update_supported(self.n_features, itemsize)):
+                and pallas_kernels.h_update_supported(
+                    self.n_features, itemsize, K, n_labels)):
             return 0
         if self.batch_size is not None and self.batch_size < n_sample:
             return 0  # minibatch mode uses the XLA path
         if self.use_als or self.sampling_method == "weighted":
             return 0
         pad = pallas_kernels.pad_target(
-            self.n_features, n_sample, self._mesh_devices(), itemsize
+            self.n_features, n_sample, self._mesh_devices(), itemsize,
+            K, n_labels,
         )
         return 0 if pad is None else pad
 
@@ -806,11 +864,7 @@ class ALPINE:
                 and dev.platform == "tpu")
 
     def _make_cfg(self, Ys: List[Float32Array], n_sample: int, n_iter: int) -> mu.MUConfig:
-        blocks = tuple(self.n_all_components)
-        if isinstance(self.component_bucket, tuple):
-            blocks = self.component_bucket
-        elif self.component_bucket:
-            blocks = mu.bucket_blocks(blocks, self.component_bucket)
+        blocks = self._cfg_blocks()
         cfg = mu.MUConfig(
             blocks=blocks,
             n_labels=tuple(y.shape[0] for y in Ys),
@@ -821,7 +875,7 @@ class ALPINE:
             weighted=(self.sampling_method == "weighted"),
             max_iter=n_iter,
             precision=self.matmul_precision,
-            x_dtype=self.data_dtype,
+            x_dtype=self._storage_dtype,
             progress=(getattr(self, "verbose", False)
                       and self._callbacks_supported()),
         )
@@ -830,7 +884,8 @@ class ALPINE:
             and not cfg.use_als
             and self._use_tpu_kernels()
             and pallas_kernels.h_update_supported(
-                self.n_features, mu.x_storage_itemsize(self.data_dtype))
+                self.n_features, mu.x_storage_itemsize(self._storage_dtype),
+                cfg.K, cfg.n_labels)
         ):
             cfg = replace(cfg, backend="pallas")
         return cfg
@@ -868,6 +923,11 @@ class ALPINE:
         from alpine_tpu.parallel.mesh import restore_device
 
         state["device"] = restore_device(state.get("device"))
+        # pickles from before data_dtype="auto" carry a concrete data_dtype
+        # and no resolved data_dtype_; mirror it so transform keeps working
+        if "data_dtype_" not in state and state.get("data_dtype") not in (
+                None, "auto"):
+            state["data_dtype_"] = state["data_dtype"]
         self.__dict__.update(state)
 
     def _cast_x_host(self, arr: np.ndarray, *, strict: bool = True) -> np.ndarray:
@@ -890,14 +950,22 @@ class ALPINE:
         transform path) non-representable data falls back to the
         compute-width float storage instead of raising: the projection math
         never needed integer storage, and reference transform accepts any
-        non-negative X."""
-        if self.data_dtype == "bfloat16":
+        non-negative X.
+
+        Works from the RESOLVED dtype (`data_dtype_`, set at fit):
+        data_dtype="auto" resolves to the narrowest exact integer dtype for
+        validated count data, so strict failures cannot occur for the auto
+        path — only explicit narrow dtypes can reject data here.  Direct
+        calls before any fit fall back to the constructor dtype (so the
+        quantizing-cast guarantees hold for any caller)."""
+        dt = self._storage_dtype
+        if dt == "bfloat16":
             import ml_dtypes
 
             return np.asarray(arr, dtype=ml_dtypes.bfloat16)
-        if self.data_dtype in ("int8", "int16"):
+        if dt in ("int8", "int16"):
             with np.errstate(invalid="ignore"):  # NaN→int is diagnosed below
-                cast = arr.astype(self.data_dtype)
+                cast = arr.astype(dt)
             # round-trip equality + sign: -5.0 round-trips through int8, but
             # negative storage would corrupt the non-negativity the MU math
             # assumes — enforce it HERE, not only at the fit/transform call
@@ -906,29 +974,29 @@ class ALPINE:
                     not cast.size or int(cast.min()) >= 0):
                 return cast
             if not strict:
-                if self.data_dtype == "int8":
+                if dt == "int8":
                     import ml_dtypes
 
                     return np.asarray(arr, dtype=ml_dtypes.bfloat16)
                 return arr  # int16's compute dtype is float32 — as passed
             if np.isnan(arr).any():
                 raise ValueError(
-                    f"data_dtype='{self.data_dtype}' requires integer-valued "
+                    f"data_dtype='{dt}' requires integer-valued "
                     "adata.X, but it contains NaN."
                 )
-            limit = np.iinfo(self.data_dtype).max
+            limit = np.iinfo(dt).max
             if float(arr.max(initial=0.0)) > limit or float(
                     arr.min(initial=0.0)) < 0:
                 alternatives = ("'int16', 'bfloat16', or 'float32'"
-                                if self.data_dtype == "int8"
+                                if dt == "int8"
                                 else "'bfloat16' or 'float32'")
                 raise ValueError(
-                    f"data_dtype='{self.data_dtype}' requires all values "
+                    f"data_dtype='{dt}' requires all values "
                     f"of adata.X to be >= 0 and <= {limit}; found range "
                     f"[{arr.min()}, {arr.max()}]. Use {alternatives} instead."
                 )
             raise ValueError(
-                f"data_dtype='{self.data_dtype}' requires integer-valued "
+                f"data_dtype='{dt}' requires integer-valued "
                 "adata.X (raw counts); found fractional values. Use "
                 "'bfloat16' or 'float32' for normalized/transformed data."
             )
@@ -1106,9 +1174,11 @@ class ALPINE:
         if self.matmul_precision not in ("highest", "default"):
             raise ValueError("matmul_precision must be 'highest' or 'default'.")
 
-        if self.data_dtype not in ("float32", "bfloat16", "int8", "int16"):
+        if self.data_dtype not in ("auto", "float32", "bfloat16", "int8",
+                                   "int16"):
             raise ValueError(
-                "data_dtype must be 'float32', 'bfloat16', 'int8', or 'int16'."
+                "data_dtype must be 'auto', 'float32', 'bfloat16', 'int8', "
+                "or 'int16'."
             )
 
     def _validate_fit_args(

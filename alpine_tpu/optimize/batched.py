@@ -69,13 +69,14 @@ class FoldData:
     n_labels: Tuple[int, ...]
     n_tr: int
     n_va: int
-    Xtr: jax.Array              # (n_folds, g, n_tr)
-    Xva: jax.Array              # (n_folds, g, n_va)
+    Xtr: jax.Array              # (n_folds, g, n_tr), stored at x_dtype
+    Xva: jax.Array              # (n_folds, g, n_va), at x_dtype's COMPUTE width
     Ystr: Tuple[jax.Array, ...]  # each (n_folds, labels_i, n_tr)
     weights: Optional[jax.Array]  # (n_folds, n_tr) or None
     valid_cols: jax.Array       # (n_folds, 1, n_tr) bool: real vs pad cells
     put_rep: callable
     put_fold: callable
+    x_dtype: str = "float32"    # storage dtype name (mu.x_storage_dtype)
 
 
 def prepare_fold_data(
@@ -86,17 +87,29 @@ def prepare_fold_data(
     weighted: bool,
     mesh=None,
     device=None,
+    x_dtype: str = "float32",
 ) -> FoldData:
     """Build the trial-invariant stacked fold tensors and place them.
     `mesh` shards the fold axis across a 1-D mesh; `device` (a jax.Device)
     pins everything to that device — without it an explicit
     ComponentOptimizer(device="cpu") would silently run its batched fits on
-    the default accelerator."""
+    the default accelerator.
+
+    `x_dtype` stores the stacked training X (and Ys) at the narrow storage
+    width (2-4x less device memory for the ~n_splits dataset copies kept
+    across a whole search, and narrower X-sided matmuls in the fits); the
+    validation X is stored at the corresponding COMPUTE width (the
+    projection reads it as a plain float operand).  Integer dtypes assume
+    the caller resolved them from validated count data (the optimizer uses
+    utils.adata.suggest_data_dtype over the full dataset — every fold
+    subset is then exactly representable)."""
     n_folds = len(folds)
     g = X_cells_by_genes.shape[1]
     X_all = X_cells_by_genes.astype(np.float32)
     Ys_all = [y.astype(np.float32) for y in Ys_cells_by_labels]
     n_labels = tuple(y.shape[1] for y in Ys_all)
+    storage_dt = np.dtype(mu.x_storage_dtype(x_dtype))
+    compute_dt = np.dtype(mu.x_compute_dtype(storage_dt))
 
     n_tr = max(len(tr) for tr, _ in folds)
     n_va = max(len(va) for _, va in folds)
@@ -141,12 +154,15 @@ def prepare_fold_data(
     tr_sizes = np.asarray([len(tr) for tr, _ in folds])[:, None, None]
     return FoldData(
         folds=folds, g=g, n_labels=n_labels, n_tr=n_tr, n_va=n_va,
-        Xtr=put_fold(jnp.asarray(Xtr)),
-        Xva=put_fold(jnp.asarray(Xva)),
-        Ystr=tuple(put_fold(jnp.asarray(y)) for y in Ystr),
+        # host-side cast: the narrow upload is also what lands on device
+        # (no transient f32 double-residency); one-hot Ys are exact in any
+        # storage dtype
+        Xtr=put_fold(jnp.asarray(Xtr.astype(storage_dt))),
+        Xva=put_fold(jnp.asarray(Xva.astype(compute_dt))),
+        Ystr=tuple(put_fold(jnp.asarray(y.astype(storage_dt))) for y in Ystr),
         weights=put_fold(jnp.asarray(weights)) if weighted else None,
         valid_cols=put_fold(jnp.asarray(col < tr_sizes)),
-        put_rep=put_rep, put_fold=put_fold,
+        put_rep=put_rep, put_fold=put_fold, x_dtype=x_dtype,
     )
 
 
@@ -172,6 +188,7 @@ def batched_fold_embeddings(
     mesh=None,
     true_blocks: Tuple[int, ...] = None,
     fold_data: Optional[FoldData] = None,
+    x_dtype: str = "float32",
 ) -> List[np.ndarray]:
     """Fit one model per fold (batched) and return each fold's validation
     unguided embedding as (n_val_fold, k_unguided) numpy arrays.
@@ -189,7 +206,7 @@ def batched_fold_embeddings(
     if fold_data is None:
         fold_data = prepare_fold_data(
             X_cells_by_genes, Ys_cells_by_labels, folds,
-            weighted=weighted, mesh=mesh,
+            weighted=weighted, mesh=mesh, x_dtype=x_dtype,
         )
     fd = fold_data
     n_folds = len(fd.folds)
@@ -205,6 +222,9 @@ def batched_fold_embeddings(
         weighted=weighted,
         max_iter=max_iter,
         precision=precision,
+        # storage regime of the (possibly prebuilt) fold tensors, not the
+        # call's default — a mismatch would silently re-cast X in-jit
+        x_dtype=fd.x_dtype,
         backend="xla",  # the fused pallas path is single-program; vmap uses XLA
     )
     key = jax.random.PRNGKey(seed)

@@ -169,6 +169,7 @@ class ComponentOptimizer:
         random_state: int = 42,
         fold_batching: bool = True,
         shape_bucket="auto",
+        data_dtype: str = "auto",
     ):
         self._validate_init_args(
             adata, covariate_keys, loss_type, max_iter, batch_size, device, random_state
@@ -183,6 +184,11 @@ class ComponentOptimizer:
             raise ValueError(
                 f"Unknown sampling method: {sampling_method}. Only 'weighted', "
                 "and 'random' are supported."
+            )
+        if data_dtype not in ("auto", "float32", "bfloat16", "int8", "int16"):
+            raise ValueError(
+                "data_dtype must be 'auto', 'float32', 'bfloat16', 'int8', "
+                "or 'int16'."
             )
 
         self.adata = adata.copy()
@@ -210,6 +216,19 @@ class ComponentOptimizer:
         # RNG init draws, not the update math; fit_the_best_param refits at
         # exact shapes.
         self.shape_bucket = shape_bucket
+        # X storage dtype for every trial fit.  "auto" resolves ONCE from
+        # the full dataset (utils.adata.suggest_data_dtype) so all folds and
+        # trials share one storage regime (per-fold resolution could pick
+        # int8 on one fold and int16 on another — a pointless recompile and
+        # a cross-fold inconsistency); integer counts get exact narrow
+        # storage, fractional data stays float32.
+        from alpine_tpu.utils.adata import suggest_data_dtype
+
+        self.data_dtype: str = data_dtype
+        self.data_dtype_: str = (
+            suggest_data_dtype(self.adata.X) if data_dtype == "auto"
+            else data_dtype
+        )
         self.best_param: dict = {}
 
         self.max_iter_detect = self.max_iter is None
@@ -432,6 +451,7 @@ class ComponentOptimizer:
             loss_type=self.loss_type,
             device=self.device,
             component_bucket=self._bucketed(true_blocks),
+            data_dtype=self.data_dtype_,
             **args,
         )
         model.fit(
@@ -461,7 +481,7 @@ class ComponentOptimizer:
         from alpine_tpu.parallel.mesh import resolve_device
         from alpine_tpu.utils.encoder import FeatureEncoders
 
-        key = (self.n_splits, self.sampling_method)
+        key = (self.n_splits, self.sampling_method, self.data_dtype_)
         cached = getattr(self, "_fold_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -475,6 +495,7 @@ class ComponentOptimizer:
             weighted=(self.sampling_method == "weighted"),
             mesh=resolved if isinstance(resolved, Mesh) else None,
             device=None if isinstance(resolved, Mesh) else resolved,
+            x_dtype=self.data_dtype_,
         )
         self._fold_cache = (key, fd)
         return fd
@@ -502,6 +523,7 @@ class ComponentOptimizer:
             max_iter=self.max_iter,
             scale=True,
             seed=self.random_state,
+            x_dtype=self.data_dtype_,
         )
 
     # -------------------------------------------------------- persistence
@@ -519,6 +541,11 @@ class ComponentOptimizer:
         from alpine_tpu.parallel.mesh import restore_device
 
         state["device"] = restore_device(state.get("device"))
+        # pickles from before the data_dtype kwarg ran float32 fits; keep
+        # that regime on resume rather than re-resolving to a narrow dtype
+        state.setdefault("data_dtype", "float32")
+        state.setdefault("data_dtype_", state["data_dtype"]
+                         if state["data_dtype"] != "auto" else "float32")
         self.__dict__.update(state)
 
     def save_trials(self, filename: str):
@@ -604,6 +631,7 @@ class ComponentOptimizer:
             use_als=self.use_als,
             loss_type=self.loss_type,
             device=self.device,
+            data_dtype=self.data_dtype_,
         )
         model.fit(
             adata=self.adata,

@@ -314,3 +314,130 @@ def test_suggest_data_dtype():
     # the suggestion is always accepted by fit
     model = _model(data_dtype=suggest_data_dtype(counts))
     model.fit(counts, ["batch", "condition"], max_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# data_dtype="auto" (the default): resolve the narrowest EXACT storage
+# ---------------------------------------------------------------------------
+
+
+def test_auto_is_the_default_and_resolves_int8_on_counts():
+    """Out of the box, count data gets exact int8 storage — the fit must be
+    indistinguishable from an explicit data_dtype='int8' fit."""
+    auto = ALPINE(n_components=8, n_covariate_components=[2, 3],
+                  lam=[1.0, 2.0], device="cpu", random_state=0)
+    assert auto.data_dtype == "auto"
+    adata = make_count_adata()
+    auto.fit(adata, ["batch", "condition"], max_iter=12)
+    assert auto.data_dtype_ == "int8"
+    _assert_same_fit(auto, _fit("int8"))
+
+
+def test_auto_resolves_int16_on_larger_counts():
+    def data():
+        a = make_count_adata(max_count=5000)
+        a.X = a.X.copy()
+        a.X[0, 0] = 5000.0  # force a count beyond int8's range
+        return a
+
+    m = _fit("auto", adata=data())
+    assert m.data_dtype_ == "int16"
+    _assert_same_fit(m, _fit("float32", adata=data()))
+
+
+def test_auto_resolves_float32_on_fractional_data():
+    from .conftest import make_synthetic_adata
+
+    adata = make_synthetic_adata()  # gamma-noise: fractional values
+    m = _model(data_dtype="auto", n_covariate_components=[2, 3])
+    m.fit(adata, ["batch", "condition"], max_iter=8)
+    assert m.data_dtype_ == "float32"
+
+
+def test_explicit_dtype_overrides_auto():
+    m = _fit("bfloat16")  # counts would auto-resolve to int8
+    assert m.data_dtype_ == "bfloat16"
+
+
+def test_auto_save_load_keeps_resolution(tmp_path):
+    """transform-after-load must cast query data with the dtype the FIT
+    resolved, not re-resolve (a fractional query through an int8-fit model
+    takes the strict=False compute-width fallback)."""
+    adata = make_count_adata()
+    m = _fit("auto", adata=adata)
+    assert m.data_dtype_ == "int8"
+    path = str(tmp_path / "model")
+    m.save(path)
+    loaded = ALPINE.load(path, device="cpu")
+    assert loaded.data_dtype == "auto"
+    assert loaded.data_dtype_ == "int8"
+    frac = make_count_adata(seed=3)
+    frac.X = frac.X + 0.25  # fractional out-of-sample query
+    loaded.transform(frac, n_iter=5)
+    assert np.isfinite(frac.obsm["ALPINE_embedding"]).all()
+
+
+def test_auto_pickle_roundtrip_keeps_resolution():
+    import pickle
+
+    m = _fit("auto")
+    blob = pickle.dumps(m)
+    back = pickle.loads(blob)
+    assert back.data_dtype == "auto"
+    assert back.data_dtype_ == m.data_dtype_
+
+
+def test_pre_auto_pickle_gets_resolved_dtype():
+    """Estimator pickles from before the 'auto' default carried only a
+    concrete data_dtype; __setstate__ must mirror it into data_dtype_."""
+    m = _fit("int16")
+    state = m.__getstate__()
+    state.pop("data_dtype_")
+    fresh = ALPINE.__new__(ALPINE)
+    fresh.__setstate__(state)
+    assert fresh.data_dtype_ == "int16"
+
+
+def test_optimizer_auto_dtype_threading():
+    """ComponentOptimizer resolves once from the full dataset and threads
+    the storage dtype through both the per-fold and the batched CV paths."""
+    from alpine_tpu.optimize.batched import prepare_fold_data
+    from alpine_tpu.optimize.optimizer import ComponentOptimizer
+
+    adata = make_count_adata(n_cells=90, n_genes=24)
+    co = ComponentOptimizer(adata, ["batch"], max_iter=5, random_state=0)
+    assert co.data_dtype == "auto"
+    assert co.data_dtype_ == "int8"
+
+    co_f32 = ComponentOptimizer(adata, ["batch"], max_iter=5,
+                                data_dtype="float32")
+    assert co_f32.data_dtype_ == "float32"
+
+    with pytest.raises(ValueError, match="data_dtype"):
+        ComponentOptimizer(adata, ["batch"], data_dtype="int4")
+
+    # fold tensors land at the storage width (train) / compute width (val)
+    idx = np.arange(90)
+    folds = [(idx[:60], idx[60:]), (idx[30:], idx[:30])]
+    Ys = [np.eye(2, dtype=np.float32)[np.arange(90) % 2]]
+    fd = prepare_fold_data(np.asarray(adata.X), Ys, folds, weighted=False,
+                           x_dtype="int8")
+    assert fd.Xtr.dtype == jnp.int8
+    assert fd.Xva.dtype == jnp.bfloat16
+    assert fd.x_dtype == "int8"
+
+
+def test_optimizer_search_runs_with_auto_int8():
+    """A short end-to-end search on count data under the auto default (the
+    batched fold path must accept integer-stored X)."""
+    from alpine_tpu.optimize.optimizer import ComponentOptimizer
+
+    adata = make_count_adata(n_cells=90, n_genes=24)
+    co = ComponentOptimizer(adata, ["batch"], max_iter=5, random_state=0)
+    best = co.search_hyperparams(
+        n_total_components_range=(8, 16), lam_range=(1.0, 10.0),
+        n_splits=2, max_evals=2,
+    )
+    assert "n_components" in best
+    hist = co.get_train_history()
+    assert np.isfinite(hist["score"]).all()
