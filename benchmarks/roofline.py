@@ -15,12 +15,15 @@ or VMEM-resident.  Minimum HBM traffic per iteration:
 int8 storage (count data; kernels dequantize tiles in VMEM) halves the X
 read again, at which point the bench shape stops being bandwidth-bound: the
 two X-sided matmuls pad their K=40 output dimension to the MXU's 128 lanes,
-so ~0.5 ms/iter of matrix-unit time becomes the binding floor (measured
-int8 ~1740-1770 it/s vs the pure-bandwidth floor's ~3500).  The bandwidth
-fraction this script prints is therefore NOT the right lens for JOINT int8
-at small K; it is for bf16/f32, where DMA dominates — and for ALS int8,
-which stays bandwidth-bound (4 X passes/iter) and gains the full byte
-factor: measured 643 it/s vs 389 bf16 = 73% of peak for int8 traffic.
+so the matrix-unit time becomes the binding floor (measured int8 ~1740-1770
+it/s vs the pure-bandwidth floor's ~3500).  `benchmarks/mxu_floor.py`
+MEASURES that floor on-chip (a dependency-chained loop of exactly the
+per-iteration MXU work) instead of arguing it from a cycle model, and shows
+the K=40 vs K=128 cost is ~flat (both pad to one 128-lane tile).  The
+bandwidth fraction this script prints is therefore NOT the right lens for
+JOINT int8 at small K; it is for bf16/f32, where DMA dominates — and for
+ALS int8, which stays bandwidth-bound (4 X passes/iter) and gains the full
+byte factor: measured 643 it/s vs 389 bf16 = 73% of peak for int8 traffic.
 
 ALS mode (mu.als_batch_update) has a *semantic* floor of (n_blocks + 1)
 X passes per iteration — X@H_start^T for all W numerators plus one
@@ -56,7 +59,7 @@ def bytes_per_iteration(als: bool) -> dict:
     labels = sum(bench.N_LABELS)
     n_blocks = len(bench.BLOCKS)
     x_item = {"bfloat16": 2, "int16": 2, "int8": 1}.get(
-        os.environ.get("ALPINE_BENCH_DTYPE", "bfloat16"), 4)
+        bench.resolved_dtype(), 4)
     x_passes = (n_blocks + 1) if als else 1
     y_passes = 2 if als else 1
     x_bytes = x_passes * g * n * x_item
@@ -89,7 +92,7 @@ def main():
     else:
         rng_mod = __import__("numpy").random.default_rng(0)
         X, Ys = bench._make_data(rng_mod)
-        ips = bench.bench_tpu(X, Ys)
+        ips = bench.bench_tpu(X, Ys)["best"]
 
     acct = bytes_per_iteration(als)
     achieved_gbps = ips * acct["total_bytes"] / 1e9
