@@ -1,0 +1,120 @@
+"""Measured gather floor for minibatch mode (round-2 verdict item 5:
+promote the 15 GB/s figure from a PARITY.md paragraph to a runnable
+artifact).
+
+Minibatch fits gather `batch_size` random cell COLUMNS of the device-
+resident X (genes × cells) every batch (`ops/mu.py:fit_scan`, the
+`jnp.take(X, bidx, axis=1)` path) and scatter the updated H columns back.
+Random per-cell sampling is the reference semantic
+(`/root/reference/alpine/utils/sampling.py:6-16` — `torch.randperm`), so
+the gather is irreducible; this script measures what the chip's gather
+engine actually delivers for exactly that access pattern:
+
+- column gather at the bench shape, random vs sorted indices (sortedness
+  does not help — the floor is the gather engine, not cache locality),
+- the same gather expressed on the transposed layout (row gather),
+- contiguous dynamic-slice as the upper reference (what a *sequential*
+  batcher would get — but sequential batches are NOT the reference
+  semantics),
+
+and derives the implied minibatch iterations/sec floor: per iteration the
+fit gathers X once (all batches together cover one permutation of the
+cells) plus H gather/scatter, all at gather bandwidth.
+
+Usage:
+    python benchmarks/gather_floor.py             # default accelerator
+Prints one JSON line (recorded per round in BENCH_CONFIGS_r{N}.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bench  # repo-root bench.py: shares the shape configuration
+
+
+def _time_fn(fn, *args, repeats=3):
+    np.asarray(fn(*args))  # compile + warm (device_get syncs through axon)
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    g, n = bench.N_GENES, bench.N_CELLS
+    bs = int(os.environ.get("ALPINE_BENCH_BATCH", 8192))
+    reps = 8  # gathers per timed call (amortizes dispatch)
+    r = np.random.default_rng(0)
+    X = jnp.asarray(r.random((g, n), dtype=np.float32))
+    Xt = jnp.asarray(np.asarray(X).T.copy())
+    idx_rand = jnp.asarray(r.choice(n, size=(reps, bs), replace=False))
+    idx_sort = jnp.asarray(np.sort(np.asarray(idx_rand), axis=1))
+
+    @jax.jit
+    def col_gather(X, idx):
+        def body(acc, ix):
+            return acc + jnp.take(X, ix, axis=1, mode="fill",
+                                  fill_value=0).sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), idx)
+        return acc
+
+    @jax.jit
+    def row_gather(Xt, idx):
+        def body(acc, ix):
+            return acc + jnp.take(Xt, ix, axis=0, mode="fill",
+                                  fill_value=0).sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), idx)
+        return acc
+
+    @jax.jit
+    def contiguous_slice(X):
+        def body(acc, start):
+            sl = jax.lax.dynamic_slice_in_dim(X, start, bs, axis=1)
+            return acc + sl.sum(), None
+        starts = jnp.arange(reps, dtype=jnp.int32) * 1024
+        acc, _ = jax.lax.scan(body, jnp.float32(0), starts)
+        return acc
+
+    bytes_per_call = reps * g * bs * 4
+    res = {}
+    for name, fn, args in (
+        ("col_gather_random", col_gather, (X, idx_rand)),
+        ("col_gather_sorted", col_gather, (X, idx_sort)),
+        ("row_gather_random", row_gather, (Xt, idx_rand)),
+        ("contiguous_slice", contiguous_slice, (X,)),
+    ):
+        sec = _time_fn(fn, *args)
+        res[name + "_GBps"] = round(bytes_per_call / sec / 1e9, 2)
+
+    # implied minibatch floor: per iteration the fit gathers the full X
+    # once across its batches (one epoch permutation) plus H gather+scatter
+    # (3 K-row passes), all at the measured random-gather rate
+    K = sum(bench.BLOCKS)
+    gather_bytes_per_iter = (g + 3 * K) * n * 4
+    gbps = res["col_gather_random_GBps"]
+    floor_ips = gbps * 1e9 / gather_bytes_per_iter
+    print(json.dumps({
+        "metric": "gather_floor",
+        "shape": {"genes": g, "cells": n, "batch": bs},
+        **res,
+        "implied_minibatch_floor_iters_per_sec": round(floor_ips, 1),
+        "note": ("random per-cell sampling is the reference semantic "
+                 "(sampling.py:6-16); the gather engine, not the kernels, "
+                 "bounds minibatch mode"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
