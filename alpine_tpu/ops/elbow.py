@@ -65,21 +65,41 @@ def find_elbow(
         raise ValueError(f"unknown curve/direction: {curve}/{direction}")
 
     d = y_t - x_n  # difference curve
+    # snap float noise to exact zero: on a perfectly straight line d is
+    # identically 0 up to rounding, and the minima-zeroed threshold below
+    # would otherwise fire on a -1e-16 wiggle and invent a knee where
+    # kneed (exact zeros) reports none
+    d[np.abs(d) < 1e-12] = 0.0
 
-    # local maxima of the difference curve
+    # local extrema of the difference curve (>=/<= marks plateau points,
+    # like scipy.argrelextrema with greater_equal/less_equal in kneed)
     interior = np.arange(1, n - 1)
     is_max = (d[interior] >= d[interior - 1]) & (d[interior] >= d[interior + 1])
     maxima = interior[is_max]
+    is_min = (d[interior] <= d[interior - 1]) & (d[interior] <= d[interior + 1])
+    minima = set(interior[is_min].tolist())
     if maxima.size == 0:
         return None
 
+    # kneed's offline (default) traversal, which the reference relies on:
+    # walk the curve from the first local max; each local max RESETS the
+    # threshold to d_max - S*mean(dx) (so an intervening higher max
+    # discards an earlier candidate), each local minimum zeroes it, and the
+    # FIRST point dropping below the active threshold declares the last
+    # thresholded max the knee.  (The earlier round's any-later-drop check
+    # could accept an early max kneed would have discarded.)
     threshold_drop = S * np.mean(np.diff(x_n))
-    # a local max is a knee if d later drops below (d_max - threshold)
-    for m in maxima:
-        thresh = d[m] - threshold_drop
-        after = d[m + 1:]
-        if after.size and np.any(after < thresh):
-            idx = int(m)
+    maxima_set = set(maxima.tolist())
+    threshold = 0.0
+    threshold_index = int(maxima[0])
+    for i in range(int(maxima[0]), n - 1):
+        if i in maxima_set:
+            threshold = d[i] - threshold_drop
+            threshold_index = i
+        if i in minima:
+            threshold = 0.0
+        if d[i + 1] < threshold:
+            idx = threshold_index
             return (n - 1 - idx) if flip_x else idx
     # no threshold crossing: kneed's KneeLocator reports no knee, and the
     # reference then warns + uses the default max_iter (main.py:766-770);

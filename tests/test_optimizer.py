@@ -408,3 +408,64 @@ def test_leiden_two_scale_hierarchy():
     assert macro is not None and len(set(macro.tolist())) == 2
     micro = leiden_native(*args, resolution=1.0, seed=0)
     assert micro is not None and len(set(micro.tolist())) == 8
+
+
+def test_score_ranking_stable_across_clustering_backends(monkeypatch):
+    """The optimizer's RANKING of hyperparameter settings must not depend
+    on which clustering backend scored them (native C++ Leiden vs the
+    pure-Python Louvain fallback users without g++ get) nor on the
+    clustering seed (round-2 verdict item 7).  Uses planted-batch-effect
+    data where lam controls covariate leakage, so the expected ranking is
+    known: higher lam -> cleaner unguided embedding -> lower score."""
+    import numpy as np
+
+    from alpine_tpu import ComponentOptimizer
+    from alpine_tpu.optimize import scoring
+
+    from .test_search_quality import _batch_effect_adata
+
+    adata = _batch_effect_adata()
+    co = ComponentOptimizer(adata, ["batch"], max_iter=40, device="cpu",
+                            random_state=0)
+    co.n_splits = 3
+    co.iter_records = []
+    base = {"n_components": 8, "n_covariate_components": [2],
+            "orth_W": 0.0, "alpha_W": 0.0, "l1_ratio_W": 0.0}
+    lams = [1e-3, 1e1, 1e4]
+
+    # fit once per setting; score the SAME embeddings under each backend
+    folds = co._stratified_folds()
+    embs = {lam: co._batched_fold_embeddings({**base, "lam": [lam]}, folds)
+            for lam in lams}
+    batch = co.adata.obs["batch"].to_numpy()
+
+    def scores(seed):
+        out = []
+        for lam in lams:
+            per_fold = [
+                scoring.embedding_score(
+                    scoring.leiden(np.asarray(emb), n_neighbors=15,
+                                   resolution=1.0, seed=seed),
+                    batch[va],
+                )
+                for (_, va), emb in zip(folds, embs[lam])
+            ]
+            out.append(float(np.mean(per_fold)))
+        return out
+
+    all_scores = []
+    for seed in (0, 1):
+        all_scores.append(scores(seed))
+        with monkeypatch.context() as m:
+            # force the no-g++ path: native library reports unavailable
+            m.setattr(scoring, "leiden_native", lambda *a, **k: None)
+            all_scores.append(scores(seed))
+
+    # Every backend/seed combination must pick the same best setting
+    # (lam=1e4, the planted answer) and separate it from BOTH leaky
+    # settings by a wide margin.  (The two leaky settings themselves are
+    # statistical ties — scores within noise of each other — so their
+    # mutual order is legitimately backend-dependent and not asserted.)
+    for s in all_scores:
+        assert int(np.argmin(s)) == 2, all_scores
+        assert s[2] < s[0] - 0.2 and s[2] < s[1] - 0.2, all_scores
