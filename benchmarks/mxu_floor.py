@@ -1,29 +1,32 @@
-"""Empirical MXU floor for the joint fused iteration (round-2 verdict
-item 4: "settle the int8 MXU floor with arithmetic or beat it").
+"""XLA dot-loop reference + K-padding evidence for the int8 joint mode
+(round-2 verdict item 4: "settle the int8 MXU floor with arithmetic or
+beat it" — the arithmetic half lives in benchmarks/roofline.py:mxu_model).
 
 Why int8 joint mode sits at ~50% of its HBM-bandwidth floor: once X is
-1 byte/element, each iteration's two X-sided matmuls — WᵀX (K×n output)
-and X@Hnᵀ (g×K output) — become the binding resource.  Both have a K-sized
-output dimension; the MXU's native tile is 128 lanes, so K=40 pads to 128
-and ~2/3 of the issued MAC slots are wasted.  Cutting the padding would
-require quantizing W/H to int8 as well (s8×s8→s32 passes), which would
-change the update numerics — off the table: integer X storage is sold as
-EXACT (the repo invariant gates update math at rtol 1e-11 against the
-float64 oracle).  There is no lane-packing trick either: the two dots
-contract over DIFFERENT axes (genes vs cells), so their operands cannot be
-concatenated into one wider MXU pass.
+1 byte/element, the iteration's MXU time stops hiding under the DMA.  The
+dominant term is X@Hnᵀ — output (genes × K), whose K=40 column dimension
+pads to the MXU's 128 lanes, wasting ~2/3 of the issued MAC slots
+(roofline.py quantifies: that one dot is ~0.26 ms of the measured
+~0.56 ms iteration).  Cutting the padding would require quantizing W/H to
+int8 as well (s8×s8→s32 passes), which would change the update numerics —
+off the table: integer X storage is sold as EXACT (the repo invariant
+gates update math at rtol 1e-11 against the float64 oracle).  There is no
+lane-packing trick either: the two X dots contract over DIFFERENT axes
+(genes vs cells), so their operands cannot be concatenated into one wider
+MXU pass.
 
-Rather than a contestable cycle model, this benchmark MEASURES the floor:
-it times a dependency-chained loop of exactly the per-iteration MXU work
-(the two big X dots + HHt + the WtW@H denominator pass, same dtypes and
-precisions as ops/pallas_kernels._iter_kernel) with X resident in HBM at
-the storage width.  Whatever iterations/sec this loop reaches is an upper
-bound for the full kernel — if the measured fused-kernel throughput is at
-~this bound, the kernel is MXU-bound and 'speed of light' for the design.
+What this benchmark MEASURES (two facts the model rests on):
 
-A second measurement at K=128 demonstrates the padding argument: the MXU
-cost is ~flat from K=40 to K=128 (both occupy one 128-lane tile), so users
-get 3x the components for free in int8 mode.
+1. `xla_dot_loop_iters_per_sec`: a dependency-chained XLA loop of exactly
+   the per-iteration matmul work (same dtypes/precisions as the kernel).
+   XLA streams X from HBM at the COMPUTE width for each of the two X dots
+   (2 passes × bf16), so this is what the same math costs WITHOUT the
+   fused kernel's single-storage-width-read design — the measured fused
+   kernel runs ~2.5x faster than this, which bounds how much of the gap
+   to the pure-bandwidth floor is 'implementation' vs 'physics'.
+2. K=40 vs K=128 at identical data: the cost is nearly flat (both pad to
+   one 128-lane tile), demonstrating the padding argument directly — and
+   meaning int8 users get ~3x the components nearly free.
 
 Usage:
     python benchmarks/mxu_floor.py            # measures on the default chip
@@ -63,7 +66,10 @@ def measure_dot_floor(K: int, iters: int = 200) -> float:
 
     prec = None if xdt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
-    def one(W, H):
+    # X is passed as an ARGUMENT, never closed over: a closure constant of
+    # this size gets baked into the remote-compile payload (CLAUDE.md:
+    # "HTTP 413" / hang through the axon tunnel)
+    def one(X, W, H):
         WtX = jax.lax.dot_general(
             W.astype(xdt), X, (((0,), (0,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32)
@@ -84,18 +90,18 @@ def measure_dot_floor(K: int, iters: int = 200) -> float:
         return Wn, Hn
 
     @jax.jit
-    def loop(W, H):
+    def loop(X, W, H):
         def body(c, _):
-            return one(*c), None
+            return one(X, *c), None
 
         (W, H), _ = jax.lax.scan(body, (W, H), None, length=iters)
         return W, H
 
-    np.asarray(jax.device_get(loop(W0, H0)[0]))  # compile + warm
+    np.asarray(jax.device_get(loop(X, W0, H0)[0]))  # compile + warm
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(jax.device_get(loop(W0, H0)[0]))
+        np.asarray(jax.device_get(loop(X, W0, H0)[0]))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best / iters
@@ -109,16 +115,16 @@ def main():
     sec_k = measure_dot_floor(K)
     sec_128 = measure_dot_floor(128)
     out = {
-        "metric": "mxu_floor",
+        "metric": "mxu_floor_evidence",
         "x_dtype": bench.resolved_dtype(),
         "shape": {"genes": bench.N_GENES, "cells": bench.N_CELLS, "K": K},
-        "mxu_floor_iters_per_sec_K%d" % K: round(1.0 / sec_k, 1),
-        "mxu_floor_iters_per_sec_K128": round(1.0 / sec_128, 1),
+        "xla_dot_loop_iters_per_sec_K%d" % K: round(1.0 / sec_k, 1),
+        "xla_dot_loop_iters_per_sec_K128": round(1.0 / sec_128, 1),
         "lane_padding_flatness_K%d_vs_K128" % K: round(sec_128 / sec_k, 3),
     }
     if measured_ips is not None:
-        out["measured_iters_per_sec"] = measured_ips
-        out["fraction_of_mxu_floor"] = round(measured_ips * sec_k, 3)
+        out["fused_kernel_iters_per_sec"] = measured_ips
+        out["fused_vs_xla_dot_loop"] = round(measured_ips * sec_k, 3)
     print(json.dumps(out))
 
 
