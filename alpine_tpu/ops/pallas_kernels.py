@@ -87,6 +87,12 @@ import os as _os
 
 _X_TILE_BYTES = int(float(_os.environ.get("ALPINE_TPU_X_TILE_MB", 6)) * 1024 * 1024)
 _VMEM_LIMIT_BYTES = int(float(_os.environ.get("ALPINE_TPU_VMEM_MB", 64)) * 1024 * 1024)
+# Hard ceiling for the per-call scoped limit when a large working set
+# needs more than the default 64MB (v5e has ~128MB physical VMEM; ~100MB
+# scoped is safely allocatable).  The gate admits shapes up to this cap
+# and the kernel raises its own scoped limit to fit them.
+_VMEM_HARD_CAP = int(float(_os.environ.get("ALPINE_TPU_VMEM_CAP_MB", 100))
+                     * 1024 * 1024)
 _LANE = 128
 
 
@@ -97,18 +103,30 @@ def working_set_bytes(n_genes: int, K: int, tile: int, itemsize: int = 4,
     (the round-2 gate's gap: large genes x K shapes passed the X-only check
     and then failed, or hung, inside Mosaic):
 
-    - grid-invariant full blocks, resident once: W (g,K), the XHt (g,K)
-      accumulator, WtW (K,K), the packed B-stats block, Bs (counted at
-      width K — conservative vs the true k_i),
+    - grid-invariant INPUT blocks, resident once: W (g,K), WtW (K,K), Bs
+      (counted at width K — conservative vs the true k_i),
+    - grid-invariant OUTPUT accumulators, counted TWICE — Mosaic stages
+      each output in addition to the in-kernel accumulator (measured: the
+      g=20k × K=200 f32 shape allocates 69.19MB on the VMEM stack, which
+      this model reproduces within 1% only with XHt (g,K), HHt (K,K) and
+      the stats block doubled),
     - per-step streamed blocks, double-buffered by the pipeline: the X and
       Y tiles at STORAGE width, H in + H out tiles (f32),
     - ~4 K-row f32 temporaries the kernel body materializes per tile
       (WtX, num, den, the guided ratio)."""
     labels = sum(n_labels)
     stat_rows = labels + 2 * len(n_labels)
-    fixed = 4 * (2 * n_genes * K + K * K + stat_rows * K + labels * K)
+    fixed = 4 * (3 * n_genes * K + 3 * K * K + 2 * stat_rows * K
+                 + labels * K)
     per_tile = tile * (2 * (n_genes + labels) * itemsize + 8 * K * 4)
     return fixed + per_tile
+
+
+def _vmem_limit_for(ws_bytes: int) -> int:
+    """Per-call scoped-vmem limit: the swept default, raised (with a 5%
+    margin) up to the hard cap when the working set needs it."""
+    return min(_VMEM_HARD_CAP,
+               max(_VMEM_LIMIT_BYTES, int(ws_bytes * 1.05)))
 
 
 def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
@@ -117,11 +135,13 @@ def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
 
     Two caps: the X-tile byte budget (throughput-swept heuristic — beyond
     it, wider tiles stop helping), and — when K is known — the WHOLE
-    working set against the scoped VMEM limit, stepping the tile down to a
-    single lane before giving up.  Unlike the round-2 X-only gate, a large
-    gene count alone no longer disqualifies the kernel: g=20k float32
-    exceeds the 6MB X budget at any lane multiple but fits the VMEM limit
-    at tile=128 (SURVEY §7 "X >> VMEM"; round-2 verdict item 3).
+    working set against the VMEM hard cap (the kernel raises its scoped
+    limit per call, up to ~100MB of the v5e's ~128MB physical VMEM),
+    stepping the tile down to a single lane before giving up.  Unlike the
+    round-2 X-only gate, a large gene count alone no longer disqualifies
+    the kernel: g=20k float32 exceeds the 6MB X budget at any lane
+    multiple but fits at tile=128 (SURVEY §7 "X >> VMEM"; round-2 verdict
+    item 3).
 
     With K=None (legacy callers without shape info) only the X budget
     applies — the conservative pre-round-3 behavior."""
@@ -131,7 +151,7 @@ def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
     tile = max(base, _LANE)
     while tile >= _LANE:
         if working_set_bytes(n_genes, K, tile, itemsize,
-                             n_labels) <= _VMEM_LIMIT_BYTES:
+                             n_labels) <= _VMEM_HARD_CAP:
             return tile
         tile -= _LANE
     return None
@@ -300,7 +320,8 @@ def fused_h_update(
     kwargs = {}
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+            vmem_limit_bytes=_vmem_limit_for(
+                working_set_bytes(g, K, tile_n, X.dtype.itemsize))
         )
     Hn, XHt, HHt, ld = pl.pallas_call(
         kernel,
@@ -510,9 +531,11 @@ def fused_iteration(
     kwargs = {}
     if not interpret and pltpu is not None:
         # v5e has ~128MB of VMEM; the default 16MB scoped limit throttles
-        # double-buffering of the X tiles
+        # double-buffering of the X tiles, and large gene×K working sets
+        # raise the limit further (up to the hard cap the gate enforced)
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+            vmem_limit_bytes=_vmem_limit_for(
+                working_set_bytes(g, K, tile_n, X.dtype.itemsize, n_labels))
         )
     results = pl.pallas_call(
         kernel,

@@ -35,7 +35,11 @@ import numpy as np
 
 N_CELLS = int(os.environ.get("ALPINE_BENCH_CELLS", 100_000))
 N_GENES = int(os.environ.get("ALPINE_BENCH_GENES", 2_000))
-BLOCKS = (5, 5, 30)
+# component split; override e.g. ALPINE_BENCH_BLOCKS=20,20,88 to measure
+# the K-padding flatness directly on the fused kernel (K <= 128 costs the
+# same MXU slots as K=40 — see benchmarks/roofline.py mxu_model)
+BLOCKS = tuple(int(b) for b in
+               os.environ.get("ALPINE_BENCH_BLOCKS", "5,5,30").split(","))
 N_LABELS = (2, 3)
 TPU_ITERS = int(os.environ.get("ALPINE_BENCH_ITERS", 500))
 REPEATS = int(os.environ.get("ALPINE_BENCH_REPEATS", 5))
@@ -243,6 +247,8 @@ def main():
         als_tag += f"_bs{BATCH}"
     if SAMPLING == "weighted":
         als_tag += "_weighted"
+    if BLOCKS != (5, 5, 30):
+        als_tag += f"_K{sum(BLOCKS)}"
     print(json.dumps({
         "metric": f"mu_iters_per_sec_{N_CELLS//1000}k_cells_{N_GENES//1000}k_genes{als_tag}",
         "value": round(value, 3),

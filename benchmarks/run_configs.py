@@ -20,10 +20,16 @@ from alpine_tpu import ALPINE, AnnData, ComponentOptimizer  # noqa: E402
 
 
 def pbmc_like(n_cells=2700, n_genes=2000, n_cov=2, seed=0):
+    """Raw-count data (Poisson over a low-rank rate), like actual PBMC3k
+    input.  Round 3: switched from fractional gamma noise to counts — the
+    realistic single-cell input — so the configs also exercise the
+    data_dtype='auto' → exact int8 storage default; final_loss values are
+    therefore not comparable to the r1/r2 recordings (different data)."""
     r = np.random.default_rng(seed)
     k = 12
-    X = (r.gamma(2.0, 1.0, (n_genes, k)) @ r.gamma(2.0, 1.0, (k, n_cells))
-         + r.random((n_genes, n_cells))).astype(np.float32).T
+    X = r.poisson(
+        r.gamma(2.0, 1.0, (n_genes, k)) @ r.gamma(2.0, 0.1, (k, n_cells))
+    ).clip(0, 127).astype(np.float32).T
     obs = pd.DataFrame(index=[f"c{i}" for i in range(n_cells)])
     names = ["batch", "condition"][:n_cov]
     for j, name in enumerate(names):
