@@ -253,6 +253,25 @@ class ALPINE:
                 "per-process fit inputs (local cell count, gene count, "
                 "covariate label sets)",
             )
+            # an EXPLICIT integer dtype can be un-castable on one shard
+            # only (e.g. a count > 127 lives on process 1); that process
+            # raising alone would leave the others blocked at the next
+            # collective — validate collectively so every process raises
+            # (auto-resolved dtypes cannot fail: suggest + harmonization
+            # above guarantee representability)
+            if resolved_dtype in ("int8", "int16"):
+                limit = np.iinfo(resolved_dtype).max
+                bad = float(
+                    np.mod(X, 1.0).any()
+                    or not (float(X.min(initial=0.0)) >= 0)
+                    or float(X.max(initial=0.0)) > limit
+                )
+                if dist.process_allgather_rows(np.asarray([bad])).any():
+                    raise ValueError(
+                        f"data_dtype='{resolved_dtype}' cannot represent "
+                        "the data on at least one process's shard "
+                        f"(requires integer values in [0, {limit}])."
+                    )
             n_sample = n_local * placement.n_processes  # GLOBAL cell count
 
         # commit estimator state only after the encoders fitted

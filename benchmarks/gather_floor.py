@@ -98,21 +98,33 @@ def main():
         sec = _time_fn(fn, *args)
         res[name + "_GBps"] = round(bytes_per_call / sec / 1e9, 2)
 
-    # implied minibatch floor: per iteration the fit gathers the full X
-    # once across its batches (one epoch permutation) plus H gather+scatter
-    # (3 K-row passes), all at the measured random-gather rate
+    # implied minibatch rate: per iteration the fit gathers the full X
+    # once across its batches (one epoch permutation) at the STORAGE
+    # width plus H gather+scatter (3 K-row f32 passes), at the measured
+    # random-gather byte rate.  An order-of-magnitude estimate, not a
+    # strict floor: the real fit overlaps gathers with compute and lands
+    # somewhat above it (measured ~99 it/s at bs=8192 int8 vs ~71
+    # implied), but both sit at ~2-3% of the 819 GB/s streaming rate —
+    # the gather engine, not the kernels, is what bounds minibatch mode.
+    from alpine_tpu.ops import mu
+
     K = sum(bench.BLOCKS)
-    gather_bytes_per_iter = (g + 3 * K) * n * 4
+    x_is = mu.x_storage_itemsize(bench.resolved_dtype())
+    gather_bytes_per_iter = (g * x_is + 3 * K * 4
+                             + sum(bench.N_LABELS) * x_is) * n
     gbps = res["col_gather_random_GBps"]
-    floor_ips = gbps * 1e9 / gather_bytes_per_iter
+    impl_ips = gbps * 1e9 / gather_bytes_per_iter
     print(json.dumps({
         "metric": "gather_floor",
         "shape": {"genes": g, "cells": n, "batch": bs},
+        "x_dtype": bench.resolved_dtype(),
         **res,
-        "implied_minibatch_floor_iters_per_sec": round(floor_ips, 1),
+        "implied_minibatch_iters_per_sec": round(impl_ips, 1),
         "note": ("random per-cell sampling is the reference semantic "
-                 "(sampling.py:6-16); the gather engine, not the kernels, "
-                 "bounds minibatch mode"),
+                 "(sampling.py:6-16); gathers run at ~2% of the streaming "
+                 "bandwidth regardless of index sortedness or layout, so "
+                 "the gather engine, not the kernels, bounds minibatch "
+                 "mode"),
     }))
 
 

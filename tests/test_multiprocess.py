@@ -78,6 +78,21 @@ model.transform(fresh_local, n_iter=5)
 emb = fresh_local.obsm["ALPINE_embedding"]
 assert emb.shape == (n_local, 6) and np.isfinite(emb).all()
 
+# an explicit int dtype that only ONE shard cannot represent must raise
+# on EVERY process (collective validation; a lone raise would deadlock
+# the others at the next collective)
+bad_local = full[np.arange(lo, hi)].copy()
+bad_local.X = np.floor(bad_local.X).clip(0, 100)
+if pid == 1:
+    bad_local.X[0, 0] = 300.0  # > int8 max, on process 1's shard only
+mbad = ALPINE(device=mesh, data_dtype="int8", **{k: v for k, v in kw.items()
+                                                 if k != "data_dtype"})
+try:
+    mbad.fit(bad_local, ["batch", "condition"], max_iter=2)
+    raise AssertionError("expected ValueError for unrepresentable shard")
+except ValueError as e:
+    assert "cannot represent" in str(e), e
+
 # coordinator gating helper
 assert dist.is_coordinator() == (pid == 0)
 print(f"WORKER-{pid}-OK", flush=True)
