@@ -256,22 +256,20 @@ class ALPINE:
             # an EXPLICIT integer dtype can be un-castable on one shard
             # only (e.g. a count > 127 lives on process 1); that process
             # raising alone would leave the others blocked at the next
-            # collective — validate collectively so every process raises
+            # collective — validate collectively (the shared
+            # dtype_can_store predicate) so every process raises
             # (auto-resolved dtypes cannot fail: suggest + harmonization
             # above guarantee representability)
-            if resolved_dtype in ("int8", "int16"):
+            from alpine_tpu.utils.adata import dtype_can_store
+
+            bad = float(not dtype_can_store(resolved_dtype, X))
+            if dist.process_allgather_rows(np.asarray([bad])).any():
                 limit = np.iinfo(resolved_dtype).max
-                bad = float(
-                    np.mod(X, 1.0).any()
-                    or not (float(X.min(initial=0.0)) >= 0)
-                    or float(X.max(initial=0.0)) > limit
+                raise ValueError(
+                    f"data_dtype='{resolved_dtype}' cannot represent "
+                    "the data on at least one process's shard "
+                    f"(requires integer values in [0, {limit}])."
                 )
-                if dist.process_allgather_rows(np.asarray([bad])).any():
-                    raise ValueError(
-                        f"data_dtype='{resolved_dtype}' cannot represent "
-                        "the data on at least one process's shard "
-                        f"(requires integer values in [0, {limit}])."
-                    )
             n_sample = n_local * placement.n_processes  # GLOBAL cell count
 
         # commit estimator state only after the encoders fitted
@@ -1152,15 +1150,42 @@ class ALPINE:
     def _transform(self, adata, n_iter: int) -> None:
         """Out-of-sample projection: plain Frobenius MU onto frozen W
         (reference main.py:678-724)."""
+        if adata.shape[1] != self.n_features:
+            # the reference lets this surface as an opaque matmul shape
+            # error deep in the projection; fail with the actual reason
+            raise ValueError(
+                f"adata has {adata.shape[1]} genes but the model was fit "
+                f"on {self.n_features}; transform requires the same gene "
+                "axis (same order) as the training data."
+            )
         placement = Placement(self.device)
         n_sample = adata.shape[0]
 
         mp = placement.is_multiprocess
         cached = getattr(self, "_x_cache", None)
+        use_cache = (cached is not None
+                     and not env_flag("ALPINE_TPU_NO_X_CACHE")
+                     and cached[2] == n_sample
+                     and cached[1] == self._x_fingerprint(adata.X))
+        if mp:
+            # collectives must run UNCONDITIONALLY and in the same order on
+            # every process — a consistency check inside the cache-miss
+            # branch would deadlock whenever processes disagree on the hit
+            from alpine_tpu.parallel import distributed as dist
+
+            dist.assert_same_across_processes(
+                [n_sample, adata.shape[1]],
+                "per-process transform inputs (local cells, genes)",
+            )
+            # ...and the cache decision itself must be collective: a mixed
+            # hit/miss would give processes different pad widths (hence
+            # different compiled programs) — use the cache only if EVERY
+            # process hit it
+            hits = dist.process_allgather_rows(
+                np.asarray([float(use_cache)]))
+            use_cache = bool(hits.all())
         X = None
-        if (cached is not None and not env_flag("ALPINE_TPU_NO_X_CACHE")
-                and cached[2] == n_sample
-                and cached[1] == self._x_fingerprint(adata.X)):
+        if use_cache:
             # same data the model was fit on: reuse the device-resident X
             # (already validated non-negative and pad-aligned at fit time).
             # cached[3] is the fit's LOCAL cell-axis pad (== global pad in
@@ -1180,13 +1205,6 @@ class ALPINE:
             pad = (-n_sample) % (placement.local_cell_shards if mp
                                  else placement.cell_shards)
             placement.check_gene_axis(self.n_features)
-            if mp:
-                from alpine_tpu.parallel import distributed as dist
-
-                dist.assert_same_across_processes(
-                    [n_sample, adata.shape[1]],
-                    "per-process transform inputs (local cells, genes)",
-                )
             # narrow cast first: half-size pad.  strict=False: out-of-sample
             # data need not be integer-representable (the reference's
             # transform accepts any non-negative X); int-fit models project

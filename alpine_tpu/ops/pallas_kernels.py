@@ -149,9 +149,13 @@ def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
     if K is None:
         return base if base >= _LANE else None
     tile = max(base, _LANE)
+    # gate against cap/1.05 so _vmem_limit_for's 5% margin over the model
+    # survives the cap clamp — otherwise working sets just under the cap
+    # would compile with ~zero headroom against a ~1%-accurate model
+    budget = int(_VMEM_HARD_CAP / 1.05)
     while tile >= _LANE:
         if working_set_bytes(n_genes, K, tile, itemsize,
-                             n_labels) <= _VMEM_HARD_CAP:
+                             n_labels) <= budget:
             return tile
         tile -= _LANE
     return None

@@ -222,13 +222,24 @@ class ComponentOptimizer:
         # int8 on one fold and int16 on another — a pointless recompile and
         # a cross-fold inconsistency); integer counts get exact narrow
         # storage, fractional data stays float32.
-        from alpine_tpu.utils.adata import suggest_data_dtype
+        from alpine_tpu.utils.adata import dtype_can_store, suggest_data_dtype
 
         self.data_dtype: str = data_dtype
         self.data_dtype_: str = (
             suggest_data_dtype(self.adata.X) if data_dtype == "auto"
             else data_dtype
         )
+        # an EXPLICIT integer dtype must be validated HERE: the batched CV
+        # path casts the stacked fold tensors directly (prepare_fold_data),
+        # where a non-representable value would silently truncate/wrap and
+        # poison every trial's score instead of raising like ALPINE.fit
+        if not dtype_can_store(self.data_dtype_, self.adata.X):
+            limit = np.iinfo(self.data_dtype_).max
+            raise ValueError(
+                f"data_dtype='{self.data_dtype_}' requires adata.X to hold "
+                f"integer values in [0, {limit}]; use 'auto' to select a "
+                "storage dtype that fits the data."
+            )
         self.best_param: dict = {}
 
         self.max_iter_detect = self.max_iter is None

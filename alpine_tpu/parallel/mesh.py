@@ -164,7 +164,16 @@ class Placement:
         import jax
 
         pid = jax.process_index()
-        return sum(1 for d in self.mesh.devices.flat if d.process_index == pid)
+        n = sum(1 for d in self.mesh.devices.flat if d.process_index == pid)
+        if n == 0:
+            # fail HERE with the real reason, not as a downstream
+            # ZeroDivisionError in the padding arithmetic
+            raise ValueError(
+                "this process owns no devices of the mesh — every process "
+                "of a multi-process fit must contribute devices (use "
+                "distributed.global_cell_mesh)"
+            )
+        return n
 
     @property
     def n_processes(self) -> int:

@@ -93,6 +93,21 @@ def suggest_data_dtype(X: Any) -> str:
     return "float32"
 
 
+def dtype_can_store(data_dtype: str, X: Any) -> bool:
+    """Whether an X is EXACTLY representable under a storage dtype name —
+    THE single predicate behind every narrow-cast validation (the model
+    layer's strict cast, the optimizer's up-front check, the multi-process
+    collective check).  Float dtypes always store (bfloat16 rounds by
+    documented design); integer dtypes require what suggest_data_dtype
+    certifies: non-negative integers within range."""
+    if data_dtype not in ("int8", "int16"):
+        return True
+    suggested = suggest_data_dtype(X)
+    if suggested == "float32":  # fractional, negative, or NaN somewhere
+        return False
+    return np.iinfo(suggested).max <= np.iinfo(data_dtype).max
+
+
 def x_min(X: Any) -> float:
     """Minimum value of an adata.X without densifying (sparse implicit zeros
     count as 0).  NaN anywhere propagates to a NaN return — validate with

@@ -62,13 +62,18 @@ SAMPLING = os.environ.get("ALPINE_BENCH_SAMPLING", "random")
 
 def resolved_dtype() -> str:
     """The X storage dtype this bench run uses: the env override, or the
-    library's data_dtype="auto" resolution on the bench data (integer counts
-    <= 127 -> "int8").  Shared with benchmarks/roofline.py so the byte
-    accounting always matches the measured configuration."""
+    library's data_dtype="auto" resolution applied to a sample drawn from
+    the same distribution _make_data uses (NOT a hardcoded mapping — if
+    the bench data generator changes, this resolves with it).  Shared with
+    benchmarks/roofline.py and the floor scripts so their byte accounting
+    always matches the measured configuration."""
     dt = os.environ.get("ALPINE_BENCH_DTYPE", "auto")
     if dt != "auto":
         return dt
-    return "int8"  # suggest_data_dtype on Poisson counts clipped to <= 127
+    from alpine_tpu.utils.adata import suggest_data_dtype
+
+    sample = np.random.default_rng(0).poisson(1.5, 4096).clip(0, 127)
+    return suggest_data_dtype(sample.astype(np.float32)[None, :])
 
 
 def _make_data(rng):

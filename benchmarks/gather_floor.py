@@ -59,7 +59,10 @@ def main():
     r = np.random.default_rng(0)
     X = jnp.asarray(r.random((g, n), dtype=np.float32))
     Xt = jnp.asarray(np.asarray(X).T.copy())
-    idx_rand = jnp.asarray(r.choice(n, size=(reps, bs), replace=False))
+    # replace=False needs reps*bs <= n; fall back to with-replacement when
+    # env overrides (smaller ALPINE_BENCH_CELLS / larger batch) exceed it
+    idx_rand = jnp.asarray(
+        r.choice(n, size=(reps, bs), replace=(reps * bs > n)))
     idx_sort = jnp.asarray(np.sort(np.asarray(idx_rand), axis=1))
 
     @jax.jit

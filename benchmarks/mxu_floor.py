@@ -24,9 +24,13 @@ What this benchmark MEASURES (two facts the model rests on):
    fused kernel's single-storage-width-read design — the measured fused
    kernel runs ~2.5x faster than this, which bounds how much of the gap
    to the pure-bandwidth floor is 'implementation' vs 'physics'.
-2. K=40 vs K=128 at identical data: the cost is nearly flat (both pad to
-   one 128-lane tile), demonstrating the padding argument directly — and
-   meaning int8 users get ~3x the components nearly free.
+2. K=40 vs K=128 at identical data THROUGH THIS LOOP: nearly flat,
+   because the loop is DMA-bound (2 bf16 X passes) so the K-growth hides.
+   On the FUSED kernel itself the growth is visible but sublinear —
+   measured (bench.py ALPINE_BENCH_BLOCKS=20,20,81) K=121 costs ~1.56x
+   K=40 for 3x the components: XHt's lane-padded term is K-invariant up
+   to 128, while WtX's sublane padding (40 -> 128 rows) and the f32 K^2
+   terms grow — exactly what roofline.py's r8/r128 model predicts.
 
 Usage:
     python benchmarks/mxu_floor.py            # measures on the default chip

@@ -15,11 +15,11 @@ or VMEM-resident.  Minimum HBM traffic per iteration:
 int8 storage (count data; kernels dequantize tiles in VMEM) halves the X
 read again, at which point the bench shape stops being bandwidth-bound: the
 two X-sided matmuls pad their K=40 output dimension to the MXU's 128 lanes,
-so the matrix-unit time becomes the binding floor (measured int8 ~1740-1770
-it/s vs the pure-bandwidth floor's ~3500).  `benchmarks/mxu_floor.py`
-MEASURES that floor on-chip (a dependency-chained loop of exactly the
-per-iteration MXU work) instead of arguing it from a cycle model, and shows
-the K=40 vs K=128 cost is ~flat (both pad to one 128-lane tile).  The
+so the matrix-unit time becomes the binding floor (measured int8 ~1440-1770
+it/s across sessions vs the pure-bandwidth floor's ~3500).  `mxu_model()`
+below holds the MAC-slot arithmetic; `benchmarks/mxu_floor.py` measures the
+supporting evidence (the XLA dot-loop reference and the K-growth
+behavior — sublinear on the fused kernel, as the model predicts).  The
 bandwidth fraction this script prints is therefore NOT the right lens for
 JOINT int8 at small K; it is for bf16/f32, where DMA dominates — and for
 ALS int8, which stays bandwidth-bound (4 X passes/iter) and gains the full
@@ -73,10 +73,13 @@ def mxu_model(K: int = None) -> dict:
     pure-bandwidth floor: X@Hnᵀ alone — output (genes, K=40→128 lanes) —
     is ~0.26 ms, half the measured ~0.56 ms iteration; total modeled MXU
     time ~0.51 ms vs DMA ~0.29 ms, so the matrix unit, not HBM, binds.
-    The fused kernel's measured throughput lands at ~90% of the
-    overlapped-model ceiling — and the padding cannot be removed without
+    The measured kernel lands between the serial and fully-overlapped
+    combined floors — and the padding cannot be removed without
     quantizing W/H (exactness contract) and cannot be packed away (the
-    two X dots contract over different axes)."""
+    two X dots contract over different axes).  Cross-check: the model
+    predicts K growth is sublinear up to 128 lanes (XHt's padded term is
+    K-invariant; WtX's sublane rows and the K^2 f32 terms grow) — the
+    kernel measures K=121 at ~1.56x the K=40 cost for 3x components."""
     g, n = bench.N_GENES, _r(bench.N_CELLS, 128)
     if K is None:
         K = sum(bench.BLOCKS)

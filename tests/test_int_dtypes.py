@@ -441,3 +441,36 @@ def test_optimizer_search_runs_with_auto_int8():
     assert "n_components" in best
     hist = co.get_train_history()
     assert np.isfinite(hist["score"]).all()
+
+
+def test_optimizer_rejects_unrepresentable_explicit_dtype():
+    """The batched CV path casts fold tensors directly, where an invalid
+    explicit dtype would silently truncate/wrap — the optimizer must
+    validate representability up front (review finding, round 3)."""
+    from alpine_tpu.optimize.optimizer import ComponentOptimizer
+
+    frac = make_count_adata(n_cells=60, n_genes=12)
+    frac.X = frac.X + 0.5  # fractional
+    with pytest.raises(ValueError, match="integer values"):
+        ComponentOptimizer(frac, ["batch"], max_iter=5, data_dtype="int8")
+
+    big = make_count_adata(n_cells=60, n_genes=12)
+    big.X = big.X.copy()
+    big.X[0, 0] = 300.0  # > int8 range
+    with pytest.raises(ValueError, match="int8"):
+        ComponentOptimizer(big, ["batch"], max_iter=5, data_dtype="int8")
+    # int16 still fine for the same data
+    ComponentOptimizer(big, ["batch"], max_iter=5, data_dtype="int16")
+
+
+def test_dtype_can_store_predicate():
+    from alpine_tpu.utils.adata import dtype_can_store
+
+    counts = np.asarray([[0.0, 5.0, 127.0]], np.float32)
+    assert dtype_can_store("int8", counts)
+    assert dtype_can_store("int16", counts)
+    assert dtype_can_store("bfloat16", np.asarray([[0.5]]))  # rounds by design
+    assert not dtype_can_store("int8", np.asarray([[128.0]], np.float32))
+    assert not dtype_can_store("int8", np.asarray([[0.5]], np.float32))
+    assert not dtype_can_store("int16", np.asarray([[-1.0]], np.float32))
+    assert not dtype_can_store("int8", np.asarray([[np.nan]], np.float32))

@@ -459,3 +459,15 @@ def test_failed_fit_does_not_install_x_cache(monkeypatch):
     with pytest.raises(RuntimeError, match="injected"):
         model.fit(make_synthetic_adata(), ["batch", "condition"], max_iter=5)
     assert getattr(model, "_x_cache", None) is None
+
+
+def test_transform_rejects_mismatched_gene_axis(synthetic_adata):
+    """A query with a different gene count must fail with a clear message,
+    not an opaque matmul shape error deep in the projection (the
+    reference's behavior)."""
+    m = ALPINE(n_components=5, n_covariate_components=[2], lam=[1.0],
+               device="cpu", random_state=0)
+    m.fit(synthetic_adata, ["batch"], max_iter=4)
+    wrong = make_synthetic_adata(n_cells=30, n_genes=17)
+    with pytest.raises(ValueError, match="17 genes.*fit on 40"):
+        m.transform(wrong, n_iter=3)
