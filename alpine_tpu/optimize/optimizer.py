@@ -191,6 +191,22 @@ class ComponentOptimizer:
                 "or 'int16'."
             )
 
+        from alpine_tpu.parallel.mesh import Placement, resolve_device
+
+        if Placement(resolve_device(device)).is_multiprocess:
+            # CV folds are host-side subsets of the full dataset; a
+            # multi-process fit would re-interpret each fold as a
+            # per-process shard — wrong semantics, caught here instead of
+            # as garbage scores.  Search single-process (folds already
+            # parallelize over local devices), then fit the winning
+            # parameters multi-process.
+            raise NotImplementedError(
+                "ComponentOptimizer does not support multi-process meshes; "
+                "run the search in one process (device=make_cell_mesh()) "
+                "and use ALPINE(device=dist.global_cell_mesh()) for the "
+                "final multi-host fit."
+            )
+
         self.adata = adata.copy()
         self.covariate_keys: List[str] = covariate_keys
         self.use_als: bool = use_als

@@ -166,3 +166,25 @@ def test_assert_same_across_processes_single_is_noop():
     from alpine_tpu.parallel import distributed as dist
 
     dist.assert_same_across_processes([1, 2, 3], "anything")  # no raise
+
+
+def test_optimizer_rejects_multiprocess_mesh(monkeypatch):
+    """CV folds are host-side subsets of the full data; a multi-process
+    fit would re-interpret them as per-process shards — the optimizer must
+    reject the topology up front with guidance."""
+    import jax
+
+    from alpine_tpu import ComponentOptimizer
+    from alpine_tpu.parallel import mesh as mesh_mod
+    from .conftest import make_synthetic_adata
+
+    monkeypatch.setattr(
+        mesh_mod.Placement, "is_multiprocess",
+        property(lambda self: self.mesh is not None),
+    )
+    adata = make_synthetic_adata(n_cells=40, n_genes=10)
+    with pytest.raises(NotImplementedError, match="multi-process"):
+        ComponentOptimizer(adata, ["batch"],
+                           device=mesh_mod.make_cell_mesh(1))
+    # non-mesh devices unaffected by the (patched) property
+    ComponentOptimizer(adata, ["batch"], device="cpu", max_iter=5)
