@@ -96,8 +96,23 @@ _VMEM_HARD_CAP = int(float(_os.environ.get("ALPINE_TPU_VMEM_CAP_MB", 100))
 _LANE = 128
 
 
+# the gate and the per-call scoped limit keep this headroom over the
+# working-set model (calibrated against two REAL Mosaic allocations, see
+# working_set_bytes — the model lands within ~7% of measured, so 15%)
+_WS_MARGIN = 1.15
+
+
+def _cast_itemsize_for(itemsize: int) -> int:
+    """Per-element bytes of the in-VMEM dequant copy when only the STORAGE
+    itemsize is known (model-layer callers): conservative — int8 (1B)
+    dequantizes to bf16 (2B); 2B storage is treated as int16→f32 (4B) even
+    though bfloat16 needs no copy; f32/f64 compute as stored (0)."""
+    return {1: 2, 2: 4}.get(itemsize, 0)
+
+
 def working_set_bytes(n_genes: int, K: int, tile: int, itemsize: int = 4,
-                      n_labels: Tuple[int, ...] = ()) -> int:
+                      n_labels: Tuple[int, ...] = (),
+                      cast_itemsize: Optional[int] = None) -> int:
     """Conservative VMEM bytes for one fused-iteration grid step at a given
     cell-tile width.  Covers the WHOLE working set — not just the X tile
     (the round-2 gate's gap: large genes x K shapes passed the X-only check
@@ -106,27 +121,36 @@ def working_set_bytes(n_genes: int, K: int, tile: int, itemsize: int = 4,
     - grid-invariant INPUT blocks, resident once: W (g,K), WtW (K,K), Bs
       (counted at width K — conservative vs the true k_i),
     - grid-invariant OUTPUT accumulators, counted TWICE — Mosaic stages
-      each output in addition to the in-kernel accumulator (measured: the
-      g=20k × K=200 f32 shape allocates 69.19MB on the VMEM stack, which
-      this model reproduces within 1% only with XHt (g,K), HHt (K,K) and
-      the stats block doubled),
+      each output in addition to the in-kernel accumulator,
     - per-step streamed blocks, double-buffered by the pipeline: the X and
       Y tiles at STORAGE width, H in + H out tiles (f32),
-    - ~4 K-row f32 temporaries the kernel body materializes per tile
-      (WtX, num, den, the guided ratio)."""
+    - the in-VMEM dequant copy of the X/Y tile at COMPUTE width when
+      storage != compute dtype (int8→bf16, int16→f32; zero for f32/bf16),
+    - ~10 K-row f32 temporaries the kernel body materializes per tile
+      (WtX, num, den, the guided stacks, the Hn cast for X@Hnᵀ).
+
+    Calibration against real Mosaic stack allocations: g=20k × K=200 f32
+    (no dequant) allocated 69.19M vs ~67M modeled; the int8 tile=12544
+    probe allocated 127.35M vs ~119M modeled — both within the _WS_MARGIN
+    headroom the gate and the per-call limit keep."""
     labels = sum(n_labels)
     stat_rows = labels + 2 * len(n_labels)
+    if cast_itemsize is None:
+        cast_itemsize = _cast_itemsize_for(itemsize)
     fixed = 4 * (3 * n_genes * K + 3 * K * K + 2 * stat_rows * K
                  + labels * K)
-    per_tile = tile * (2 * (n_genes + labels) * itemsize + 8 * K * 4)
+    per_tile = tile * (
+        (2 * itemsize + cast_itemsize) * (n_genes + labels)
+        + 10 * K * 4 + 2 * K * cast_itemsize
+    )
     return fixed + per_tile
 
 
 def _vmem_limit_for(ws_bytes: int) -> int:
-    """Per-call scoped-vmem limit: the swept default, raised (with a 5%
-    margin) up to the hard cap when the working set needs it."""
+    """Per-call scoped-vmem limit: the swept default, raised (with the
+    calibration margin) up to the hard cap when the working set needs it."""
     return min(_VMEM_HARD_CAP,
-               max(_VMEM_LIMIT_BYTES, int(ws_bytes * 1.05)))
+               max(_VMEM_LIMIT_BYTES, int(ws_bytes * _WS_MARGIN)))
 
 
 def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
@@ -149,10 +173,10 @@ def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
     if K is None:
         return base if base >= _LANE else None
     tile = max(base, _LANE)
-    # gate against cap/1.05 so _vmem_limit_for's 5% margin over the model
+    # gate against cap/margin so _vmem_limit_for's headroom over the model
     # survives the cap clamp — otherwise working sets just under the cap
-    # would compile with ~zero headroom against a ~1%-accurate model
-    budget = int(_VMEM_HARD_CAP / 1.05)
+    # would compile with ~zero slack against the calibrated model
+    budget = int(_VMEM_HARD_CAP / _WS_MARGIN)
     while tile >= _LANE:
         if working_set_bytes(n_genes, K, tile, itemsize,
                              n_labels) <= budget:
