@@ -254,7 +254,7 @@ def _load_x(X_ref):
 
 def _h_kernel(tile_n, n_cells, precision, eps_ref, X_ref, W_ref, H_ref,
               WtW_ref, *rest):
-    Hn_ref, XHt_ref, HHt_ref, ld_ref = rest
+    Hn_ref, HXt_ref, HHt_ref, ld_ref = rest
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
     prec = _prec(precision)
@@ -280,12 +280,18 @@ def _h_kernel(tile_n, n_cells, precision, eps_ref, X_ref, W_ref, H_ref,
 
     @pl.when(i == 0)
     def _():
-        XHt_ref[:] = jnp.zeros_like(XHt_ref)
+        HXt_ref[:] = jnp.zeros_like(HXt_ref)
         HHt_ref[:] = jnp.zeros_like(HHt_ref)
         ld_ref[0, 0] = 0.0
 
-    XHt_ref[:] += jax.lax.dot_general(
-        Xm, Hn.astype(xdt), (((1,), (1,)), ((), ())),
+    # accumulate Hn @ Xᵀ — the (K, genes) orientation of the next W
+    # update's X@Hnᵀ.  Same contraction over the tile axis, but K lands on
+    # the 8-granular SUBLANE axis instead of padding to 128 output lanes:
+    # at K=40 the (genes, K) orientation wastes ~2/3 of its MAC slots
+    # (roofline.py mxu_model — this one dot was the single largest MXU
+    # term).  The caller transposes the tiny (K, genes) block once.
+    HXt_ref[:] += jax.lax.dot_general(
+        Hn.astype(xdt), Xm, (((1,), (1,)), ((), ())),
         precision=xprec, preferred_element_type=jnp.float32,
     )
     HHt_ref[:] += jax.lax.dot_general(
@@ -333,13 +339,13 @@ def fused_h_update(
 
     out_shape = (
         jax.ShapeDtypeStruct((K, n), jnp.float32),   # H_new
-        jax.ShapeDtypeStruct((g, K), jnp.float32),   # XHt accumulator
+        jax.ShapeDtypeStruct((K, g), jnp.float32),   # Hn@Xᵀ accumulator
         jax.ShapeDtypeStruct((K, K), jnp.float32),   # HHt accumulator
         jax.ShapeDtypeStruct((1, 1), jnp.float32),   # loss dot accumulator
     )
     out_specs = (
         pl.BlockSpec((K, tile_n), by_cells),
-        pl.BlockSpec((g, K), full),
+        pl.BlockSpec((K, g), full),
         pl.BlockSpec((K, K), full),
         _smem_spec((1, 1), full),
     )
@@ -351,7 +357,7 @@ def fused_h_update(
             vmem_limit_bytes=_vmem_limit_for(
                 working_set_bytes(g, K, tile_n, X.dtype.itemsize))
         )
-    Hn, XHt, HHt, ld = pl.pallas_call(
+    Hn, HXt, HHt, ld = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -360,7 +366,8 @@ def fused_h_update(
         interpret=interpret,
         **kwargs,
     )(*args)
-    return Hn, XHt, HHt, ld[0, 0]
+    # (K, genes) -> (genes, K): a tiny XLA transpose outside the kernel
+    return Hn, HXt.T, HHt, ld[0, 0]
 
 
 def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
@@ -386,7 +393,7 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
     Y_refs = refs[6:6 + n_cov]
     B_refs = refs[6 + n_cov:6 + 2 * n_cov]
     out = refs[6 + 2 * n_cov:]
-    Hn_ref, XHt_ref, HHt_ref, ld_ref, stats_ref = out
+    Hn_ref, HXt_ref, HHt_ref, ld_ref, stats_ref = out
     offsets = _block_offsets(blocks)
 
     i = pl.program_id(0)
@@ -439,13 +446,15 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
 
     @pl.when(i == 0)
     def _():
-        XHt_ref[:] = jnp.zeros_like(XHt_ref)
+        HXt_ref[:] = jnp.zeros_like(HXt_ref)
         HHt_ref[:] = jnp.zeros_like(HHt_ref)
         ld_ref[0, 0] = 0.0
         stats_ref[:] = jnp.zeros_like(stats_ref)
 
-    XHt_ref[:] += jax.lax.dot_general(
-        Xm, Hn.astype(xdt), (((1,), (1,)), ((), ())),
+    # (K, genes) orientation: K on the sublane axis instead of 128 padded
+    # output lanes — see _h_kernel's note (the caller transposes once)
+    HXt_ref[:] += jax.lax.dot_general(
+        Hn.astype(xdt), Xm, (((1,), (1,)), ((), ())),
         precision=xprec, preferred_element_type=jnp.float32,
     )
     HHt_ref[:] += jax.lax.dot_general(
@@ -541,13 +550,13 @@ def fused_iteration(
 
     out_shape = [
         jax.ShapeDtypeStruct((K, n), jnp.float32),
-        jax.ShapeDtypeStruct((g, K), jnp.float32),
+        jax.ShapeDtypeStruct((K, g), jnp.float32),  # Hn@Xᵀ accumulator
         jax.ShapeDtypeStruct((K, K), jnp.float32),
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((K, tile_n), by_cells),
-        pl.BlockSpec((g, K), full),
+        pl.BlockSpec((K, g), full),
         pl.BlockSpec((K, K), full),
         _smem_spec((1, 1), full),
     ]
@@ -574,7 +583,7 @@ def fused_iteration(
         interpret=interpret,
         **kwargs,
     )(*args)
-    Hn, XHt, HHt, ld, stats = results
+    Hn, HXt, HHt, ld, stats = results
     preds, bnums, bdens = [], [], []
     row = 0
     offsets = _block_offsets(blocks)
@@ -584,7 +593,8 @@ def fused_iteration(
         bdens.append(stats[row + nl, o:o + k])
         preds.append(stats[row + nl + 1, 0])
         row += nl + 2
-    return Hn, XHt, HHt, ld[0, 0], tuple(preds), tuple(bnums), tuple(bdens)
+    # (K, genes) -> (genes, K): a tiny XLA transpose outside the kernel
+    return Hn, HXt.T, HHt, ld[0, 0], tuple(preds), tuple(bnums), tuple(bdens)
 
 
 # ---------------------------------------------------------------------------

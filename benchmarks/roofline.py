@@ -13,17 +13,18 @@ or VMEM-resident.  Minimum HBM traffic per iteration:
     W/B/stats     : O(genes*K + K^2) -- negligible at bench shapes
 
 int8 storage (count data; kernels dequantize tiles in VMEM) halves the X
-read again, at which point the bench shape stops being bandwidth-bound: the
-two X-sided matmuls pad their K=40 output dimension to the MXU's 128 lanes,
-so the matrix-unit time becomes the binding floor (measured int8 ~1440-1770
-it/s across sessions vs the pure-bandwidth floor's ~3500).  `mxu_model()`
-below holds the MAC-slot arithmetic; `benchmarks/mxu_floor.py` measures the
-supporting evidence (the XLA dot-loop reference and the K-growth
-behavior — sublinear on the fused kernel, as the model predicts).  The
-bandwidth fraction this script prints is therefore NOT the right lens for
-JOINT int8 at small K; it is for bf16/f32, where DMA dominates — and for
-ALS int8, which stays bandwidth-bound (4 X passes/iter) and gains the full
-byte factor: measured 643 it/s vs 389 bf16 = 73% of peak for int8 traffic.
+read again, at which point the MXU time stops hiding under the DMA.
+`mxu_model()` below holds the MAC-slot arithmetic that located the cost —
+and predicted the round-3 transposed-accumulator fix (accumulate Hn@Xᵀ,
+K on the sublane axis, instead of X@Hnᵀ with K padded to 128 output
+lanes): measured back-to-back +21% int8 / +42% f32.  Post-fix, modeled
+MXU (~0.22 ms) sits just under the int8 DMA (~0.29 ms) and the measured
+kernel lands between the serial and fully-overlapped combined floors.
+`benchmarks/mxu_floor.py` records the supporting evidence.  For JOINT
+int8 at small K the combined floor, not the bandwidth fraction alone, is
+the right lens; bf16/f32 are DMA- resp. f32-pass-dominated — and ALS
+int8 stays bandwidth-bound (4 X passes/iter), gaining the full byte
+factor: measured 643 it/s vs 389 bf16 = 73% of peak for int8 traffic.
 
 ALS mode (mu.als_batch_update) has a *semantic* floor of (n_blocks + 1)
 X passes per iteration — X@H_start^T for all W numerators plus one
@@ -69,17 +70,18 @@ def mxu_model(K: int = None) -> dict:
     streams.  bf16-operand dots (the two X dots in narrow modes) are
     single-pass; f32 dots at Precision.HIGHEST cost 6 bf16 passes.
 
-    At the bench shape this shows WHY int8 joint mode cannot reach its
-    pure-bandwidth floor: X@Hnᵀ alone — output (genes, K=40→128 lanes) —
-    is ~0.26 ms, half the measured ~0.56 ms iteration; total modeled MXU
-    time ~0.51 ms vs DMA ~0.29 ms, so the matrix unit, not HBM, binds.
-    The measured kernel lands between the serial and fully-overlapped
-    combined floors — and the padding cannot be removed without
-    quantizing W/H (exactness contract) and cannot be packed away (the
-    two X dots contract over different axes).  Cross-check: the model
-    predicts K growth is sublinear up to 128 lanes (XHt's padded term is
-    K-invariant; WtX's sublane rows and the K^2 f32 terms grow) — the
-    kernel measures K=121 at ~1.56x the K=40 cost for 3x components."""
+    This model PREDICTED (and round 3 landed) the transposed-accumulator
+    optimization: the kernels originally accumulated X@Hnᵀ with output
+    (genes, K) — K=40 padded to 128 output LANES made that one dot ~0.26
+    ms, half the iteration.  Accumulating Hn@Xᵀ instead puts K on the
+    8-granular SUBLANE axis (r8(40)=40): the term drops 3.2x, measured
+    back-to-back +21%% int8 / +42%% f32 end-to-end.  With the transposed
+    orientation the modeled MXU time (~0.22 ms) sits just under the int8
+    DMA (~0.29 ms); the measured kernel lands between the serial and
+    fully-overlapped combined floors.  Residual K padding (WtX's r8 rows,
+    the K² f32 terms) cannot be removed without quantizing W/H (exactness
+    contract).  Cross-check: the model's K-growth prediction matched the
+    kernel (K=121 at ~1.56x the K=40 cost, pre-optimization)."""
     g, n = bench.N_GENES, _r(bench.N_CELLS, 128)
     if K is None:
         K = sum(bench.BLOCKS)
@@ -91,7 +93,10 @@ def mxu_model(K: int = None) -> dict:
 
     terms = {
         "WtX_bf16": macs(K, n, g),
-        "XHt_bf16": macs(g, K, n),
+        # transposed accumulator (Hn@Xᵀ, output (K, genes)): K on the
+        # sublane axis — 3.2x cheaper than the (genes, K) orientation the
+        # kernels used before round 3
+        "HXt_bf16": macs(K, g, n),
         "HHt_f32x6": macs(K, K, n, 6),
         "den_WtWH_f32x6": macs(K, n, K, 6),
         "Bstats_f32x6": sum(macs(l, K, n, 6) + 2 * macs(l, n, k, 6)
