@@ -82,15 +82,17 @@ def measure_dot_floor(K: int, iters: int = 200) -> float:
         den = jnp.dot(WtW, H, precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
         Hn = H * (WtX / jnp.maximum(den, 1e-6))
-        XHt = jax.lax.dot_general(
-            X, Hn.astype(xdt), (((1,), (1,)), ((), ())),
+        # transposed orientation, matching the round-3 kernel (K on the
+        # sublane axis instead of 128 padded output lanes)
+        HXt = jax.lax.dot_general(
+            Hn.astype(xdt), X, (((1,), (1,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32)
         HHt = jax.lax.dot_general(
             Hn, Hn, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         # chain the carry through both accumulators so no dot is dead code
-        Wn = W * (XHt / jnp.maximum(jnp.dot(W, HHt), 1e-6))
+        Wn = W * (HXt.T / jnp.maximum(jnp.dot(W, HHt), 1e-6))
         return Wn, Hn
 
     @jax.jit
