@@ -114,6 +114,25 @@ def _dot_x(cfg: "MUConfig", a: Array, b: Array) -> Array:
                       preferred_element_type=out_dt)
 
 
+def _x_ht(cfg: "MUConfig", X_b: Array, H_b: Array) -> Array:
+    """X_b @ H_bᵀ — the W-update numerator statistic — computed in the
+    MXU-efficient orientation: contract the cell axis with H on the LEFT
+    (output (K, genes), K on the 8-granular sublane axis) and transpose
+    the small result, instead of a (genes, K) output whose K pads to 128
+    lanes (same fix as the Pallas kernels' transposed accumulator;
+    measured +40% on the f32 fused path).  Identical sums — the per-output
+    contraction is the same cell-axis dot either way.  Supports leading
+    batch dims (the vmapped fold path maps over it)."""
+    dt = cfg.x_compute
+    out_dt = jnp.float32 if dt == jnp.bfloat16 else dt
+    nb = H_b.ndim - 2
+    dn = (((nb + 1,), (nb + 1,)), (tuple(range(nb)), tuple(range(nb))))
+    hx = lax.dot_general(H_b.astype(dt), X_b.astype(dt), dn,
+                         precision=_prec(cfg.precision),
+                         preferred_element_type=out_dt)
+    return jnp.swapaxes(hx, -1, -2)
+
+
 @dataclass(frozen=True)
 class MUConfig:
     """Static (shape/branch) configuration for one compiled fit.
@@ -304,7 +323,7 @@ def joint_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b, r=_ident):
 
     # --- W update (main.py:592-612) ---
     HHt = r(dot(H_b, H_b.T))
-    num = 2.0 * r(_dot_x(cfg, X_b, H_b.T))
+    num = 2.0 * r(_x_ht(cfg, X_b, H_b))
     den = (
         2.0 * dot(W, HHt)
         + (1.0 - l1_ratio) * alpha_w * W
@@ -360,7 +379,7 @@ def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
     # H_b[o:o+k] still equals its start-of-batch value — X @ H_idxᵀ is
     # exactly a column slice of X @ H_startᵀ.  (The reference re-reads X per
     # block, main.py:533; this hoist is bitwise-equivalent per block.)
-    XHt_start = _dot_x(cfg, X_b, H_b.T)  # (g, K)
+    XHt_start = _x_ht(cfg, X_b, H_b)  # (g, K)
 
     WtX_rows = []
     for idx in range(len(cfg.blocks)):
@@ -644,7 +663,7 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
         # (e.g. sharded shards); H must match X's padded width
         H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
 
-    XHt0 = _dot_x(cfg, X, H0.T)
+    XHt0 = _x_ht(cfg, X, H0)
     HHt0 = dot(H0, H0.T)
 
     bnums0, bdens0 = _b_stats(cfg, hyper, Bs0, H0, Ys) if cfg.n_cov else ((), ())
@@ -864,7 +883,7 @@ def _build_sharded_pallas_fit(cfg: MUConfig, mesh):
         normX2 = psum(_norm_x2(cfg, X_loc))
         X_loc = X_loc.astype(cfg.xdt)
         Ys_loc = tuple(Y.astype(cfg.xdt) for Y in Ys_loc)
-        XHt0 = psum(_dot_x(cfg, X_loc, H0_loc.T))
+        XHt0 = psum(_x_ht(cfg, X_loc, H0_loc))
         HHt0 = psum(dot(H0_loc, H0_loc.T))
         if cfg.n_cov:
             bn0, bd0 = _b_stats(cfg, hyper, Bs0, H0_loc, Ys_loc)
