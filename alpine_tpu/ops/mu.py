@@ -125,11 +125,15 @@ def _x_ht(cfg: "MUConfig", X_b: Array, H_b: Array) -> Array:
     batch dims (the vmapped fold path maps over it)."""
     dt = cfg.x_compute
     out_dt = jnp.float32 if dt == jnp.bfloat16 else dt
-    nb = H_b.ndim - 2
-    dn = (((nb + 1,), (nb + 1,)), (tuple(range(nb)), tuple(range(nb))))
-    hx = lax.dot_general(H_b.astype(dt), X_b.astype(dt), dn,
-                         precision=_prec(cfg.precision),
-                         preferred_element_type=out_dt)
+    # written as matmul(H, Xᵀ) rather than a raw dot_general contracting
+    # dim 1 of both operands: XLA folds the transpose into the dot on TPU
+    # (identical HLO), while the CPU thunk runtime cannot execute the
+    # non-canonical bf16 contraction inside a scan ("Unsupported element
+    # type for DotThunk::Execute: BF16 x BF16 = F32" — hit by the gathered
+    # minibatch path; the transpose-folded form runs everywhere)
+    hx = jnp.matmul(H_b.astype(dt), jnp.swapaxes(X_b.astype(dt), -1, -2),
+                    precision=_prec(cfg.precision),
+                    preferred_element_type=out_dt)
     return jnp.swapaxes(hx, -1, -2)
 
 
