@@ -134,7 +134,7 @@ def working_set_bytes(n_genes: int, K: int, tile: int, itemsize: int = 4,
     probe allocated 127.35M vs ~119M modeled — both within the _WS_MARGIN
     headroom the gate and the per-call limit keep."""
     labels = sum(n_labels)
-    stat_rows = labels + 2 * len(n_labels)
+    stat_rows = labels + 2 * len(n_labels) + 1  # +1: in-stats loss-dot row
     if cast_itemsize is None:
         cast_itemsize = _cast_itemsize_for(itemsize)
     fixed = 4 * (3 * n_genes * K + 3 * K * K + 2 * stat_rows * K
@@ -376,25 +376,40 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
     per-covariate prediction-loss partials and the B-update statistics for
     the NEXT iteration — eliminating every per-iteration XLA pass over H.
 
+    The guided terms for ALL covariates are computed by single dots against
+    the block-embedded Bg (Σlabels, K) — B_c's columns sit at its block
+    offset, exact zeros elsewhere — instead of a per-covariate chain of
+    tiny dots.  Bitwise-identical sums: the extra contraction terms are
+    exact float zeros (0·h = ±0, s + ±0 = s for the finite non-negative
+    operands here), and the per-row λ/2λ scaling happens AFTER each dot
+    exactly as the per-covariate code did.  Measured on a v5e at the bench
+    shape (K=40, labels (2,3)): the per-covariate chain cost 0.11 ms/iter
+    of serial small-dot latency on top of the 0.36 ms DMA-overlapped
+    floor; combining the dots removes most of it.
+
     refs layout:
-      inputs : eps(SMEM), lam(SMEM), X, W, H, WtW, Y_0..Y_{c-1}, B_0..B_{c-1}
-      outputs: Hn, XHt, HHt, ld(SMEM), stats (R, K) — per covariate, in
+      inputs : eps(SMEM), lam(SMEM), X, W, H, WtW, Y_all (Σlabels, tile),
+               Bg (Σlabels, K) — Y_all/Bg only when covariates exist
+      outputs: Hn, XHt, HHt, stats (R, K) — per covariate, in
                row order: labels_c rows of Bnum (block columns o:o+k are
                the meaningful ones), 1 Bden row (rowsum of Hn), 1 row with
-               the pred-loss partial replicated across lanes.  Tiny
+               the pred-loss partial replicated across lanes; ONE final row
+               carrying the loss-dot partial Σ(WᵀX)∘Hn.  Tiny
                per-covariate outputs are PACKED into one block at natural
                width K: separate (labels, k)/(1, k) outputs hung the Mosaic
                compiler, and lane-padding small rows hits an unimplemented
-               relayout.
+               relayout.  The loss dot rides the stats block rather than a
+               (1,1) SMEM output: a per-step scalar accumulate through SMEM
+               stalls the DMA/compute pipeline (measured +0.1 ms/iter at
+               the bench shape — the VMEM-accumulator probes hid the same
+               compute completely).
     """
     n_cov = len(n_labels)
     eps_ref, lam_ref = refs[0], refs[1]
     X_ref, W_ref, H_ref, WtW_ref = refs[2:6]
-    Y_refs = refs[6:6 + n_cov]
-    B_refs = refs[6 + n_cov:6 + 2 * n_cov]
-    out = refs[6 + 2 * n_cov:]
-    Hn_ref, HXt_ref, HHt_ref, ld_ref, stats_ref = out
-    offsets = _block_offsets(blocks)
+    n_in = 6 + (2 if n_cov else 0)
+    out = refs[n_in:]
+    Hn_ref, HXt_ref, HHt_ref, stats_ref = out
 
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
@@ -412,34 +427,38 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
     den = 2.0 * jnp.dot(WtW_ref[:], Hm, precision=prec,
                         preferred_element_type=jnp.float32)
 
-    Ys_f32, Bs = [], []
-    gnum_rows, gden_rows = [], []
-    for c in range(n_cov):
-        o, k = offsets[c], blocks[c]
-        lam_c = lam_ref[c, 0]
-        Hi = Hm[o:o + k]
-        Yi = Y_refs[c][:].astype(jnp.float32)
-        B = B_refs[c][:]
-        BHi = jnp.dot(B, Hi, precision=prec,
-                      preferred_element_type=jnp.float32)
+    Yf = Bg = None
+    if n_cov:
+        Yf = refs[6][:].astype(jnp.float32)     # (Σlabels, tile)
+        Bg = refs[7][:]                         # (Σlabels, K), block-embedded
+        # per-H-row λ (guided rows) / 0 (unguided): jnp.full broadcasts the
+        # SMEM scalar — no lane→sublane relayout
+        lam_rows = jnp.concatenate(
+            [jnp.full((blocks[c], 1), lam_ref[c, 0], jnp.float32)
+             for c in range(n_cov)]
+            + [jnp.zeros((blocks[-1], 1), jnp.float32)], axis=0)
+        BH = jnp.dot(Bg, Hm, precision=prec,
+                     preferred_element_type=jnp.float32)  # rows = B_c@H_c
+        contract_l = (((0,), (0,)), ((), ()))
         if loss_kl:
-            gnum = lam_c * jnp.dot(B.T, Yi / jnp.maximum(BHi, eps),
-                                   precision=prec,
-                                   preferred_element_type=jnp.float32)
-            gden = lam_c * jnp.broadcast_to(
-                jnp.sum(B, axis=0)[:, None], Hi.shape)
+            Z = Yf / jnp.maximum(BH, eps)
+            gnum = lam_rows * jax.lax.dot_general(
+                Bg, Z, contract_l, precision=prec,
+                preferred_element_type=jnp.float32)
+            # den add is a (K,1) lane-broadcast — same values as the dense
+            # per-block broadcast_to the per-covariate code built
+            gden = lam_rows * jnp.sum(Bg, axis=0)[:, None]
+            num = num + gnum
+            den = den + gden
         else:
-            gnum = 2.0 * lam_c * jnp.dot(B.T, Yi, precision=prec,
-                                         preferred_element_type=jnp.float32)
-            gden = 2.0 * lam_c * jnp.dot(B.T, BHi, precision=prec,
-                                         preferred_element_type=jnp.float32)
-        gnum_rows.append(gnum)
-        gden_rows.append(gden)
-        Ys_f32.append(Yi)
-        Bs.append(B)
-    zero = jnp.zeros((blocks[-1], Hm.shape[1]), jnp.float32)
-    num = num + jnp.concatenate(gnum_rows + [zero], axis=0)
-    den = den + jnp.concatenate(gden_rows + [zero], axis=0)
+            gnum = 2.0 * lam_rows * jax.lax.dot_general(
+                Bg, Yf, contract_l, precision=prec,
+                preferred_element_type=jnp.float32)
+            gden = 2.0 * lam_rows * jax.lax.dot_general(
+                Bg, BH, contract_l, precision=prec,
+                preferred_element_type=jnp.float32)
+            num = num + gnum
+            den = den + gden
 
     Hn = Hm * (num / jnp.maximum(den, eps))
     Hn_ref[:] = Hn
@@ -448,7 +467,6 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
     def _():
         HXt_ref[:] = jnp.zeros_like(HXt_ref)
         HHt_ref[:] = jnp.zeros_like(HHt_ref)
-        ld_ref[0, 0] = 0.0
         stats_ref[:] = jnp.zeros_like(stats_ref)
 
     # (K, genes) orientation: K on the sublane axis instead of 128 padded
@@ -461,37 +479,45 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
         Hn, Hn, (((1,), (1,)), ((), ())), precision=prec,
         preferred_element_type=jnp.float32
     )
-    ld_ref[0, 0] += jnp.sum(WtX * Hn)
+    K_total = Hn.shape[0]
+    ld_row = jnp.broadcast_to(
+        jnp.reshape(jnp.sum(WtX * Hn), (1, 1)), (1, K_total))
 
     # prediction loss on (B_t, H_t) + B_{t+1} statistics (main.py:614-628,
-    # :740-748).  yhat = B_t @ H_t_i serves both.  All rows are built at
-    # natural width K (dots against the FULL Hn; the caller slices the
-    # meaningful o:o+k columns), avoiding tiny-lane relayouts.
-    K_total = Hn.shape[0]
-    rowsum_Hn = jnp.sum(Hn, axis=1)[None, :]  # (1, K), shared Bden row
+    # :740-748).  yhat = Bg @ Hn computes every covariate's B_c @ Hn_c in
+    # one dot (block-embedded zeros — exact), and ONE tile-contraction dot
+    # produces all Bnum rows at once (the per-covariate Hn.T dots were
+    # serial small-dot latency).  All rows are built at natural width K
+    # (the caller slices the meaningful o:o+k columns), avoiding tiny-lane
+    # relayouts.
     stat_rows = []
-    for c in range(n_cov):
-        o, k = offsets[c], blocks[c]
-        Hni = Hn[o:o + k]
-        Yi, B = Ys_f32[c], Bs[c]
-        yhat = jnp.dot(B, Hni, precision=prec,
-                       preferred_element_type=jnp.float32)
+    if n_cov:
+        rowsum_Hn = jnp.sum(Hn, axis=1)[None, :]  # (1, K), shared Bden row
+        yhat = jnp.dot(Bg, Hn, precision=prec,
+                       preferred_element_type=jnp.float32)  # (Σlabels, tile)
         if loss_kl:
             yh = jnp.maximum(yhat, eps)
-            pred = jnp.sum(Yi * jnp.log(jnp.maximum(Yi / yh, eps)) - Yi + yh)
-            bnum = jnp.dot(Yi / yh, Hn.T, precision=prec,
-                           preferred_element_type=jnp.float32)
+            Q = Yf / yh
+            E = Yf * jnp.log(jnp.maximum(Q, eps)) - Yf + yh
         else:
-            d = Yi - yhat
-            pred = jnp.sum(d * d)
-            bnum = jnp.dot(Yi, Hn.T, precision=prec,
-                           preferred_element_type=jnp.float32)
-        stat_rows.append(bnum)                                   # (labels, K)
-        stat_rows.append(rowsum_Hn)                              # (1, K)
-        stat_rows.append(jnp.broadcast_to(jnp.reshape(pred, (1, 1)),
-                                          (1, K_total)))          # (1, K)
-    if stat_rows:
-        stats_ref[:] += jnp.concatenate(stat_rows, axis=0)
+            d = Yf - yhat
+            Q, E = Yf, d * d
+        # all covariates' Bnum rows: contract the tile axis once
+        bnum_all = jax.lax.dot_general(
+            Q, Hn, (((1,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)              # (Σlabels, K)
+        row = 0
+        for c in range(n_cov):
+            nl = n_labels[c]
+            pred = jnp.sum(E[row:row + nl])
+            stat_rows.append(bnum_all[row:row + nl])             # (labels, K)
+            stat_rows.append(rowsum_Hn)                          # (1, K)
+            stat_rows.append(jnp.broadcast_to(jnp.reshape(pred, (1, 1)),
+                                              (1, K_total)))      # (1, K)
+            row += nl
+    stat_rows.append(ld_row)                                     # (1, K)
+    stats_ref[:] += (stat_rows[0] if len(stat_rows) == 1
+                     else jnp.concatenate(stat_rows, axis=0))
 
 
 @functools.partial(
@@ -541,28 +567,37 @@ def fused_iteration(
     lam_arr = (jnp.reshape(lam.astype(jnp.float32), (n_cov, 1)) if n_cov
                else jnp.zeros((1, 1), jnp.float32))
     args = [eps.reshape(1, 1).astype(jnp.float32), lam_arr, X, W, H, WtW]
-    for y in Ys:
-        in_specs.append(pl.BlockSpec((y.shape[0], tile_n), by_cells))
-        args.append(y)
-    for b in Bs:
-        in_specs.append(pl.BlockSpec(b.shape, full))
-        args.append(b)
+    if n_cov:
+        # one streamed (Σlabels, tile) Y block and one block-embedded
+        # (Σlabels, K) B — the kernel's guided terms are single dots
+        # against these (see _iter_kernel; exact-zero embedding)
+        L = sum(n_labels)
+        offs = _block_offsets(blocks)
+        y_all = Ys[0] if n_cov == 1 else jnp.concatenate(Ys, axis=0)
+        b_emb = jnp.concatenate(
+            [jnp.pad(b.astype(jnp.float32),
+                     ((0, 0), (offs[c], K - offs[c] - blocks[c])))
+             for c, b in enumerate(Bs)], axis=0)
+        in_specs.append(pl.BlockSpec((L, tile_n), by_cells))
+        args.append(y_all)
+        in_specs.append(pl.BlockSpec((L, K), full))
+        args.append(b_emb)
 
     out_shape = [
         jax.ShapeDtypeStruct((K, n), jnp.float32),
         jax.ShapeDtypeStruct((K, g), jnp.float32),  # Hn@Xᵀ accumulator
         jax.ShapeDtypeStruct((K, K), jnp.float32),
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((K, tile_n), by_cells),
         pl.BlockSpec((K, g), full),
         pl.BlockSpec((K, K), full),
-        _smem_spec((1, 1), full),
     ]
-    stat_rows = sum(n_labels) + 2 * n_cov
-    out_shape.append(jax.ShapeDtypeStruct((max(stat_rows, 1), K), jnp.float32))
-    out_specs.append(pl.BlockSpec((max(stat_rows, 1), K), full))
+    # +1: the loss-dot partial rides the last stats row (a (1,1) SMEM
+    # scalar output measurably stalled the pipeline — see _iter_kernel)
+    stat_rows = sum(n_labels) + 2 * n_cov + 1
+    out_shape.append(jax.ShapeDtypeStruct((stat_rows, K), jnp.float32))
+    out_specs.append(pl.BlockSpec((stat_rows, K), full))
 
     kernel = functools.partial(_iter_kernel, blocks, n_labels, loss_kl, precision)
     kwargs = {}
@@ -583,7 +618,7 @@ def fused_iteration(
         interpret=interpret,
         **kwargs,
     )(*args)
-    Hn, HXt, HHt, ld, stats = results
+    Hn, HXt, HHt, stats = results
     preds, bnums, bdens = [], [], []
     row = 0
     offsets = _block_offsets(blocks)
@@ -593,8 +628,9 @@ def fused_iteration(
         bdens.append(stats[row + nl, o:o + k])
         preds.append(stats[row + nl + 1, 0])
         row += nl + 2
+    ld = stats[row, 0]
     # (K, genes) -> (genes, K): a tiny XLA transpose outside the kernel
-    return Hn, HXt.T, HHt, ld[0, 0], tuple(preds), tuple(bnums), tuple(bdens)
+    return Hn, HXt.T, HHt, ld, tuple(preds), tuple(bnums), tuple(bdens)
 
 
 # ---------------------------------------------------------------------------

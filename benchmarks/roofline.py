@@ -86,7 +86,6 @@ def mxu_model(K: int = None) -> dict:
     if K is None:
         K = sum(bench.BLOCKS)
     labels = list(bench.N_LABELS)
-    kb = list(bench.BLOCKS[:len(labels)])
 
     def macs(M, N, Kc, passes=1):
         return _r(M, 8) * _r(N, 128) * Kc * passes
@@ -99,9 +98,17 @@ def mxu_model(K: int = None) -> dict:
         "HXt_bf16": macs(K, g, n),
         "HHt_f32x6": macs(K, K, n, 6),
         "den_WtWH_f32x6": macs(K, n, K, 6),
-        "Bstats_f32x6": sum(macs(l, K, n, 6) + 2 * macs(l, n, k, 6)
-                            + macs(k, n, l, 6)
-                            for l, k in zip(labels, kb)),
+        # combined-covariate dots (round-3 kernel): BH and yhat are single
+        # (Σlabels, tile) dots against the block-embedded Bg, bnum is ONE
+        # tile-contraction producing every covariate's rows (Σlabels rows
+        # pad to 8 sublanes ONCE — half the per-covariate cost), and gnum
+        # is one (K, tile) output contracting Σlabels.  gnum's output grows
+        # with r8(K) where the per-covariate chain grew with r8(k_c) — the
+        # slot cost the combined form trades for removing the serial
+        # small-dot latency (measured net +30% at K=40; ~neutral at K=121).
+        "Bstats_f32x6": (2 * macs(sum(labels), n, K, 6)      # BH + yhat
+                         + macs(K, n, sum(labels), 6)        # gnum
+                         + macs(sum(labels), K, n, 6)),      # bnum_all
         "W_update_f32x6": macs(g, K, K, 6) + macs(K, K, g, 6),
     }
     total_macs = sum(terms.values())
