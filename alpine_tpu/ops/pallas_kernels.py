@@ -254,7 +254,12 @@ def _load_x(X_ref):
 
 def _h_kernel(tile_n, n_cells, precision, eps_ref, X_ref, W_ref, H_ref,
               WtW_ref, *rest):
-    Hn_ref, HXt_ref, HHt_ref, ld_ref = rest
+    """Unguided H-update kernel.  The HHt output carries K+1 rows: the
+    extra last row holds the loss-dot partial Σ(WᵀX)∘Hn replicated across
+    lanes — a (1,1) SMEM scalar output stalls the DMA/compute pipeline
+    (see _iter_kernel), and a standalone (1, K) output would be a tiny
+    unaligned block (known Mosaic hang)."""
+    Hn_ref, HXt_ref, HHt_ref = rest
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
     prec = _prec(precision)
@@ -282,7 +287,6 @@ def _h_kernel(tile_n, n_cells, precision, eps_ref, X_ref, W_ref, H_ref,
     def _():
         HXt_ref[:] = jnp.zeros_like(HXt_ref)
         HHt_ref[:] = jnp.zeros_like(HHt_ref)
-        ld_ref[0, 0] = 0.0
 
     # accumulate Hn @ Xᵀ — the (K, genes) orientation of the next W
     # update's X@Hnᵀ.  Same contraction over the tile axis, but K lands on
@@ -294,11 +298,13 @@ def _h_kernel(tile_n, n_cells, precision, eps_ref, X_ref, W_ref, H_ref,
         Hn.astype(xdt), Xm, (((1,), (1,)), ((), ())),
         precision=xprec, preferred_element_type=jnp.float32,
     )
-    HHt_ref[:] += jax.lax.dot_general(
+    HHt = jax.lax.dot_general(
         Hn, Hn, (((1,), (1,)), ((), ())), precision=prec,
         preferred_element_type=jnp.float32
     )
-    ld_ref[0, 0] += jnp.sum(WtX * Hn)
+    ld_row = jnp.broadcast_to(
+        jnp.reshape(jnp.sum(WtX * Hn), (1, 1)), (1, HHt.shape[1]))
+    HHt_ref[:] += jnp.concatenate([HHt, ld_row], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "interpret"))
@@ -340,14 +346,14 @@ def fused_h_update(
     out_shape = (
         jax.ShapeDtypeStruct((K, n), jnp.float32),   # H_new
         jax.ShapeDtypeStruct((K, g), jnp.float32),   # Hn@Xᵀ accumulator
-        jax.ShapeDtypeStruct((K, K), jnp.float32),   # HHt accumulator
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),   # loss dot accumulator
+        # HHt accumulator + the loss-dot partial as a final extra row
+        # (see _h_kernel — no SMEM scalar output)
+        jax.ShapeDtypeStruct((K + 1, K), jnp.float32),
     )
     out_specs = (
         pl.BlockSpec((K, tile_n), by_cells),
         pl.BlockSpec((K, g), full),
-        pl.BlockSpec((K, K), full),
-        _smem_spec((1, 1), full),
+        pl.BlockSpec((K + 1, K), full),
     )
 
     kernel = functools.partial(_h_kernel, tile_n, n, precision)
@@ -357,7 +363,7 @@ def fused_h_update(
             vmem_limit_bytes=_vmem_limit_for(
                 working_set_bytes(g, K, tile_n, X.dtype.itemsize))
         )
-    Hn, HXt, HHt, ld = pl.pallas_call(
+    Hn, HXt, HHt_ld = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -367,7 +373,7 @@ def fused_h_update(
         **kwargs,
     )(*args)
     # (K, genes) -> (genes, K): a tiny XLA transpose outside the kernel
-    return Hn, HXt.T, HHt, ld[0, 0]
+    return Hn, HXt.T, HHt_ld[:K], HHt_ld[K, 0]
 
 
 def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
@@ -377,9 +383,9 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
     the NEXT iteration — eliminating every per-iteration XLA pass over H.
 
     The guided terms for ALL covariates are computed by single dots against
-    the block-embedded Bg (Σlabels, K) — B_c's columns sit at its block
-    offset, exact zeros elsewhere — instead of a per-covariate chain of
-    tiny dots.  Bitwise-identical sums: the extra contraction terms are
+    the block-embedded Bg (Σlabels, Kg), Kg = sum of the guided blocks —
+    B_c's columns sit at its block offset, exact zeros elsewhere — instead
+    of a per-covariate chain of tiny dots.  Bitwise-identical sums: the extra contraction terms are
     exact float zeros (0·h = ±0, s + ±0 = s for the finite non-negative
     operands here), and the per-row λ/2λ scaling happens AFTER each dot
     exactly as the per-covariate code did.  Measured on a v5e at the bench
@@ -389,7 +395,7 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
 
     refs layout:
       inputs : eps(SMEM), lam(SMEM), X, W, H, WtW, Y_all (Σlabels, tile),
-               Bg (Σlabels, K) — Y_all/Bg only when covariates exist
+               Bg (Σlabels, Kg) — Y_all/Bg only when covariates exist
       outputs: Hn, XHt, HHt, stats (R, K) — per covariate, in
                row order: labels_c rows of Bnum (block columns o:o+k are
                the meaningful ones), 1 Bden row (rowsum of Hn), 1 row with
@@ -428,27 +434,36 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
                         preferred_element_type=jnp.float32)
 
     Yf = Bg = None
+    # guided blocks sit at the TOP of H: the combined dots only ever touch
+    # rows/columns 0:Kg, so Bg is embedded at width Kg (not K) and the
+    # unguided tail gets explicit zero rows — exactly the zero block the
+    # per-covariate code concatenated.  gnum's output cost grows with
+    # r8(Kg) instead of r8(K): at K=121/Kg=40 that's 128→40 sublanes.
+    Kg = sum(blocks[:-1])
     if n_cov:
         Yf = refs[6][:].astype(jnp.float32)     # (Σlabels, tile)
-        Bg = refs[7][:]                         # (Σlabels, K), block-embedded
-        # per-H-row λ (guided rows) / 0 (unguided): jnp.full broadcasts the
-        # SMEM scalar — no lane→sublane relayout
+        Bg = refs[7][:]                         # (Σlabels, Kg), block-embedded
+        # per-H-row λ over the guided rows: jnp.full broadcasts the SMEM
+        # scalar — no lane→sublane relayout
         lam_rows = jnp.concatenate(
             [jnp.full((blocks[c], 1), lam_ref[c, 0], jnp.float32)
-             for c in range(n_cov)]
-            + [jnp.zeros((blocks[-1], 1), jnp.float32)], axis=0)
-        BH = jnp.dot(Bg, Hm, precision=prec,
+             for c in range(n_cov)], axis=0)     # (Kg, 1)
+        BH = jnp.dot(Bg, Hm[:Kg], precision=prec,
                      preferred_element_type=jnp.float32)  # rows = B_c@H_c
         contract_l = (((0,), (0,)), ((), ()))
+        zero_tail = jnp.zeros((Hm.shape[0] - Kg, Hm.shape[1]), jnp.float32)
         if loss_kl:
             Z = Yf / jnp.maximum(BH, eps)
             gnum = lam_rows * jax.lax.dot_general(
                 Bg, Z, contract_l, precision=prec,
-                preferred_element_type=jnp.float32)
-            # den add is a (K,1) lane-broadcast — same values as the dense
-            # per-block broadcast_to the per-covariate code built
-            gden = lam_rows * jnp.sum(Bg, axis=0)[:, None]
-            num = num + gnum
+                preferred_element_type=jnp.float32)          # (Kg, tile)
+            # den add is a (K,1) sublane-concat + lane-broadcast — same
+            # values as the dense per-block broadcast_to the per-covariate
+            # code built
+            gden = jnp.concatenate(
+                [lam_rows * jnp.sum(Bg, axis=0)[:, None],
+                 jnp.zeros((Hm.shape[0] - Kg, 1), jnp.float32)], axis=0)
+            num = num + jnp.concatenate([gnum, zero_tail], axis=0)
             den = den + gden
         else:
             gnum = 2.0 * lam_rows * jax.lax.dot_general(
@@ -457,8 +472,8 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
             gden = 2.0 * lam_rows * jax.lax.dot_general(
                 Bg, BH, contract_l, precision=prec,
                 preferred_element_type=jnp.float32)
-            num = num + gnum
-            den = den + gden
+            num = num + jnp.concatenate([gnum, zero_tail], axis=0)
+            den = den + jnp.concatenate([gden, zero_tail], axis=0)
 
     Hn = Hm * (num / jnp.maximum(den, eps))
     Hn_ref[:] = Hn
@@ -493,7 +508,7 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
     stat_rows = []
     if n_cov:
         rowsum_Hn = jnp.sum(Hn, axis=1)[None, :]  # (1, K), shared Bden row
-        yhat = jnp.dot(Bg, Hn, precision=prec,
+        yhat = jnp.dot(Bg, Hn[:Kg], precision=prec,
                        preferred_element_type=jnp.float32)  # (Σlabels, tile)
         if loss_kl:
             yh = jnp.maximum(yhat, eps)
@@ -569,18 +584,20 @@ def fused_iteration(
     args = [eps.reshape(1, 1).astype(jnp.float32), lam_arr, X, W, H, WtW]
     if n_cov:
         # one streamed (Σlabels, tile) Y block and one block-embedded
-        # (Σlabels, K) B — the kernel's guided terms are single dots
-        # against these (see _iter_kernel; exact-zero embedding)
+        # (Σlabels, Kg) B over the GUIDED columns only — the kernel's
+        # guided terms are single dots against these (see _iter_kernel;
+        # exact-zero embedding, unguided tail handled by explicit zeros)
         L = sum(n_labels)
+        Kg = sum(blocks[:-1])
         offs = _block_offsets(blocks)
         y_all = Ys[0] if n_cov == 1 else jnp.concatenate(Ys, axis=0)
         b_emb = jnp.concatenate(
             [jnp.pad(b.astype(jnp.float32),
-                     ((0, 0), (offs[c], K - offs[c] - blocks[c])))
+                     ((0, 0), (offs[c], Kg - offs[c] - blocks[c])))
              for c, b in enumerate(Bs)], axis=0)
         in_specs.append(pl.BlockSpec((L, tile_n), by_cells))
         args.append(y_all)
-        in_specs.append(pl.BlockSpec((L, K), full))
+        in_specs.append(pl.BlockSpec((L, Kg), full))
         args.append(b_emb)
 
     out_shape = [

@@ -54,6 +54,8 @@ import bench  # repo-root bench.py: shares shape/dtype configuration
 # Override for other chips via env.
 HBM_GBPS = float(os.environ.get("ALPINE_HBM_GBPS", 819.0))
 MXU_TFLOPS = float(os.environ.get("ALPINE_MXU_TFLOPS", 197.0))
+# one VPU conversion pass: 8 sublanes x 128 lanes x ~940 MHz ~ 1e12 elem/s
+VPU_ELEM_PER_S = float(os.environ.get("ALPINE_VPU_ELEM_PER_S", 0.96e12))
 
 
 def _r(x: int, m: int) -> int:
@@ -86,6 +88,7 @@ def mxu_model(K: int = None) -> dict:
     if K is None:
         K = sum(bench.BLOCKS)
     labels = list(bench.N_LABELS)
+    Kg = sum(bench.BLOCKS[:len(labels)])  # guided columns (top of H)
 
     def macs(M, N, Kc, passes=1):
         return _r(M, 8) * _r(N, 128) * Kc * passes
@@ -99,15 +102,16 @@ def mxu_model(K: int = None) -> dict:
         "HHt_f32x6": macs(K, K, n, 6),
         "den_WtWH_f32x6": macs(K, n, K, 6),
         # combined-covariate dots (round-3 kernel): BH and yhat are single
-        # (Σlabels, tile) dots against the block-embedded Bg, bnum is ONE
-        # tile-contraction producing every covariate's rows (Σlabels rows
-        # pad to 8 sublanes ONCE — half the per-covariate cost), and gnum
-        # is one (K, tile) output contracting Σlabels.  gnum's output grows
-        # with r8(K) where the per-covariate chain grew with r8(k_c) — the
-        # slot cost the combined form trades for removing the serial
-        # small-dot latency (measured net +30% at K=40; ~neutral at K=121).
-        "Bstats_f32x6": (2 * macs(sum(labels), n, K, 6)      # BH + yhat
-                         + macs(K, n, sum(labels), 6)        # gnum
+        # (Σlabels, tile) dots against the block-embedded Bg — embedded at
+        # width Kg (the guided columns only; they sit at the top of H) so
+        # the contraction and gnum's (Kg, tile) output scale with Kg, not
+        # K — bnum is ONE tile-contraction producing every covariate's
+        # rows (Σlabels rows pad to 8 sublanes ONCE — half the
+        # per-covariate cost).  Net vs the per-covariate chain: the serial
+        # small-dot latency is gone for one 8-sublane pad of the combined
+        # shapes (measured +30% at K=40; K=121 median 817→880).
+        "Bstats_f32x6": (2 * macs(sum(labels), n, Kg, 6)     # BH + yhat
+                         + macs(Kg, n, sum(labels), 6)       # gnum
                          + macs(sum(labels), K, n, 6)),      # bnum_all
         "W_update_f32x6": macs(g, K, K, 6) + macs(K, K, g, 6),
     }
@@ -178,17 +182,28 @@ def main():
         dma_s = acct["total_bytes"] / (HBM_GBPS * 1e9)
         mxu_s = mm["mxu_seconds_per_iter"]
         out["mxu_model"] = mm
-        # overlapped = DMA fully hidden behind MXU (or vice versa); serial
-        # = no overlap; the measured kernel lands between, and for narrow
-        # X storage the binding resource is the MXU (mxu_s > dma_s)
+        # In-VMEM dequant (int8→bf16 / int16→f32) is a full VPU pass over
+        # every X element per iteration — ~1e12 elem/s on one v5e core's
+        # 8×128-lane VPU ≈ 0.2 ms at the bench shape.  It feeds the MXU,
+        # so it counts as compute (cannot hide behind the dots).  This is
+        # the measured int8 residual: direct int8 MXU operands fail at
+        # runtime (mixed s8×bf16 dot → FailedPrecondition, probed round
+        # 3), so the cast is unavoidable for exact f32/bf16 math.
+        dtype = bench.resolved_dtype()
+        dequant_s = (bench.N_GENES * bench.N_CELLS / VPU_ELEM_PER_S
+                     if dtype in ("int8", "int16") else 0.0)
+        compute_s = mxu_s + dequant_s
+        out["vpu_dequant_seconds_per_iter"] = round(dequant_s, 6)
+        # overlapped = DMA fully hidden behind compute (or vice versa);
+        # serial = no overlap; the measured kernel lands between
         out["combined_floor_overlapped_iters_per_sec"] = round(
-            1.0 / max(dma_s, mxu_s), 1)
+            1.0 / max(dma_s, compute_s), 1)
         out["combined_floor_serial_iters_per_sec"] = round(
-            1.0 / (dma_s + mxu_s), 1)
-        out["binding_resource"] = "mxu" if mxu_s > dma_s else "hbm"
+            1.0 / (dma_s + compute_s), 1)
+        out["binding_resource"] = "compute" if compute_s > dma_s else "hbm"
         if ips:
             out["fraction_of_overlapped_floor"] = round(
-                ips * max(dma_s, mxu_s), 3)
+                ips * max(dma_s, compute_s), 3)
     print(json.dumps(out))
 
 
