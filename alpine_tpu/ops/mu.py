@@ -69,6 +69,15 @@ def block_offsets(blocks: Tuple[int, ...]) -> Tuple[int, ...]:
     return tuple(out)
 
 
+def guided_width(blocks: Tuple[int, ...]) -> int:
+    """Total width of the guided (covariate) blocks, which sit at the TOP
+    of the concatenated W/H layout; blocks[-1] is the unguided block.  THE
+    single implementation — the Pallas kernels' block-embedded B spans
+    exactly these columns (host-side embedding AND in-kernel slicing), so
+    the two sides can never disagree on the guided width."""
+    return sum(blocks[:-1])
+
+
 def x_storage_dtype(x_dtype: str):
     """THE storage-name → dtype mapping for X (single source of truth;
     MUConfig.xdt and the model layer's itemsize arithmetic both use it)."""

@@ -50,6 +50,7 @@ Array = jax.Array
 # single implementations shared with the XLA path (mu imports this module
 # only lazily, so no cycle)
 from alpine_tpu.ops.mu import block_offsets as _block_offsets
+from alpine_tpu.ops.mu import guided_width as _guided_width
 from alpine_tpu.ops.mu import x_compute_dtype as _x_compute_dtype
 
 
@@ -139,8 +140,13 @@ def working_set_bytes(n_genes: int, K: int, tile: int, itemsize: int = 4,
         cast_itemsize = _cast_itemsize_for(itemsize)
     fixed = 4 * (3 * n_genes * K + 3 * K * K + 2 * stat_rows * K
                  + labels * K)
+    # the Y tile's in-VMEM copy is ALWAYS float32 (the kernel computes the
+    # guided terms in f32 regardless of storage width), unlike the X tile
+    # whose copy is at the compute width (bf16 for int8 storage)
+    y_cast = 4 if itemsize < 4 else 0
     per_tile = tile * (
-        (2 * itemsize + cast_itemsize) * (n_genes + labels)
+        (2 * itemsize + cast_itemsize) * n_genes
+        + (2 * itemsize + y_cast) * labels
         + 10 * K * 4 + 2 * K * cast_itemsize
     )
     return fixed + per_tile
@@ -439,7 +445,7 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
     # unguided tail gets explicit zero rows — exactly the zero block the
     # per-covariate code concatenated.  gnum's output cost grows with
     # r8(Kg) instead of r8(K): at K=121/Kg=40 that's 128→40 sublanes.
-    Kg = sum(blocks[:-1])
+    Kg = _guided_width(blocks)
     if n_cov:
         Yf = refs[6][:].astype(jnp.float32)     # (Σlabels, tile)
         Bg = refs[7][:]                         # (Σlabels, Kg), block-embedded
@@ -588,7 +594,7 @@ def fused_iteration(
         # guided terms are single dots against these (see _iter_kernel;
         # exact-zero embedding, unguided tail handled by explicit zeros)
         L = sum(n_labels)
-        Kg = sum(blocks[:-1])
+        Kg = _guided_width(blocks)
         offs = _block_offsets(blocks)
         y_all = Ys[0] if n_cov == 1 else jnp.concatenate(Ys, axis=0)
         b_emb = jnp.concatenate(

@@ -62,7 +62,7 @@ def _r(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def mxu_model(K: int = None) -> dict:
+def mxu_model(blocks=None) -> dict:
     """MAC-slot model of the joint fused iteration's matmul work (the
     arithmetic half of round-2 verdict item 4).
 
@@ -85,10 +85,14 @@ def mxu_model(K: int = None) -> dict:
     contract).  Cross-check: the model's K-growth prediction matched the
     kernel (K=121 at ~1.56x the K=40 cost, pre-optimization)."""
     g, n = bench.N_GENES, _r(bench.N_CELLS, 128)
-    if K is None:
-        K = sum(bench.BLOCKS)
+    # derive K AND the guided width from ONE blocks tuple (defaulting to
+    # the bench config, which honors ALPINE_BENCH_BLOCKS) so a K sweep can
+    # never produce a hybrid cost no real kernel configuration has
+    if blocks is None:
+        blocks = bench.BLOCKS
+    K = sum(blocks)
     labels = list(bench.N_LABELS)
-    Kg = sum(bench.BLOCKS[:len(labels)])  # guided columns (top of H)
+    Kg = sum(blocks[:len(labels)])  # guided columns (top of H)
 
     def macs(M, N, Kc, passes=1):
         return _r(M, 8) * _r(N, 128) * Kc * passes
