@@ -257,27 +257,39 @@ class ALPINE:
             # only (e.g. a count > 127 lives on process 1); that process
             # raising alone would leave the others blocked at the next
             # collective — validate collectively (the shared
-            # dtype_can_store predicate) so every process raises
-            # (auto-resolved dtypes cannot fail: suggest + harmonization
-            # above guarantee representability)
-            from alpine_tpu.utils.adata import dtype_can_store
+            # dtype_can_store predicate) so every process raises.  The
+            # gate below is process-uniform (ctor args must match across
+            # processes), so skipping is collective-safe; auto-resolved
+            # dtypes cannot fail (suggest + harmonization above guarantee
+            # representability) and re-scanning X here would double the
+            # O(genes·cells) host validation pass for nothing.
+            if self.data_dtype != "auto" and resolved_dtype in ("int8",
+                                                                "int16"):
+                from alpine_tpu.utils.adata import dtype_can_store
 
-            bad = float(not dtype_can_store(resolved_dtype, X))
-            if dist.process_allgather_rows(np.asarray([bad])).any():
-                limit = np.iinfo(resolved_dtype).max
-                raise ValueError(
-                    f"data_dtype='{resolved_dtype}' cannot represent "
-                    "the data on at least one process's shard "
-                    f"(requires integer values in [0, {limit}])."
-                )
+                bad = float(not dtype_can_store(resolved_dtype, X))
+                if dist.process_allgather_rows(np.asarray([bad])).any():
+                    limit = np.iinfo(resolved_dtype).max
+                    raise ValueError(
+                        f"data_dtype='{resolved_dtype}' cannot represent "
+                        "the data on at least one process's shard "
+                        f"(requires integer values in [0, {limit}])."
+                    )
             n_sample = n_local * placement.n_processes  # GLOBAL cell count
 
         # commit estimator state only after the encoders fitted
         self.fe = fe
         self.data_dtype_ = resolved_dtype
         if verbose and self.data_dtype == "auto":
-            print(f"ALPINE fit: data_dtype='auto' resolved to "
-                  f"'{resolved_dtype}'")
+            # one copy of the log line per fit, not one per process
+            coordinator = True
+            if mp:
+                from alpine_tpu.parallel import distributed as dist
+
+                coordinator = dist.is_coordinator()
+            if coordinator:
+                print(f"ALPINE fit: data_dtype='auto' resolved to "
+                      f"'{resolved_dtype}'")
         self.feature_names: List[str] = adata.var_names.tolist()
         self.n_features: int = adata.shape[1]
         self.covariate_keys: List[str] = covariate_keys
@@ -296,7 +308,8 @@ class ALPINE:
         pad_devices = (placement.local_cell_shards if mp
                        else placement.cell_shards)
         pad = (self._pallas_pad(pad_cells, n_labels, n_devices=pad_devices,
-                                include_unguided=placement.is_sharded)
+                                include_unguided=placement.is_sharded,
+                                global_cells=n_sample)
                if n_restarts == 1 else 0)
         # shard-local minibatch sampling (mu.fit_scan_minibatch_sharded)
         # runs inside shard_map, which needs equal cell shards
@@ -919,26 +932,33 @@ class ALPINE:
 
     def _pallas_pad(self, n_sample: int, n_labels: tuple,
                     n_devices: Optional[int] = None,
-                    include_unguided: bool = False) -> int:
+                    include_unguided: bool = False,
+                    global_cells: Optional[int] = None) -> int:
         """Columns of host-side zero padding so the fused kernel's tile grid
         divides EVERY device's cell shard (0 when the pallas path won't be
         used).  The sharded path needs tile alignment even without
-        covariates (shard_map shards must be equal)."""
+        covariates (shard_map shards must be equal).  ``n_sample`` is the
+        cell count being padded (the LOCAL chunk in multi-process fits);
+        ``global_cells`` is the fit's global count, which is what the
+        minibatch-mode decision keys on (defaults to ``n_sample``)."""
         itemsize = mu.x_storage_itemsize(self._storage_dtype)
+        cast = mu.x_cast_itemsize(self._storage_dtype)
         K = sum(self._cfg_blocks())
         if not (self._use_tpu_kernels()
                 and (self.n_covariate_components or include_unguided)
                 and pallas_kernels.h_update_supported(
-                    self.n_features, itemsize, K, n_labels)):
+                    self.n_features, itemsize, K, n_labels,
+                    cast_itemsize=cast)):
             return 0
-        if self.batch_size is not None and self.batch_size < n_sample:
+        n_global = n_sample if global_cells is None else global_cells
+        if self.batch_size is not None and self.batch_size < n_global:
             return 0  # minibatch mode uses the XLA path
         if self.use_als or self.sampling_method == "weighted":
             return 0
         pad = pallas_kernels.pad_target(
             self.n_features, n_sample,
             self._mesh_devices() if n_devices is None else n_devices,
-            itemsize, K, n_labels,
+            itemsize, K, n_labels, cast_itemsize=cast,
         )
         return 0 if pad is None else pad
 
@@ -984,7 +1004,8 @@ class ALPINE:
             and self._use_tpu_kernels()
             and pallas_kernels.h_update_supported(
                 self.n_features, mu.x_storage_itemsize(self._storage_dtype),
-                cfg.K, cfg.n_labels)
+                cfg.K, cfg.n_labels,
+                cast_itemsize=mu.x_cast_itemsize(self._storage_dtype))
         ):
             cfg = replace(cfg, backend="pallas")
         return cfg

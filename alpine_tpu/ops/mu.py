@@ -97,6 +97,18 @@ def x_storage_itemsize(x_dtype: str) -> int:
     return jnp.dtype(x_storage_dtype(x_dtype)).itemsize
 
 
+def x_cast_itemsize(x_dtype: str) -> int:
+    """Bytes/element of the fused kernels' in-VMEM dequant copy of an X
+    tile (storage → compute width): int8→bf16 = 2, int16→f32 = 4, float
+    storage computes as stored = 0.  Companion of x_storage_itemsize for
+    the kernel-gate VMEM arithmetic — keyed on the dtype NAME because the
+    bare itemsize is ambiguous at 2 bytes (bfloat16 makes no copy, int16
+    a 4-byte one)."""
+    sdt = jnp.dtype(x_storage_dtype(x_dtype))
+    cdt = jnp.dtype(x_compute_dtype(sdt))
+    return 0 if cdt == sdt else cdt.itemsize
+
+
 def x_compute_dtype(storage_dtype):
     """THE storage→compute dtype mapping for X: integer storage dequantizes
     to the narrowest float that represents it exactly (int8 → bfloat16 —
@@ -658,7 +670,8 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
     g = X.shape[0]
     if cfg.n_cov:
         n_pad = pk.pad_target(g, X.shape[1], 1, jnp.dtype(cfg.xdt).itemsize,
-                              cfg.K, cfg.n_labels)
+                              cfg.K, cfg.n_labels,
+                              cast_itemsize=x_cast_itemsize(cfg.x_dtype))
         if n_pad is None:
             raise ValueError(
                 f"n_genes={g}, K={cfg.K} working set exceeds the VMEM limit "
@@ -716,7 +729,7 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
         iteration, (W0, H0, Bs0, XHt0, HHt0, bnums0, bdens0),
         jnp.arange(cfg.max_iter),
     )
-    if H.shape[1] != n:
+    if cfg.trim_h and H.shape[1] != n:
         # covers both the in-function covariate pad AND caller-pre-padded X
         # in the unguided path (zero columns are exact fixed points)
         H = H[:, :n]

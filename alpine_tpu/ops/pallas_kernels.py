@@ -104,11 +104,27 @@ _WS_MARGIN = 1.15
 
 
 def _cast_itemsize_for(itemsize: int) -> int:
-    """Per-element bytes of the in-VMEM dequant copy when only the STORAGE
-    itemsize is known (model-layer callers): conservative — int8 (1B)
+    """Per-element bytes of the in-VMEM dequant copy when ONLY the storage
+    itemsize is known (legacy/test callers): conservative — int8 (1B)
     dequantizes to bf16 (2B); 2B storage is treated as int16→f32 (4B) even
-    though bfloat16 needs no copy; f32/f64 compute as stored (0)."""
+    though bfloat16 needs no copy; f32/f64 compute as stored (0).  Callers
+    that know the dtype pass the exact width instead (mu.x_cast_itemsize
+    for storage names, _cast_itemsize_for_dtype for arrays) — charging
+    bfloat16 a phantom 4B copy shrinks its tiles and rejects large-gene
+    bf16 shapes the kernel actually compiles.  Gate consistency rule: the
+    pad-computing caller and the kernel must derive the SAME cast width,
+    or their tile choices (and therefore the pad divisibility proof in
+    pad_target) can disagree."""
     return {1: 2, 2: 4}.get(itemsize, 0)
+
+
+def _cast_itemsize_for_dtype(dt) -> int:
+    """Exact in-VMEM dequant-copy width for an actual array dtype (0 when
+    storage == compute).  Same mapping as mu.x_cast_itemsize, keyed on the
+    dtype instead of the storage name."""
+    sdt = jnp.dtype(dt)
+    cdt = jnp.dtype(_x_compute_dtype(sdt))
+    return 0 if cdt == sdt else cdt.itemsize
 
 
 def working_set_bytes(n_genes: int, K: int, tile: int, itemsize: int = 4,
@@ -160,7 +176,8 @@ def _vmem_limit_for(ws_bytes: int) -> int:
 
 
 def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
-              n_labels: Tuple[int, ...] = ()) -> Optional[int]:
+              n_labels: Tuple[int, ...] = (),
+              cast_itemsize: Optional[int] = None) -> Optional[int]:
     """Width-independent largest usable cell-tile (a lane multiple >= 128).
 
     Two caps: the X-tile byte budget (throughput-swept heuristic — beyond
@@ -185,7 +202,7 @@ def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
     budget = int(_VMEM_HARD_CAP / _WS_MARGIN)
     while tile >= _LANE:
         if working_set_bytes(n_genes, K, tile, itemsize,
-                             n_labels) <= budget:
+                             n_labels, cast_itemsize) <= budget:
             return tile
         tile -= _LANE
     return None
@@ -193,12 +210,13 @@ def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
 
 def _choose_tile_n(n_genes: int, n_cells: int, itemsize: int = 4,
                    K: Optional[int] = None,
-                   n_labels: Tuple[int, ...] = ()) -> Optional[int]:
+                   n_labels: Tuple[int, ...] = (),
+                   cast_itemsize: Optional[int] = None) -> Optional[int]:
     """Tile actually used by a kernel whose input width is n_cells: the
     width-independent max tile, capped at the (lane-rounded) array width so
     tiny problems don't allocate huge blocks.  (A smaller tile only shrinks
     the working set, so the cap preserves the VMEM guarantee.)"""
-    tile = _max_tile(n_genes, itemsize, K, n_labels)
+    tile = _max_tile(n_genes, itemsize, K, n_labels, cast_itemsize)
     if tile is None:
         return None
     return min(tile, max(_LANE, (n_cells + _LANE - 1) // _LANE * _LANE))
@@ -206,7 +224,8 @@ def _choose_tile_n(n_genes: int, n_cells: int, itemsize: int = 4,
 
 def pad_target(n_genes: int, n_cells: int, n_devices: int = 1,
                itemsize: int = 4, K: Optional[int] = None,
-               n_labels: Tuple[int, ...] = ()) -> Optional[int]:
+               n_labels: Tuple[int, ...] = (),
+               cast_itemsize: Optional[int] = None) -> Optional[int]:
     """Zero-columns of cell-axis padding so that each of n_devices equal
     shards of the padded width W satisfies (W/n_devices) % tile == 0 for the
     tile _choose_tile_n picks AT THAT WIDTH.  Proof sketch: with
@@ -217,8 +236,9 @@ def pad_target(n_genes: int, n_cells: int, n_devices: int = 1,
     when T' = max_tile).  Keeping this arithmetic in ONE place is what
     guarantees the model layer, the engine pad, and the kernels can never
     disagree on divisibility.  Pass the SAME K/n_labels the kernel will
-    run with — they participate in the tile choice."""
-    t = _max_tile(n_genes, itemsize, K, n_labels)
+    run with — they participate in the tile choice (and the same
+    cast_itemsize: see _cast_itemsize_for's consistency rule)."""
+    t = _max_tile(n_genes, itemsize, K, n_labels, cast_itemsize)
     if t is None:
         return None
     per_shard = -(-n_cells // n_devices)
@@ -228,17 +248,21 @@ def pad_target(n_genes: int, n_cells: int, n_devices: int = 1,
 
 def h_update_supported(n_genes: int, itemsize: int = 4,
                        K: Optional[int] = None,
-                       n_labels: Tuple[int, ...] = ()) -> bool:
+                       n_labels: Tuple[int, ...] = (),
+                       cast_itemsize: Optional[int] = None) -> bool:
     """Whether the fused kernels fit their whole working set in the scoped
     VMEM limit at SOME lane-multiple tile.  `itemsize` is the STORAGE
     width — narrow dtypes (bf16/int16: 2, int8: 1) fit 2-4x more genes, so
     gating with the default 4 would silently drop exactly the atlas-scale
     fits the narrow modes target.  Pass K (total components, at the
     COMPILED/bucketed width) and n_labels so the W/XHt/stat blocks are
-    budgeted too — the gate must reject every shape the kernel itself
-    cannot compile, and accept every shape it can."""
+    budgeted too, and cast_itemsize (mu.x_cast_itemsize) when the dtype is
+    known so bfloat16 isn't charged int16's phantom dequant copy — the
+    gate must reject every shape the kernel itself cannot compile, and
+    accept every shape it can."""
     return pltpu is not None and _max_tile(n_genes, itemsize, K,
-                                           n_labels) is not None
+                                           n_labels,
+                                           cast_itemsize) is not None
 
 
 def _mask_cols(x, i, tile_n, n_valid):
@@ -329,7 +353,8 @@ def fused_h_update(
     Covariate configurations use ``fused_iteration`` instead."""
     g, n = X.shape
     K = H.shape[0]
-    tile_n = _choose_tile_n(g, n, X.dtype.itemsize, K)
+    tile_n = _choose_tile_n(g, n, X.dtype.itemsize, K,
+                            cast_itemsize=_cast_itemsize_for_dtype(X.dtype))
     if tile_n is None:
         raise ValueError(
             f"n_genes={g}, K={K} working set exceeds the VMEM limit for "
@@ -367,7 +392,9 @@ def fused_h_update(
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit_for(
-                working_set_bytes(g, K, tile_n, X.dtype.itemsize))
+                working_set_bytes(g, K, tile_n, X.dtype.itemsize,
+                                  cast_itemsize=_cast_itemsize_for_dtype(
+                                      X.dtype)))
         )
     Hn, HXt, HHt_ld = pl.pallas_call(
         kernel,
@@ -569,8 +596,14 @@ def fused_iteration(
     K = H.shape[0]
     n_cov = len(Ys)
     n_labels = tuple(y.shape[0] for y in Ys)
-    tile_n = _choose_tile_n(g, n, X.dtype.itemsize, K, n_labels)
-    if tile_n is None or n % tile_n:
+    tile_n = _choose_tile_n(g, n, X.dtype.itemsize, K, n_labels,
+                            cast_itemsize=_cast_itemsize_for_dtype(X.dtype))
+    if tile_n is None:
+        raise ValueError(
+            f"n_genes={g}, K={K} working set exceeds the VMEM limit for "
+            "the fused iteration kernel"
+        )
+    if n % tile_n:
         raise ValueError(f"cell axis {n} must be padded to a multiple of {tile_n}")
     grid = (n // tile_n,)
 
@@ -630,7 +663,9 @@ def fused_iteration(
         # raise the limit further (up to the hard cap the gate enforced)
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit_for(
-                working_set_bytes(g, K, tile_n, X.dtype.itemsize, n_labels))
+                working_set_bytes(g, K, tile_n, X.dtype.itemsize, n_labels,
+                                  cast_itemsize=_cast_itemsize_for_dtype(
+                                      X.dtype)))
         )
     results = pl.pallas_call(
         kernel,

@@ -126,7 +126,10 @@ def assert_same_across_processes(values, what: str) -> None:
         return
     arr = np.asarray(values, dtype=np.float64).reshape(-1)
     rows = process_allgather_rows(arr)
-    if not np.allclose(rows, rows[0:1], equal_nan=True):
+    # exact comparison: every caller passes exact integers (shapes, label
+    # hashes) — a tolerance would let distinct 48-bit hashes pass as equal
+    if not all(np.array_equal(rows[p], rows[0], equal_nan=True)
+               for p in range(rows.shape[0])):
         raise ValueError(
             f"{what} differs across processes: {rows.tolist()} — every "
             "process must run identical preprocessing on consistent inputs."

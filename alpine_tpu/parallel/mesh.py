@@ -299,8 +299,23 @@ class Placement:
         whole array."""
         if not self.is_multiprocess:
             return np.asarray(jax.device_get(H))
+        n_cols = H.shape[1]
         shards = sorted(
-            ((s.index[1].start or 0, s.data) for s in H.addressable_shards),
+            ((s.index[1].start or 0,
+              n_cols if s.index[1].stop is None else s.index[1].stop,
+              s.data) for s in H.addressable_shards),
             key=lambda t: t[0],
         )
-        return np.concatenate([np.asarray(d) for _, d in shards], axis=1)
+        # the shards must partition (a piece of) the cell axis: a replicated
+        # or resharded output would repeat columns here and silently hand
+        # every process the global array's first n_local columns downstream
+        prev_stop = 0
+        for start, stop, _ in shards:
+            if start < prev_stop:
+                raise ValueError(
+                    "local_cells_columns: addressable shards overlap on the "
+                    "cell axis (the array is replicated or was resharded); "
+                    "expected a cell-sharded fit output."
+                )
+            prev_stop = stop
+        return np.concatenate([np.asarray(d) for _, _, d in shards], axis=1)

@@ -124,7 +124,8 @@ def bench_tpu(X, Ys):
                    and jax.default_backend() == "tpu"
                    and pk.h_update_supported(
                        N_GENES, mu.x_storage_itemsize(x_dtype),
-                       sum(BLOCKS), N_LABELS)
+                       sum(BLOCKS), N_LABELS,
+                       cast_itemsize=mu.x_cast_itemsize(x_dtype))
                    else "xla")
 
     weights = None

@@ -408,6 +408,35 @@ def test_fused_kernel_gate_uses_storage_itemsize():
         assert pk.h_update_supported(g, 4, 200, (4, 7))
 
 
+def test_bf16_gate_not_charged_phantom_dequant_copy():
+    """2-byte storage is ambiguous: int16 makes a real 4-byte in-VMEM
+    dequant copy, bfloat16 none.  Callers that know the dtype pass the
+    exact cast width (mu.x_cast_itemsize) so large-gene bf16 shapes near
+    the VMEM cap keep the fused kernel; bare-itemsize callers keep the
+    conservative (int16) answer."""
+    from alpine_tpu.ops import mu
+
+    g, K = 34_000, 160
+    if pk.pltpu is not None:
+        # int16's real copy puts this shape over budget ...
+        assert not pk.h_update_supported(g, 2, K, (), cast_itemsize=4)
+        # ... bfloat16 (no copy) keeps the kernel ...
+        assert pk.h_update_supported(g, 2, K, (), cast_itemsize=0)
+        # ... and dtype-less callers stay conservative
+        assert not pk.h_update_supported(g, 2, K, ())
+    # exact widths come from ONE name-keyed mapping
+    assert mu.x_cast_itemsize("int8") == 2
+    assert mu.x_cast_itemsize("int16") == 4
+    assert mu.x_cast_itemsize("bfloat16") == 0
+    assert mu.x_cast_itemsize("float32") == 0
+    # gate arithmetic agrees with the kernels' dtype-derived widths
+    import jax.numpy as jnp
+
+    for name in ("int8", "int16", "bfloat16", "float32"):
+        assert (pk._cast_itemsize_for_dtype(jnp.dtype(mu.x_storage_dtype(name)))
+                == mu.x_cast_itemsize(name))
+
+
 def test_working_set_gate_rejects_oversized_shapes():
     """Shapes whose grid-invariant blocks (W + XHt at f32) alone exceed the
     scoped VMEM limit must be rejected BY THE GATE — the round-2 gap was a
