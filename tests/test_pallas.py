@@ -257,21 +257,28 @@ def test_pad_target_consistency():
     fits at e.g. 2000 genes, 2 devices, 1025 cells)."""
     from alpine_tpu.ops.pallas_kernels import _choose_tile_n, pad_target
 
+    # (itemsize, cast) covers every storage dtype's exact widths — int16
+    # (2, 4), bfloat16 (2, 0), int8 (1, 2), f32 (4, 0) — plus the
+    # conservative dtype-less default (None)
     for g in (30, 500, 2000, 11000, 20000):
-        for itemsize in (2, 4):
+        for itemsize, cast in ((2, None), (2, 4), (2, 0), (1, 2), (4, None),
+                               (4, 0)):
             for K, n_labels in ((None, ()), (40, (2, 3)), (200, (4, 7))):
                 for ndev in (1, 2, 4, 8):
                     for n in (128, 300, 1025, 2048, 99999):
                         if n < ndev:
                             continue
-                        p = pad_target(g, n, ndev, itemsize, K, n_labels)
+                        p = pad_target(g, n, ndev, itemsize, K, n_labels,
+                                       cast_itemsize=cast)
                         if p is None:
                             continue
                         W = n + p
                         assert W % ndev == 0
                         s = W // ndev
-                        t = _choose_tile_n(g, s, itemsize, K, n_labels)
-                        assert s % t == 0, (g, itemsize, K, ndev, n, s, t)
+                        t = _choose_tile_n(g, s, itemsize, K, n_labels,
+                                           cast_itemsize=cast)
+                        assert s % t == 0, (g, itemsize, cast, K, ndev, n,
+                                            s, t)
 
 
 def test_sharded_fused_transform_matches_scan():
