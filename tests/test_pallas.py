@@ -137,6 +137,55 @@ def test_pallas_fit_scan_matches_xla(n_cov, loss_kl):
     np.testing.assert_allclose(np.asarray(Hx), np.asarray(Hp), rtol=5e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("blocks,n_labels,loss_kl", [
+    ((1, 1), (1,), True),          # minimal guided + unguided blocks
+    ((1, 1), (1,), False),
+    ((2, 3, 4, 5), (2, 5, 3), True),   # three covariates, mixed labels
+    ((2, 3, 4, 5), (2, 5, 3), False),
+    ((2, 1), (17,), True),         # labels >> K (tall Y/B blocks)
+    ((5, 1), (2,), True),          # minimal unguided tail
+    ((1, 2, 9), (1, 1), False),    # single-label covariates
+], ids=["min-kl", "min-frob", "3cov-kl", "3cov-frob", "tall-y", "tail1",
+        "single-label"])
+def test_pallas_fit_scan_odd_block_structures(blocks, n_labels, loss_kl):
+    """The combined-covariate dots (block-embedded Bg, packed stats rows)
+    must reproduce the XLA trajectory for edge block structures: k_i=1
+    blocks, single-label and many-label covariates, label counts larger
+    than K, minimal unguided tails."""
+    r = np.random.default_rng(3)
+    X = jnp.asarray(r.random((G, N), dtype=np.float32))
+    Ys = []
+    for nl in n_labels:
+        y = np.zeros((nl, N), np.float32)
+        y[r.integers(0, nl, N), np.arange(N)] = 1.0
+        Ys.append(jnp.asarray(y))
+    Ys = tuple(Ys)
+    lam = jnp.asarray(r.random(len(n_labels)) + 0.5, jnp.float32)
+    hyper = (lam, jnp.float32(0.1), jnp.float32(0.2), jnp.float32(0.3),
+             jnp.float32(EPS))
+    key = jax.random.PRNGKey(7)
+
+    cfg_x = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=N,
+                        loss_kl=loss_kl, max_iter=8, backend="xla")
+    W0, H0, Bs0 = mu.init_matrices(cfg_x, G, key, EPS)
+    Wx, Hx, Bsx, Lx = mu.fit_scan(cfg_x, W0, H0, Bs0, X, Ys, hyper, key, None)
+
+    cfg_p = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=N,
+                        loss_kl=loss_kl, max_iter=8,
+                        backend="pallas_interpret")
+    Wp, Hp, Bsp, Lp = mu.fit_scan(cfg_p, W0, H0, Bs0, X, Ys, hyper, key, None)
+
+    assert np.isfinite(np.asarray(Lp)).all()
+    np.testing.assert_allclose(np.asarray(Lx), np.asarray(Lp), rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(Wx), np.asarray(Wp), rtol=5e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Hx), np.asarray(Hp), rtol=5e-3,
+                               atol=1e-5)
+    for bx, bp in zip(Bsx, Bsp):
+        np.testing.assert_allclose(np.asarray(bx), np.asarray(bp),
+                                   rtol=5e-3, atol=1e-5)
+
+
 def test_pallas_rejects_unsupported_modes():
     cfg = mu.MUConfig(blocks=(4,), n_labels=(), n_cells=N, use_als=True,
                       backend="pallas_interpret", max_iter=2)
