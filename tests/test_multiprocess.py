@@ -188,3 +188,30 @@ def test_optimizer_rejects_multiprocess_mesh(monkeypatch):
                            device=mesh_mod.make_cell_mesh(1))
     # non-mesh devices unaffected by the (patched) property
     ComponentOptimizer(adata, ["batch"], device="cpu", max_iter=5)
+
+
+def test_pallas_pad_minibatch_keys_on_global_cells():
+    """Multi-process fits pad the LOCAL chunk but decide minibatch-vs-full
+    mode on the GLOBAL cell count: a global batch_size between the two must
+    yield no fused-kernel tile pad (the fit runs the shard-local minibatch
+    XLA path), while a full-batch fit of the same shape keeps its pad."""
+    from alpine_tpu import ALPINE
+
+    def make():
+        m = ALPINE(n_components=6, n_covariate_components=[2], lam=[1.0],
+                   device="cpu", random_state=0, data_dtype="float32")
+        m.n_features = 2000
+        m.sampling_method = "random"
+        m._use_tpu_kernels = lambda: True  # simulate the TPU branch
+        return m
+
+    m = make()
+    m.batch_size = 60_000  # n_local (50k) < batch_size < n_global (100k)
+    assert m._pallas_pad(50_000, (2,), n_devices=4, include_unguided=True,
+                         global_cells=100_000) == 0
+    # same local shape, full-batch global fit: the tile pad applies
+    m2 = make()
+    m2.batch_size = 100_000
+    pad = m2._pallas_pad(50_000, (2,), n_devices=4, include_unguided=True,
+                         global_cells=100_000)
+    assert pad is not None and pad >= 0
