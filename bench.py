@@ -235,7 +235,37 @@ def bench_reference_torch_cpu(X, Ys):
     return 1.0 / best  # best-of-N: same convention as the TPU measurement
 
 
+def _device_reachable(timeout_s: int = 240) -> bool:
+    """Bounded liveness probe of the default jax backend IN A SUBPROCESS.
+    The axon TPU tunnel can go hard-down (even jax.devices() then hangs
+    with no timeout of its own); without this, an outage turns the
+    driver's bench run into an indefinite hang and the round records NO
+    artifact.  A fast explicit failure line beats that."""
+    import subprocess
+    import sys
+
+    probe = ("import jax, numpy as np;"
+             "x = jax.numpy.ones((128, 128));"
+             "np.asarray(x @ x)")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "mu_iters_per_sec_unmeasured",
+            "value": 0.0,
+            "unit": "iters/s",
+            "vs_baseline": 0.0,
+            "error": "accelerator unreachable (device probe timed out; "
+                     "axon tunnel down?) — benchmark not run",
+        }))
+        return
     rng = np.random.default_rng(0)
     X, Ys = _make_data(rng)
 
