@@ -255,16 +255,43 @@ def _device_reachable(timeout_s: int = 240) -> bool:
         return False
 
 
+def _last_recorded_context():
+    """Best previously-recorded on-chip numbers (NOT a current measurement).
+
+    Attached to the unreachable-device error row so an outage leaves an
+    honest pointer at the round's measured artifact instead of a bare 0."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_CONFIGS_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            row = rec.get("north_star_default") or {}
+            best = row.get("best") or row.get("value")
+            if best:
+                return {
+                    "last_measured_best_iters_per_sec": float(best),
+                    "last_measured_source": os.path.basename(path),
+                }
+        except Exception:
+            continue
+    return {}
+
+
 def main():
     if not _device_reachable():
-        print(json.dumps({
+        out = {
             "metric": "mu_iters_per_sec_unmeasured",
             "value": 0.0,
             "unit": "iters/s",
             "vs_baseline": 0.0,
             "error": "accelerator unreachable (device probe timed out; "
                      "axon tunnel down?) — benchmark not run",
-        }))
+        }
+        out.update(_last_recorded_context())
+        print(json.dumps(out))
         return
     rng = np.random.default_rng(0)
     X, Ys = _make_data(rng)
