@@ -1,0 +1,44 @@
+"""The driver benchmark's outage path (bench.py) is itself round-artifact
+surface: when the axon tunnel is hard-down at round end, bench.py must emit
+a valid one-line JSON row that (a) is honestly zero-valued, and (b) points
+at the best previously recorded on-chip measurement so the artifact is not
+a bare zero.  These tests cover the helper without touching any device.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(ROOT, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_last_recorded_context_points_at_latest_round(bench):
+    ctx = bench._last_recorded_context()
+    # the repo ships BENCH_CONFIGS_r*.json artifacts; the helper must find
+    # the newest one carrying a north_star_default row
+    assert ctx, "no recorded context found despite shipped artifacts"
+    assert ctx["last_measured_best_iters_per_sec"] > 0
+    src = ctx["last_measured_source"]
+    assert src.startswith("BENCH_CONFIGS_r") and src.endswith(".json")
+    with open(os.path.join(ROOT, src)) as f:
+        rec = json.load(f)
+    row = rec["north_star_default"]
+    assert ctx["last_measured_best_iters_per_sec"] == float(
+        row.get("best") or row.get("value"))
+
+
+def test_last_recorded_context_is_json_serializable(bench):
+    # the row is printed with json.dumps — every value must serialize
+    json.dumps(bench._last_recorded_context())
