@@ -42,3 +42,22 @@ def test_last_recorded_context_points_at_latest_round(bench):
 def test_last_recorded_context_is_json_serializable(bench):
     # the row is printed with json.dumps — every value must serialize
     json.dumps(bench._last_recorded_context())
+
+
+def test_watchdog_emits_error_row_when_child_hangs():
+    """A tunnel dying MID-measurement must still yield a one-line JSON
+    artifact: the parent watchdog kills the child and prints the error row
+    (value 0, honest error note, recorded-context pointer)."""
+    import subprocess
+
+    env = dict(os.environ, ALPINE_BENCH_WATCHDOG_S="3")
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env, timeout=120, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.startswith('{"metric"')]
+    assert len(lines) == 1, r.stdout
+    row = json.loads(lines[0])
+    assert row["value"] == 0.0
+    assert "timed out mid-run" in row["error"]
+    assert row["last_measured_best_iters_per_sec"] > 0
