@@ -181,6 +181,14 @@ class ALPINE:
         # sharded arrays (parallel/distributed.py holds the bootstrap and
         # the recipe; tests/test_multiprocess.py the 2-process proof)
         mp = placement.is_multiprocess
+        if sampling_method == "tiled" and (mp or placement.is_sharded):
+            # the tile permutation indexes the GLOBAL cell axis; gathers
+            # across shards would be exactly the all-to-all traffic the
+            # sharded sampling design forbids (tests/test_sharding.py)
+            raise ValueError(
+                "tiled sampling is not supported on sharded or "
+                "multi-process fits; use sampling_method='random'."
+            )
         if mp:
             if sampling_method == "weighted":
                 # balanced draws need a global view of the joint labels
@@ -325,6 +333,14 @@ class ALPINE:
         # stripped from the loss (mu.compute_loss_parts kl_pad)
         if placement.is_sharded and pad == 0 and n_restarts == 1:
             pad = (-pad_cells) % pad_devices
+        # tiled sampling permutes whole tiles, so the cell axis must be a
+        # tile multiple (zero pad columns are exactly neutral; sharded and
+        # multi-process fits were rejected above, so this pad composes with
+        # nothing)
+        tiled_mb = (sampling_method == "tiled"
+                    and batch_size is not None and batch_size < n_sample)
+        if tiled_mb:
+            pad += (-(pad_cells + pad)) % mu.DEFAULT_TILE
         placement.check_gene_axis(self.n_features)
         # Real atlases are usually sorted by sample/batch — exactly the
         # covariates weighted sampling balances — so contiguous cell shards
@@ -332,8 +348,13 @@ class ALPINE:
         # would cancel the balancing.  One fixed global shuffle (seeded,
         # undone on the way out) makes every shard a random subsample, so
         # shard-local draws follow the global balanced distribution.
+        # Tiled sampling needs the same decorrelation for a different
+        # reason: storage-adjacent cells (usually sorted by sample/batch)
+        # would otherwise always share a tile, making every tile a biased
+        # cluster sample; after the shuffle, tiles are exchangeable random
+        # subsamples.
         cell_perm = None
-        if shard_local_mb and sampling_method == "weighted":
+        if (shard_local_mb and sampling_method == "weighted") or tiled_mb:
             cell_perm = np.random.default_rng(self.random_state).permutation(
                 n_sample
             )
@@ -452,6 +473,10 @@ class ALPINE:
                     "matmul_precision": self.matmul_precision,
                     "batch_size": self.batch_size,
                     "sampling": self.sampling_method,
+                    # tiled trajectories depend on the tile width (and on
+                    # the pre-shuffle, which self.random_state seeds)
+                    "tile": (mu.DEFAULT_TILE
+                             if self.sampling_method == "tiled" else 0),
                     "bucket": self.component_bucket,
                     # shard-local minibatch sampling distributions and key
                     # schedules depend on the shard count, so a snapshot
@@ -992,6 +1017,7 @@ class ALPINE:
             use_als=self.use_als,
             batch_size=None if self.batch_size >= n_sample else self.batch_size,
             weighted=(self.sampling_method == "weighted"),
+            tile=(mu.DEFAULT_TILE if self.sampling_method == "tiled" else 0),
             max_iter=n_iter,
             precision=self.matmul_precision,
             x_dtype=self._storage_dtype,
@@ -1400,7 +1426,10 @@ class ALPINE:
 
         if not isinstance(sampling_method, str):
             raise TypeError("sampling_method must be a string.")
-        if sampling_method not in ("random", "weighted"):
+        # "tiled" is a TPU-native extension (tile-granular permutation after
+        # a seeded global shuffle; see mu.MUConfig.tile); the unknown-method
+        # message keeps the reference text (main.py:430-434)
+        if sampling_method not in ("random", "weighted", "tiled"):
             raise ValueError(
                 f"Unknown sampling method: {sampling_method}. Only 'weighted', and 'random' are supported."
             )

@@ -158,6 +158,13 @@ def _x_ht(cfg: "MUConfig", X_b: Array, H_b: Array) -> Array:
     return jnp.swapaxes(hx, -1, -2)
 
 
+# Default tile width for "tiled" minibatch sampling: one 128-lane register
+# row of cells — the smallest slab the gather moves at near-streaming
+# bandwidth (benchmarks/gather_floor.py), and small enough that batches of
+# a few thousand cells still mix dozens of independent tiles.
+DEFAULT_TILE = 128
+
+
 @dataclass(frozen=True)
 class MUConfig:
     """Static (shape/branch) configuration for one compiled fit.
@@ -174,6 +181,20 @@ class MUConfig:
     use_als: bool = False
     batch_size: Optional[int] = None  # None => full batch
     weighted: bool = False  # weighted (balanced, with-replacement) sampling
+    # Tile width for "tiled" minibatch sampling (0 = reference per-cell
+    # sampling).  Per-cell minibatch gathers are bound by random-gather
+    # bandwidth (~15 GB/s measured, benchmarks/gather_floor.py); permuting
+    # TILES of `tile` adjacent columns instead moves the same bytes as
+    # ~tile-column contiguous slices (hundreds of GB/s).  Statistical
+    # soundness comes from the model layer's one seeded global cell shuffle
+    # before tiling (undone on the way out), which makes every tile an
+    # exchangeable random subsample; the trajectory intentionally differs
+    # from the reference's per-cell draws (TPU-native extension — the
+    # reference has no counterpart, sampling.py:6-16 is per-cell only).
+    # With tile == 1 and an unpadded cell axis the permutation draws and
+    # batch sequence are identical to the per-cell path (results agree to
+    # XLA fusion-order rounding; tests/test_tiled.py).
+    tile: int = 0
     max_iter: int = 200
     precision: str = "highest"  # matmul precision ("highest" | "default")
     # Storage dtype for X (and Ys) inside the fit:
@@ -505,7 +526,15 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     Sampling semantics follow the reference (sampling.py:6-33): "random" is a
     fresh permutation per iteration; "weighted" draws n balanced samples with
     replacement.  `weights` is the normalized per-cell probability vector for
-    weighted mode (ignored otherwise)."""
+    weighted mode (ignored otherwise).
+
+    With cfg.tile > 0 ("tiled" sampling, a TPU-native extension) the
+    per-iteration permutation is over TILES of cfg.tile adjacent columns:
+    the same epoch structure, but every gather/scatter moves whole
+    (genes, tile) slabs at near-streaming bandwidth instead of single
+    columns at random-gather bandwidth.  Requires the cell axis pre-padded
+    to a tile multiple (zero columns are exactly neutral); the effective
+    batch size rounds UP to a whole number of tiles."""
     if cfg.use_pallas:
         if cfg.use_als or not cfg.full_batch:
             raise ValueError("pallas backend requires full-batch joint mode")
@@ -526,12 +555,58 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
         H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
     bs = cfg.eff_batch_size
     nb = cfg.num_batches
+    tiled = cfg.tile > 0 and not cfg.full_batch
+    if tiled:
+        if cfg.weighted:
+            raise ValueError("tiled and weighted sampling are exclusive")
+        t = cfg.tile
+        if X.shape[1] % t:
+            raise ValueError(
+                f"tiled sampling needs the cell axis padded to a multiple "
+                f"of tile={t}; got {X.shape[1]} columns"
+            )
+        n_tiles = X.shape[1] // t
+        bs_t = min(-(-bs // t), n_tiles)  # whole tiles, rounded up
+        nb_t = -(-n_tiles // bs_t)
 
     def iteration(carry, xs):
         it_key, it = xs
         W, H, Bs = carry
         if cfg.full_batch:
             W, Bs, H, aux = update(cfg, hyper, W, Bs, H, X, Ys)
+        elif tiled:
+            # permute TILES: identical epoch/batch structure, but gathers
+            # move (genes, tile) slabs — with tile == 1 and no cell pad
+            # this reduces to the per-cell branch below (same permutation
+            # draw, same fill index, same update sequence)
+            idx = jax.random.permutation(it_key, n_tiles)
+            padn = nb_t * bs_t - n_tiles
+            if padn:
+                idx = jnp.concatenate([idx, jnp.full((padn,), n_tiles, idx.dtype)])
+            idx_mat = idx.reshape(nb_t, bs_t)
+            g = X.shape[0]
+            X3 = X.reshape(g, n_tiles, t)
+            Ys3 = tuple(Y.reshape(Y.shape[0], n_tiles, t) for Y in Ys)
+
+            def tile_body(c, bidx):
+                W, H, Bs = c
+                X_b = jnp.take(X3, bidx, axis=1, mode="fill",
+                               fill_value=0).reshape(g, bs_t * t)
+                Ys_b = tuple(
+                    jnp.take(Y, bidx, axis=1, mode="fill",
+                             fill_value=0).reshape(Y.shape[0], bs_t * t)
+                    for Y in Ys3
+                )
+                H3 = H.reshape(H.shape[0], n_tiles, t)
+                H_b = jnp.take(H3, bidx, axis=1, mode="fill",
+                               fill_value=0).reshape(H.shape[0], bs_t * t)
+                W, Bs, H_b, _ = update(cfg, hyper, W, Bs, H_b, X_b, Ys_b)
+                H3 = H3.at[:, bidx].set(
+                    H_b.reshape(H.shape[0], bs_t, t), mode="drop")
+                return (W, H3.reshape(H.shape), Bs), None
+
+            (W, H, Bs), _ = lax.scan(tile_body, (W, H, Bs), idx_mat)
+            aux = None
         else:
             if cfg.weighted:
                 idx = jax.random.choice(it_key, n, shape=(n,), replace=True, p=weights)
@@ -860,6 +935,11 @@ def fit_scan_minibatch_sharded(cfg: MUConfig, mesh, W0, H0, Bs0, X, Ys, hyper,
         raise ValueError(
             "shard-local minibatch sampling supports joint mode only; "
             "ALS minibatch fits run the global GSPMD path"
+        )
+    if cfg.tile:
+        raise ValueError(
+            "tiled sampling is not supported on sharded meshes; "
+            "use sampling_method='random'"
         )
     if cfg.full_batch:
         raise ValueError("use fit_scan / fit_scan_sharded for full-batch fits")

@@ -55,6 +55,9 @@ USE_ALS = bool(int(os.environ.get("ALPINE_BENCH_ALS", "0")))
 # ALPINE_BENCH_SAMPLING=weighted benches balanced with-replacement draws
 # (reference sampling.py:18-33).  Both recorded per round in
 # BENCH_CONFIGS_r{N}.json (round-2 verdict item 5).
+# ALPINE_BENCH_SAMPLING=tiled benches the TPU-native tile-permutation
+# sampler (mu.MUConfig.tile): same epoch structure as 'random', gathers at
+# 128-column tile granularity instead of random-gather bandwidth.
 BATCH = (int(os.environ["ALPINE_BENCH_BATCH"])
          if os.environ.get("ALPINE_BENCH_BATCH") else None)
 SAMPLING = os.environ.get("ALPINE_BENCH_SAMPLING", "random")
@@ -110,13 +113,23 @@ def bench_tpu(X, Ys):
     key = jax.random.PRNGKey(0)
     hyper = (jnp.asarray([1.0, 1.0], jnp.float32), jnp.float32(0.0),
              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1e-6))
+    weighted = SAMPLING == "weighted"
+    tiled = SAMPLING == "tiled"
+    tile = mu.DEFAULT_TILE if tiled else 0
+    if tiled:
+        # the tile permutation needs a tile-multiple cell axis (zero pad
+        # columns are exactly neutral; the model layer does the same); the
+        # bench data is iid so no decorrelating pre-shuffle is needed
+        cpad = (-N_CELLS) % tile
+        if cpad:
+            X = np.pad(X, ((0, 0), (0, cpad)))
+            Ys = [np.pad(y, ((0, 0), (0, cpad))) for y in Ys]
     # stage data on device ONCE — host->device transfer is not the benched op
     Xd = jnp.asarray(X.astype(x_dtype))
     Ysd = tuple(jnp.asarray(y) for y in Ys)
 
     from alpine_tpu.ops import pallas_kernels as pk
 
-    weighted = SAMPLING == "weighted"
     backend = os.environ.get("ALPINE_BENCH_BACKEND")
     if backend is None:
         backend = ("pallas"
@@ -139,8 +152,8 @@ def bench_tpu(X, Ys):
         cfg = mu.MUConfig(
             blocks=BLOCKS, n_labels=N_LABELS, n_cells=N_CELLS,
             loss_kl=True, use_als=USE_ALS, batch_size=BATCH,
-            weighted=weighted, max_iter=n_iter, precision=precision,
-            backend=backend, x_dtype=x_dtype,
+            weighted=weighted, tile=tile, max_iter=n_iter,
+            precision=precision, backend=backend, x_dtype=x_dtype,
         )
         W0, H0, Bs0 = mu.init_matrices(cfg, N_GENES, key, 1e-6)
         out = mu.fit_scan(cfg, W0, H0, Bs0, Xd, Ysd, hyper, key, weights)
@@ -310,6 +323,8 @@ def main():
         als_tag += f"_bs{BATCH}"
     if SAMPLING == "weighted":
         als_tag += "_weighted"
+    elif SAMPLING == "tiled":
+        als_tag += "_tiled"
     if BLOCKS != (5, 5, 30):
         als_tag += f"_K{sum(BLOCKS)}"
     print(json.dumps({

@@ -1,0 +1,256 @@
+"""Tiled minibatch sampling (mu.MUConfig.tile) — the TPU-native extension
+that permutes 128-column tiles instead of single cells so minibatch gathers
+move at streaming bandwidth (the reference's per-cell draws, sampling.py:6-16,
+are random-gather-bound; benchmarks/gather_floor.py).
+
+Correctness anchors:
+- tile == 1 on an unpadded cell axis is BITWISE the per-cell 'random' path
+  (same permutation draw, same fill index, same update sequence);
+- a single batch covering every tile is the full-batch update on a column
+  permutation of X (W/Bs permutation-invariant, H scattered back);
+- the float64 oracle driven with the same tile permutations reproduces the
+  trajectory;
+- zero pad columns (cell axis padded to a tile multiple) stay exactly zero.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from dataclasses import replace
+
+from alpine_tpu import ALPINE
+from alpine_tpu.ops import mu
+
+from .conftest import make_synthetic_adata
+from .oracle import oracle_joint_step, _cat_h, _cat_w
+
+BLOCKS = (3, 4, 6)
+N_LABELS = (2, 3)
+G = 25
+EPS = 1e-6
+
+
+def _problem(seed=0, n=40):
+    r = np.random.default_rng(seed)
+    X = (r.random((G, n)).astype(np.float32) * 3).round(3)
+    Ys = []
+    for nl in N_LABELS:
+        y = np.zeros((nl, n), np.float32)
+        y[r.integers(0, nl, n), np.arange(n)] = 1.0
+        Ys.append(y)
+    Ws = [r.random((G, k)).astype(np.float32) + 0.1 for k in BLOCKS]
+    Hs = [r.random((k, n)).astype(np.float32) + 0.1 for k in BLOCKS]
+    Bs = [r.random((nl, k)).astype(np.float32) + 0.1
+          for nl, k in zip(N_LABELS, BLOCKS)]
+    return X, Ys, Ws, Hs, Bs
+
+
+def _hyper(lam=(1.0, 2.0), orth=0.2, alpha=0.1, l1=0.5):
+    return (jnp.asarray(lam, jnp.float32), jnp.float32(orth),
+            jnp.float32(alpha), jnp.float32(l1), jnp.float32(EPS))
+
+
+def _fit(cfg, X, Ys, Ws, Hs, Bs, seed=11, hyper=None):
+    W = jnp.asarray(_cat_w(Ws))
+    H = jnp.asarray(_cat_h(Hs))
+    Bs_d = tuple(jnp.asarray(b) for b in Bs)
+    key = jax.random.PRNGKey(seed)
+    return mu.fit_scan(cfg, W, H, Bs_d, jnp.asarray(X),
+                       tuple(jnp.asarray(y) for y in Ys),
+                       hyper or _hyper(), key, None)
+
+
+def test_tile1_matches_per_cell_sampling():
+    """tile=1 with no cell padding reduces to the reference per-cell
+    permutation branch: identical permutation draws, identical batch
+    sequence, same update math — results agree to XLA fusion-order
+    rounding (the reshape-gather compiles to a different fusion, so
+    float32 sums reassociate at the ~1e-6 level)."""
+    n, bs, iters = 37, 10, 3  # non-divisible: exercises the fill-index pad
+    X, Ys, Ws, Hs, Bs = _problem(seed=7, n=n)
+    base = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=n,
+                       loss_kl=True, batch_size=bs, max_iter=iters)
+    Wr, Hr, Bsr, Lr = _fit(base, X, Ys, Ws, Hs, Bs)
+    Wt, Ht, Bst, Lt = _fit(replace(base, tile=1), X, Ys, Ws, Hs, Bs)
+    np.testing.assert_allclose(np.asarray(Wr), np.asarray(Wt),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Hr), np.asarray(Ht),
+                               rtol=1e-5, atol=1e-7)
+    for br, bt in zip(Bsr, Bst):
+        np.testing.assert_allclose(np.asarray(br), np.asarray(bt),
+                                   rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Lr), np.asarray(Lt),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_single_batch_epoch_is_a_column_permutation_of_full_batch():
+    """When one batch covers every tile, a tiled epoch is the full-batch
+    joint update applied to a column permutation of X — W/Bs agree with the
+    unpermuted full-batch update (cell-axis contractions are permutation-
+    invariant) and H is scattered back to its original columns."""
+    n, t, iters = 48, 8, 4
+    X, Ys, Ws, Hs, Bs = _problem(seed=3, n=n)
+    tiled = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=n,
+                        loss_kl=True, batch_size=n - 1, tile=t,
+                        max_iter=iters)
+    full = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=n,
+                       loss_kl=True, max_iter=iters)
+    Wt, Ht, Bst, Lt = _fit(tiled, X, Ys, Ws, Hs, Bs)
+    Wf, Hf, Bsf, Lf = _fit(full, X, Ys, Ws, Hs, Bs)
+    np.testing.assert_allclose(np.asarray(Wt), np.asarray(Wf),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Ht), np.asarray(Hf),
+                               rtol=1e-4, atol=1e-6)
+    for bt, bf in zip(Bst, Bsf):
+        np.testing.assert_allclose(np.asarray(bt), np.asarray(bf),
+                                   rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Lt), np.asarray(Lf),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("n,t", [(40, 8), (37, 8)])  # 37 -> 3 zero pad cols
+def test_tiled_scan_matches_oracle_loop(n, t):
+    """Drive the float64 oracle with the same tile permutations the jitted
+    tiled scan draws; trajectories must agree (incl. a padded cell axis —
+    zero columns are exact fixed points of every update)."""
+    bs, iters = 16, 3  # bs_t = 2 tiles per batch
+    X, Ys, Ws, Hs, Bs = _problem(seed=9, n=n)
+    pad = (-n) % t
+    Xp = np.pad(X, ((0, 0), (0, pad)))
+    Ysp = [np.pad(y, ((0, 0), (0, pad))) for y in Ys]
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=n,
+                      loss_kl=True, batch_size=bs, tile=t, max_iter=iters)
+    key = jax.random.PRNGKey(11)
+    Wn, Hn, Bsn, _ = _fit(cfg, Xp, Ysp, Ws, Hs, Bs, seed=11)
+
+    total = n + pad
+    n_tiles = total // t
+    bs_t = -(-min(bs, n) // t)
+    oWs = [w.copy() for w in Ws]
+    oHs = [np.pad(h, ((0, 0), (0, pad))) for h in Hs]
+    oBs = [b.copy() for b in Bs]
+    oX = np.pad(X, ((0, 0), (0, pad)))
+    oYs = [np.pad(y, ((0, 0), (0, pad))) for y in Ys]
+    keys = jax.random.split(key, iters)
+    for it in range(iters):
+        perm = np.asarray(jax.random.permutation(keys[it], n_tiles))
+        for b0 in range(0, n_tiles, bs_t):
+            tiles = perm[b0:b0 + bs_t]
+            idx = (tiles[:, None] * t + np.arange(t)[None, :]).ravel()
+            X_b = oX[:, idx]
+            Ys_b = [y[:, idx] for y in oYs]
+            Hs_b = [h[:, idx] for h in oHs]
+            oWs, Hs_b, oBs = oracle_joint_step(
+                oWs, Hs_b, oBs, X_b, Ys_b, [1.0, 2.0], 0.2, 0.1, 0.5,
+                EPS, True)
+            for j in range(len(oHs)):
+                oHs[j][:, idx] = Hs_b[j]
+
+    np.testing.assert_allclose(np.asarray(Wn), _cat_w(oWs),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Hn), _cat_h(oHs)[:, :n],
+                               rtol=5e-4, atol=1e-5)
+    for bj, bo in zip(Bsn, oBs):
+        np.testing.assert_allclose(np.asarray(bj), bo, rtol=5e-4, atol=1e-5)
+
+
+def test_tiled_pad_columns_stay_exactly_zero():
+    n, t = 37, 8
+    X, Ys, Ws, Hs, Bs = _problem(seed=5, n=n)
+    pad = (-n) % t
+    Xp = np.pad(X, ((0, 0), (0, pad)))
+    Ysp = [np.pad(y, ((0, 0), (0, pad))) for y in Ys]
+    Hsp = [np.pad(h, ((0, 0), (0, pad))) for h in Hs]
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=n,
+                      loss_kl=True, batch_size=16, tile=t, max_iter=4,
+                      trim_h=False)
+    _, Hn, _, _ = _fit(cfg, Xp, Ysp, Ws, Hsp, Bs)
+    assert Hn.shape[1] == n + pad
+    np.testing.assert_array_equal(np.asarray(Hn[:, n:]), 0.0)
+
+
+def test_tiled_requires_tile_multiple_cell_axis():
+    n = 37
+    X, Ys, Ws, Hs, Bs = _problem(seed=5, n=n)
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=n,
+                      loss_kl=True, batch_size=16, tile=8, max_iter=2)
+    with pytest.raises(ValueError, match="multiple"):
+        _fit(cfg, X, Ys, Ws, Hs, Bs)
+
+
+def test_tiled_rejected_on_sharded_minibatch_path():
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=64,
+                      loss_kl=True, batch_size=16, tile=8, max_iter=2)
+    with pytest.raises(ValueError, match="sharded"):
+        mu.fit_scan_minibatch_sharded(cfg, None, None, None, None, None,
+                                      None, None, None)
+
+
+# ---------------------------------------------------------------- model API
+
+
+def test_model_tiled_fit_runs_and_converges():
+    adata = make_synthetic_adata(n_cells=300, n_genes=30)
+    m = ALPINE(n_components=8, n_covariate_components=[2, 3],
+               lam=[1.0, 2.0], device="cpu", random_state=0)
+    m.fit(adata, ["batch", "condition"], batch_size=130,
+          sampling_method="tiled", max_iter=12)
+    L = m.loss_history["total loss"].to_numpy()
+    assert np.isfinite(L).all() and L[-1] < L[0]
+    emb = adata.obsm["ALPINE_embedding"]
+    assert emb.shape == (300, 8) and np.isfinite(emb).all()
+    assert (emb >= 0).all()
+
+
+def test_model_tiled_unshuffles_h_to_caller_cell_order():
+    """The seeded pre-shuffle must be undone on the way out: each cell's
+    returned H column has to explain ITS OWN expression row.  A converged
+    fit reconstructs X ≈ W@H per cell only when the alignment is right —
+    with a forgotten/wrong unshuffle the per-cell reconstruction
+    correlation collapses to the permuted-pairing baseline."""
+    adata = make_synthetic_adata(n_cells=300, n_genes=30)
+    m = ALPINE(n_components=8, n_covariate_components=[2, 3],
+               lam=[1.0, 2.0], device="cpu", random_state=0)
+    m.fit(adata, ["batch", "condition"], batch_size=130,
+          sampling_method="tiled", max_iter=80)
+    W = np.hstack(m.matrices["Ws"])
+    H = np.vstack(m.matrices["Hs"])
+    R = W @ H  # (genes, cells) reconstruction in the CALLER's cell order
+    X = np.asarray(adata.X, np.float32).T
+
+    def mean_cell_corr(a, b):
+        a = a - a.mean(0)
+        b = b - b.mean(0)
+        denom = np.linalg.norm(a, axis=0) * np.linalg.norm(b, axis=0) + 1e-12
+        return float(((a * b).sum(0) / denom).mean())
+
+    aligned = mean_cell_corr(X, R)
+    # the same reconstruction scored against a shuffled pairing: what a
+    # missing unshuffle would look like
+    perm = np.random.default_rng(1).permutation(X.shape[1])
+    misaligned = mean_cell_corr(X, R[:, perm])
+    assert aligned > 0.9, aligned
+    assert aligned > misaligned + 0.2, (aligned, misaligned)
+
+
+def test_model_tiled_rejected_on_mesh():
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(_jax.devices("cpu")[:2]), ("cells",))
+    adata = make_synthetic_adata(n_cells=64, n_genes=20)
+    m = ALPINE(n_components=6, n_covariate_components=[2, 2],
+               lam=[1.0, 1.0], device=mesh, random_state=0)
+    with pytest.raises(ValueError, match="tiled sampling"):
+        m.fit(adata, ["batch", "condition"], batch_size=16,
+              sampling_method="tiled", max_iter=3)
+
+
+def test_unknown_sampling_method_message_unchanged():
+    adata = make_synthetic_adata(n_cells=40, n_genes=10)
+    m = ALPINE(n_components=6, n_covariate_components=[2, 2],
+               lam=[1.0, 1.0], device="cpu", random_state=0)
+    with pytest.raises(ValueError, match="Only 'weighted', and 'random'"):
+        m.fit(adata, ["batch", "condition"], sampling_method="bogus",
+              max_iter=3)
