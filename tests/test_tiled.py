@@ -247,6 +247,17 @@ def test_model_tiled_rejected_on_mesh():
               sampling_method="tiled", max_iter=3)
 
 
+def test_component_optimizer_rejects_tiled():
+    """The search's CV fold fits are small and (batched-)full-batch shaped;
+    tiled sampling is a single-fit atlas-scale mode.  The optimizer keeps
+    its reference-text rejection rather than half-supporting it."""
+    from alpine_tpu import ComponentOptimizer
+
+    adata = make_synthetic_adata(n_cells=60, n_genes=15)
+    with pytest.raises(ValueError, match="Only 'weighted'"):
+        ComponentOptimizer(adata, ["batch"], sampling_method="tiled")
+
+
 def test_unknown_sampling_method_message_unchanged():
     adata = make_synthetic_adata(n_cells=40, n_genes=10)
     m = ALPINE(n_components=6, n_covariate_components=[2, 2],
