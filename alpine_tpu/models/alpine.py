@@ -181,13 +181,20 @@ class ALPINE:
         # sharded arrays (parallel/distributed.py holds the bootstrap and
         # the recipe; tests/test_multiprocess.py the 2-process proof)
         mp = placement.is_multiprocess
-        if sampling_method == "tiled" and (mp or placement.is_sharded):
-            # the tile permutation indexes the GLOBAL cell axis; gathers
-            # across shards would be exactly the all-to-all traffic the
-            # sharded sampling design forbids (tests/test_sharding.py)
+        if sampling_method == "tiled" and (
+            mp
+            or (placement.is_sharded
+                and (len(placement.mesh.axis_names) != 1 or self.use_als))
+        ):
+            # tiled sampling rides the shard-local minibatch path (per-shard
+            # tile permutations, no cross-shard gathers); configurations
+            # that path cannot take (multi-process, 2-D meshes, ALS) would
+            # fall back to global GSPMD gathers — exactly the all-to-all
+            # traffic the sharded sampling design forbids
+            # (tests/test_sharding.py)
             raise ValueError(
-                "tiled sampling is not supported on sharded or "
-                "multi-process fits; use sampling_method='random'."
+                "tiled sampling on meshes requires a single-process 1-D "
+                "cell mesh in joint mode; use sampling_method='random'."
             )
         if mp:
             if sampling_method == "weighted":
@@ -334,13 +341,16 @@ class ALPINE:
         if placement.is_sharded and pad == 0 and n_restarts == 1:
             pad = (-pad_cells) % pad_devices
         # tiled sampling permutes whole tiles, so the cell axis must be a
-        # tile multiple (zero pad columns are exactly neutral; sharded and
-        # multi-process fits were rejected above, so this pad composes with
-        # nothing)
+        # tile multiple — per SHARD on a mesh (shard-local permutations):
+        # pad to tile x n_shards so every equal shard is tile-aligned.
+        # Zero pad columns are exactly neutral; multi-process fits were
+        # rejected above.
         tiled_mb = (sampling_method == "tiled"
                     and batch_size is not None and batch_size < n_sample)
         if tiled_mb:
-            pad += (-(pad_cells + pad)) % mu.DEFAULT_TILE
+            unit = mu.DEFAULT_TILE * (pad_devices
+                                      if placement.is_sharded else 1)
+            pad = (-pad_cells) % unit
         placement.check_gene_axis(self.n_features)
         # Real atlases are usually sorted by sample/batch — exactly the
         # covariates weighted sampling balances — so contiguous cell shards

@@ -865,6 +865,26 @@ def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
         nb = cfg.num_batches
         bs_loc = -(-n_loc // nb)
         pad = nb * bs_loc - n_loc
+        tiled = cfg.tile > 0
+        if tiled:
+            # per-shard TILE permutation (the model layer pads every shard
+            # to a tile multiple and pre-shuffles globally; see
+            # MUConfig.tile).  Shards are equal, so every device runs the
+            # same (nb_t, bs_t) structure in lockstep for the psums.
+            t = cfg.tile
+            if cfg.weighted:
+                raise ValueError("tiled and weighted sampling are exclusive")
+            if n_loc % t:
+                raise ValueError(
+                    f"tiled sampling needs every cell shard padded to a "
+                    f"multiple of tile={t}; got {n_loc}-column shards"
+                )
+            n_tiles_loc = n_loc // t
+            bs_t = min(-(-bs_loc // t), n_tiles_loc)
+            nb_t = -(-n_tiles_loc // bs_t)
+            g_loc = X_loc.shape[0]
+            X3 = X_loc.reshape(g_loc, n_tiles_loc, t)
+            Ys3 = tuple(Y.reshape(Y.shape[0], n_tiles_loc, t) for Y in Ys_loc)
 
         # per-shard sampling stream
         key = jax.random.fold_in(key, lax.axis_index(axis))
@@ -876,31 +896,62 @@ def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
         def iteration(carry, xs):
             it_key, it = xs
             W, H, Bs = carry
-            if cfg.weighted:
-                idx = jax.random.choice(
-                    it_key, n_loc, shape=(n_loc,), replace=True, p=p_loc
-                )
+            if tiled:
+                idx = jax.random.permutation(it_key, n_tiles_loc)
+                padn = nb_t * bs_t - n_tiles_loc
+                if padn:
+                    idx = jnp.concatenate(
+                        [idx, jnp.full((padn,), n_tiles_loc, idx.dtype)])
+                idx_mat = idx.reshape(nb_t, bs_t)
+
+                def tile_body(c, bidx):
+                    W, H, Bs = c
+                    X_b = jnp.take(X3, bidx, axis=1, mode="fill",
+                                   fill_value=0).reshape(g_loc, bs_t * t)
+                    Ys_b = tuple(
+                        jnp.take(Y, bidx, axis=1, mode="fill",
+                                 fill_value=0).reshape(Y.shape[0], bs_t * t)
+                        for Y in Ys3
+                    )
+                    H3 = H.reshape(H.shape[0], n_tiles_loc, t)
+                    H_b = jnp.take(H3, bidx, axis=1, mode="fill",
+                                   fill_value=0).reshape(H.shape[0], bs_t * t)
+                    W, Bs, H_b, _ = joint_batch_update(
+                        cfg, hyper, W, Bs, H_b, X_b, Ys_b, r=psum
+                    )
+                    H3 = H3.at[:, bidx].set(
+                        H_b.reshape(H.shape[0], bs_t, t), mode="drop")
+                    return (W, H3.reshape(H.shape), Bs), None
+
+                (W, H, Bs), _ = lax.scan(tile_body, (W, H, Bs), idx_mat)
             else:
-                idx = jax.random.permutation(it_key, n_loc)
-            if pad:
-                idx = jnp.concatenate([idx, jnp.full((pad,), n_loc, idx.dtype)])
-            idx_mat = idx.reshape(nb, bs_loc)
+                if cfg.weighted:
+                    idx = jax.random.choice(
+                        it_key, n_loc, shape=(n_loc,), replace=True, p=p_loc
+                    )
+                else:
+                    idx = jax.random.permutation(it_key, n_loc)
+                if pad:
+                    idx = jnp.concatenate(
+                        [idx, jnp.full((pad,), n_loc, idx.dtype)])
+                idx_mat = idx.reshape(nb, bs_loc)
 
-            def batch_body(c, bidx):
-                W, H, Bs = c
-                X_b = jnp.take(X_loc, bidx, axis=1, mode="fill", fill_value=0)
-                Ys_b = tuple(
-                    jnp.take(Y, bidx, axis=1, mode="fill", fill_value=0)
-                    for Y in Ys_loc
-                )
-                H_b = jnp.take(H, bidx, axis=1, mode="fill", fill_value=0)
-                W, Bs, H_b, _ = joint_batch_update(
-                    cfg, hyper, W, Bs, H_b, X_b, Ys_b, r=psum
-                )
-                H = H.at[:, bidx].set(H_b, mode="drop")
-                return (W, H, Bs), None
+                def batch_body(c, bidx):
+                    W, H, Bs = c
+                    X_b = jnp.take(X_loc, bidx, axis=1, mode="fill",
+                                   fill_value=0)
+                    Ys_b = tuple(
+                        jnp.take(Y, bidx, axis=1, mode="fill", fill_value=0)
+                        for Y in Ys_loc
+                    )
+                    H_b = jnp.take(H, bidx, axis=1, mode="fill", fill_value=0)
+                    W, Bs, H_b, _ = joint_batch_update(
+                        cfg, hyper, W, Bs, H_b, X_b, Ys_b, r=psum
+                    )
+                    H = H.at[:, bidx].set(H_b, mode="drop")
+                    return (W, H, Bs), None
 
-            (W, H, Bs), _ = lax.scan(batch_body, (W, H, Bs), idx_mat)
+                (W, H, Bs), _ = lax.scan(batch_body, (W, H, Bs), idx_mat)
             loss = compute_loss_parts(
                 cfg, hyper, W, H, Bs, X_loc, Ys_loc, normX2, r=psum,
                 kl_pad=n_loc * n_shards - cfg.n_cells,
@@ -930,16 +981,13 @@ def fit_scan_minibatch_sharded(cfg: MUConfig, mesh, W0, H0, Bs0, X, Ys, hyper,
     """Shard-local minibatch training entry: joint mode over a 1-D cell
     mesh.  X/H/Ys (and weights) must be cell-sharded with equal shards;
     W/Bs replicated.  `weights` is the per-cell probability vector for
-    weighted mode (any normalization; renormalized per shard)."""
+    weighted mode (any normalization; renormalized per shard).  With
+    cfg.tile > 0 each shard permutes its own tiles (shards must be padded
+    to a tile multiple — the model layer pads to tile x n_shards)."""
     if cfg.use_als:
         raise ValueError(
             "shard-local minibatch sampling supports joint mode only; "
             "ALS minibatch fits run the global GSPMD path"
-        )
-    if cfg.tile:
-        raise ValueError(
-            "tiled sampling is not supported on sharded meshes; "
-            "use sampling_method='random'"
         )
     if cfg.full_batch:
         raise ValueError("use fit_scan / fit_scan_sharded for full-batch fits")

@@ -127,25 +127,36 @@ def mxu_model(blocks=None) -> dict:
             "mxu_only_iters_per_sec": round(1.0 / mxu_s, 1)}
 
 
-def bytes_per_iteration(als: bool) -> dict:
+def bytes_per_iteration(als: bool, minibatch: bool = False) -> dict:
     g, n, K = bench.N_GENES, bench.N_CELLS, sum(bench.BLOCKS)
     labels = sum(bench.N_LABELS)
     n_blocks = len(bench.BLOCKS)
     x_item = {"bfloat16": 2, "int16": 2, "int8": 1}.get(
         bench.resolved_dtype(), 4)
-    x_passes = (n_blocks + 1) if als else 1
-    y_passes = 2 if als else 1
-    x_bytes = x_passes * g * n * x_item
-    y_bytes = y_passes * labels * n * x_item
-    if als:
-        # XLA ALS re-reads the full H per block for `cross` (H@H_i^T) and
-        # `uden` ((W_i^T W)@H), plus the XHt_start pass, plus the H write.
-        # At bench shapes this is ~7% of traffic on top of the X passes; a
-        # fused ALS kernel could only recover that slice (the X passes are
-        # the semantic floor), which is why none exists.
-        h_bytes = (1 + 2 * n_blocks) * K * n * 4 + K * n * 4
+    if minibatch:
+        # a minibatch "iteration" is a full EPOCH (reference semantics:
+        # fresh permutation, all batches) plus the full-data loss pass
+        # (no aux WtX to reuse): the epoch GATHERS every X/Y/H column
+        # once and scatters H back, the loss STREAMS X/Ys/H once more.
+        x_passes, y_passes = 2, 2
+        x_bytes = x_passes * g * n * x_item
+        y_bytes = y_passes * labels * n * x_item
+        h_bytes = 3 * K * n * 4  # epoch gather + scatter, loss read
     else:
-        h_bytes = 2 * K * n * 4
+        x_passes = (n_blocks + 1) if als else 1
+        y_passes = 2 if als else 1
+        x_bytes = x_passes * g * n * x_item
+        y_bytes = y_passes * labels * n * x_item
+        if als:
+            # XLA ALS re-reads the full H per block for `cross` (H@H_i^T)
+            # and `uden` ((W_i^T W)@H), plus the XHt_start pass, plus the
+            # H write.  At bench shapes this is ~7% of traffic on top of
+            # the X passes; a fused ALS kernel could only recover that
+            # slice (the X passes are the semantic floor), which is why
+            # none exists.
+            h_bytes = (1 + 2 * n_blocks) * K * n * 4 + K * n * 4
+        else:
+            h_bytes = 2 * K * n * 4
     small = 2 * (g * K + K * K) * 4
     return {
         "x_passes_per_iter": x_passes,
@@ -160,6 +171,7 @@ def bytes_per_iteration(als: bool) -> dict:
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     als = "--als" in sys.argv[1:] or bench.USE_ALS
+    minibatch = "--minibatch" in sys.argv[1:] or bench.BATCH is not None
     if args:
         ips = float(args[0])
     else:
@@ -167,11 +179,12 @@ def main():
         X, Ys = bench._make_data(rng_mod)
         ips = bench.bench_tpu(X, Ys)["best"]
 
-    acct = bytes_per_iteration(als)
+    acct = bytes_per_iteration(als, minibatch=minibatch)
     achieved_gbps = ips * acct["total_bytes"] / 1e9
     floor_ips = HBM_GBPS * 1e9 / acct["total_bytes"]
     out = {
-        "metric": "hbm_roofline" + ("_als" if als else ""),
+        "metric": ("hbm_roofline_minibatch" if minibatch
+                   else "hbm_roofline" + ("_als" if als else "")),
         "iters_per_sec": round(ips, 1),
         "bytes_per_iter": acct["total_bytes"],
         "accounting": {k: v for k, v in acct.items() if k.endswith("bytes")},
@@ -181,6 +194,28 @@ def main():
         "fraction_of_peak": round(achieved_gbps / HBM_GBPS, 3),
         "bandwidth_floor_iters_per_sec": round(floor_ips, 1),
     }
+    if minibatch:
+        # per-cell vs tiled sampling: same bytes, different gather engine.
+        # Attribute the measured time to the epoch's GATHERED half
+        # (X/Ys/H gather + H scatter) after charging the streamed half
+        # (the loss pass) at HBM rate: the implied gather bandwidth is the
+        # number the tiled sampler exists to raise (single-column random
+        # gathers microbench at ~15 GB/s, benchmarks/gather_floor.py;
+        # 128-column tiles move at ~streaming rate).  The tiled-mode floor
+        # is therefore the plain bandwidth floor on the same bytes.
+        g, n, K = bench.N_GENES, bench.N_CELLS, sum(bench.BLOCKS)
+        x_item = {"bfloat16": 2, "int16": 2, "int8": 1}.get(
+            bench.resolved_dtype(), 4)
+        gathered = (g * n * x_item + sum(bench.N_LABELS) * n * x_item
+                    + 2 * K * n * 4)  # epoch X/Ys/H gather + H scatter
+        streamed = acct["total_bytes"] - gathered
+        out["sampling"] = bench.SAMPLING
+        out["gathered_bytes"] = gathered
+        gather_s = max(1.0 / ips - streamed / (HBM_GBPS * 1e9), 1e-9)
+        out["implied_gather_GBps"] = round(gathered / gather_s / 1e9, 1)
+        out["floor_tiled_sampling_iters_per_sec"] = round(floor_ips, 1)
+        print(json.dumps(out))
+        return
     if not als:
         mm = mxu_model()
         dma_s = acct["total_bytes"] / (HBM_GBPS * 1e9)

@@ -179,14 +179,6 @@ def test_tiled_requires_tile_multiple_cell_axis():
         _fit(cfg, X, Ys, Ws, Hs, Bs)
 
 
-def test_tiled_rejected_on_sharded_minibatch_path():
-    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=64,
-                      loss_kl=True, batch_size=16, tile=8, max_iter=2)
-    with pytest.raises(ValueError, match="sharded"):
-        mu.fit_scan_minibatch_sharded(cfg, None, None, None, None, None,
-                                      None, None, None)
-
-
 # ---------------------------------------------------------------- model API
 
 
@@ -234,17 +226,99 @@ def test_model_tiled_unshuffles_h_to_caller_cell_order():
     assert aligned > misaligned + 0.2, (aligned, misaligned)
 
 
-def test_model_tiled_rejected_on_mesh():
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_tiled_minibatch_fit(monkeypatch):
+    """Tiled sampling on a 1-D mesh rides the shard-local path: per-shard
+    tile permutations, every shard padded to a tile multiple, convergence
+    comparable to the single-device tiled fit, and NO all-to-all /
+    all-gather in the compiled HLO (gathers stay on-device)."""
+    from alpine_tpu.parallel.mesh import make_cell_mesh
+
+    # a production 128-cell tile swallows this whole toy problem; a small
+    # tile gives both sides comparable sampling granularity (the tile
+    # width is a constant, not a semantic)
+    monkeypatch.setattr(mu, "DEFAULT_TILE", 8)
+    n_cells = 181  # non-divisible: pad to tile x 8 per shard
+    adata_a = make_synthetic_adata(n_cells=n_cells, n_genes=30, seed=9)
+    adata_b = adata_a.copy()
+    kw = dict(n_components=6, n_covariate_components=[2], lam=[2.0],
+              random_state=0)
+    fit_kw = dict(max_iter=60, batch_size=64, sampling_method="tiled")
+
+    single = ALPINE(device="cpu", **kw)
+    single.fit(adata_a, ["batch"], **fit_kw)
+
+    mesh = make_cell_mesh(8)
+    sharded = ALPINE(device=mesh, **kw)
+    sharded.fit(adata_b, ["batch"], **fit_kw)
+
+    ls = single.loss_history["total loss"].to_numpy()
+    lm = sharded.loss_history["total loss"].to_numpy()
+    assert np.isfinite(lm).all()
+    # different (per-shard) tile streams -> statistical agreement
+    assert lm[-1] < lm[0] * 0.9
+    np.testing.assert_allclose(lm[-1], ls[-1], rtol=0.1)
+    assert adata_b.obsm["ALPINE_embedding"].shape == (n_cells, 6)
+
+    # the compiled program must not move cell columns between shards
+    t = 4  # small tile keeps the lowering cheap; the property is the same
+    cfg = mu.MUConfig(blocks=(2, 6), n_labels=(2,), n_cells=n_cells,
+                      batch_size=64, tile=t, max_iter=2)
+    fn = mu._build_sharded_minibatch_fit(cfg, mesh)
+    n_padded = n_cells + (-n_cells) % (8 * t)
+    X = jnp.zeros((30, n_padded)); H = jnp.ones((8, n_padded))
+    Ys = (jnp.zeros((2, n_padded)),)
+    Bs = (jnp.ones((2, 2)),)
+    hyper = (jnp.asarray([2.0], jnp.float32), jnp.float32(0.0),
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1e-6))
+    W = jnp.ones((30, 8))
+    key = jax.random.PRNGKey(0)
+    w = jnp.ones((n_padded,), jnp.float32)
+    hlo = fn.lower(W, H, Bs, X, Ys, hyper, key, w).compile().as_text()
+    assert "all-to-all" not in hlo
+    assert "all-gather" not in hlo
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_tiled_requires_tile_aligned_shards():
+    from alpine_tpu.parallel.mesh import make_cell_mesh
+
+    mesh = make_cell_mesh(8)
+    # 8 shards of 10 columns: not a multiple of tile=4
+    cfg = mu.MUConfig(blocks=(2, 6), n_labels=(2,), n_cells=80,
+                      batch_size=16, tile=4, max_iter=2)
+    fn = mu._build_sharded_minibatch_fit(cfg, mesh)
+    X = jnp.zeros((12, 80)); H = jnp.ones((8, 80))
+    Ys = (jnp.zeros((2, 80)),)
+    Bs = (jnp.ones((2, 2)),)
+    hyper = (jnp.asarray([2.0], jnp.float32), jnp.float32(0.0),
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1e-6))
+    W = jnp.ones((12, 8))
+    with pytest.raises(ValueError, match="multiple"):
+        fn.lower(W, H, Bs, X, Ys, hyper, jax.random.PRNGKey(0),
+                 jnp.ones((80,), jnp.float32))
+
+
+def test_model_tiled_rejected_on_2d_mesh_and_als():
     import jax as _jax
     from jax.sharding import Mesh
 
-    mesh = Mesh(np.array(_jax.devices("cpu")[:2]), ("cells",))
     adata = make_synthetic_adata(n_cells=64, n_genes=20)
+    devs = np.array(_jax.devices("cpu")[:4]).reshape(2, 2)
+    mesh2d = Mesh(devs, ("genes", "cells"))
     m = ALPINE(n_components=6, n_covariate_components=[2, 2],
-               lam=[1.0, 1.0], device=mesh, random_state=0)
+               lam=[1.0, 1.0], device=mesh2d, random_state=0)
     with pytest.raises(ValueError, match="tiled sampling"):
         m.fit(adata, ["batch", "condition"], batch_size=16,
               sampling_method="tiled", max_iter=3)
+
+    mesh1d = Mesh(np.array(_jax.devices("cpu")[:2]), ("cells",))
+    m_als = ALPINE(n_components=6, n_covariate_components=[2, 2],
+                   lam=[1.0, 1.0], device=mesh1d, random_state=0,
+                   use_als=True)
+    with pytest.raises(ValueError, match="tiled sampling"):
+        m_als.fit(adata, ["batch", "condition"], batch_size=16,
+                  sampling_method="tiled", max_iter=3)
 
 
 def test_component_optimizer_rejects_tiled():
