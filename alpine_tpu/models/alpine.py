@@ -182,19 +182,19 @@ class ALPINE:
         # the recipe; tests/test_multiprocess.py the 2-process proof)
         mp = placement.is_multiprocess
         if sampling_method == "tiled" and (
-            mp
-            or (placement.is_sharded
-                and (len(placement.mesh.axis_names) != 1 or self.use_als))
+            mp or self.use_als
+            or (placement.is_sharded and len(placement.mesh.axis_names) != 1)
         ):
-            # tiled sampling rides the shard-local minibatch path (per-shard
-            # tile permutations, no cross-shard gathers); configurations
-            # that path cannot take (multi-process, 2-D meshes, ALS) would
-            # fall back to global GSPMD gathers — exactly the all-to-all
-            # traffic the sharded sampling design forbids
-            # (tests/test_sharding.py)
+            # tiled sampling is joint-mode only (ALS's block-cyclic batch
+            # updates have no tiled trajectory defined or tested) and rides
+            # the shard-local minibatch path on meshes; configurations that
+            # path cannot take (multi-process, 2-D meshes) would fall back
+            # to global GSPMD gathers — exactly the all-to-all traffic the
+            # sharded sampling design forbids (tests/test_sharding.py)
             raise ValueError(
-                "tiled sampling on meshes requires a single-process 1-D "
-                "cell mesh in joint mode; use sampling_method='random'."
+                "tiled sampling requires joint mode on a single process "
+                "(one device or a 1-D cell mesh); use "
+                "sampling_method='random'."
             )
         if mp:
             if sampling_method == "weighted":
@@ -389,10 +389,14 @@ class ALPINE:
         # succeeds (a failed fit must not strand the dataset in HBM on an
         # instance whose transform can never use it); dropped from pickles
         # (__getstate__) and releasable via free_device_cache().
+        # shuffled fits (weighted-sharded / tiled) cache the PERMUTED device
+        # X along with the permutation: transform re-pairs its H0 columns
+        # and un-permutes its result (the projection is per-cell
+        # independent, so the permuted run is column-for-column the same)
         new_x_cache = (
             None
-            if env_flag("ALPINE_TPU_NO_X_CACHE") or cell_perm is not None
-            else (Xd, self._x_fingerprint(adata.X), n_local, pad)
+            if env_flag("ALPINE_TPU_NO_X_CACHE")
+            else (Xd, self._x_fingerprint(adata.X), n_local, pad, cell_perm)
         )
 
         # weighted sampling probabilities (host-side, once; reference
@@ -1242,13 +1246,18 @@ class ALPINE:
                 np.asarray([float(use_cache)]))
             use_cache = bool(hits.all())
         X = None
+        cache_perm = None
         if use_cache:
             # same data the model was fit on: reuse the device-resident X
             # (already validated non-negative and pad-aligned at fit time).
             # cached[3] is the fit's LOCAL cell-axis pad (== global pad in
-            # single-process mode)
+            # single-process mode); cached[4] is the fit's seeded global
+            # cell shuffle (weighted-sharded / tiled fits) — the device X
+            # is stored permuted, so H0 is re-paired below and the result
+            # un-permuted (exact: the projection is per-cell independent)
             X = cached[0]
             pad = cached[3]
+            cache_perm = cached[4]
         if X is None:
             if not (x_min(adata.X) >= 0):  # NaN fails this like a negative
                 raise ValueError("All elements in adata.X must be non-negative.")
@@ -1294,6 +1303,11 @@ class ALPINE:
                 ),
                 self.eps,
             )
+            if cache_perm is not None:
+                # keep the caller-order (seed-determined) H0-column ↔ cell
+                # pairing on the permuted cached X: column p of the device
+                # X is caller cell cache_perm[p]
+                H0 = H0.at[:, :n_sample].set(H0[:, :n_sample][:, cache_perm])
         H0 = placement.put_cells_matrix(H0)
         W = placement.put_w_matrix(
             jnp.asarray(np.concatenate(self.matrices["Ws"], axis=1))
@@ -1311,6 +1325,9 @@ class ALPINE:
                 np.float32)
         else:
             H_np = np.asarray(jax.device_get(H), dtype=np.float32)[:, :n_sample]
+        if cache_perm is not None:
+            # device column p was caller cell cache_perm[p]
+            H_np = H_np[:, np.argsort(cache_perm)]
         Hs = split_h(H_np, self.n_all_components)
 
         for i, covariate in enumerate(self.covariate_keys):

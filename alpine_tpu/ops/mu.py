@@ -518,6 +518,66 @@ def compute_loss_parts(cfg: MUConfig, hyper, W, H, Bs, X, Ys, normX2,
 # ---------------------------------------------------------------------------
 
 
+def _tiled_setup(cfg: MUConfig, X: Array, Ys, bs: int):
+    """Validate + precompute the tile-permutation epoch structure for
+    "tiled" sampling (MUConfig.tile): the tile count, the batch size in
+    whole tiles (rounded UP from `bs` cells), and the tile-major views of
+    X/Ys.  `X`/`Ys` must already be storage-cast; their cell axis must be
+    a tile multiple (the model layer pads — per shard on meshes)."""
+    t = cfg.tile
+    if cfg.weighted:
+        raise ValueError("tiled and weighted sampling are exclusive")
+    if cfg.use_als:
+        raise ValueError("tiled sampling supports joint mode only")
+    if X.shape[1] % t:
+        raise ValueError(
+            f"tiled sampling needs the cell axis padded to a multiple "
+            f"of tile={t}; got {X.shape[1]} columns"
+        )
+    n_tiles = X.shape[1] // t
+    bs_t = min(-(-bs // t), n_tiles)  # whole tiles, rounded up
+    nb_t = -(-n_tiles // bs_t)
+    X3 = X.reshape(X.shape[0], n_tiles, t)
+    Ys3 = tuple(Y.reshape(Y.shape[0], n_tiles, t) for Y in Ys)
+    return t, n_tiles, bs_t, nb_t, X3, Ys3
+
+
+def _tiled_epoch(cfg: MUConfig, hyper, carry, it_key, tsetup, update):
+    """One tiled-sampling epoch: a fresh tile permutation split into
+    nb_t batches of bs_t tiles, each gathered as (rows, bs_t*tile) slabs,
+    updated, and scattered back.  Shared by the single-device path
+    (update=joint_batch_update) and the shard-local mesh path
+    (update=joint_batch_update with r=psum) so the two trajectories are
+    definitionally the same per-shard program."""
+    t, n_tiles, bs_t, nb_t, X3, Ys3 = tsetup
+    idx = jax.random.permutation(it_key, n_tiles)
+    padn = nb_t * bs_t - n_tiles
+    if padn:
+        idx = jnp.concatenate([idx, jnp.full((padn,), n_tiles, idx.dtype)])
+    idx_mat = idx.reshape(nb_t, bs_t)
+    g = X3.shape[0]
+
+    def tile_body(c, bidx):
+        W, H, Bs = c
+        X_b = jnp.take(X3, bidx, axis=1, mode="fill",
+                       fill_value=0).reshape(g, bs_t * t)
+        Ys_b = tuple(
+            jnp.take(Y, bidx, axis=1, mode="fill",
+                     fill_value=0).reshape(Y.shape[0], bs_t * t)
+            for Y in Ys3
+        )
+        H3 = H.reshape(H.shape[0], n_tiles, t)
+        H_b = jnp.take(H3, bidx, axis=1, mode="fill",
+                       fill_value=0).reshape(H.shape[0], bs_t * t)
+        W, Bs, H_b, _ = update(cfg, hyper, W, Bs, H_b, X_b, Ys_b)
+        H3 = H3.at[:, bidx].set(
+            H_b.reshape(H.shape[0], bs_t, t), mode="drop")
+        return (W, H3.reshape(H.shape), Bs), None
+
+    (W, H, Bs), _ = lax.scan(tile_body, carry, idx_mat)
+    return W, H, Bs
+
+
 @partial(jax.jit, static_argnums=(0,))
 def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     """Run `cfg.max_iter` MU iterations.  Returns (W, H, Bs, losses) with
@@ -557,17 +617,7 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     nb = cfg.num_batches
     tiled = cfg.tile > 0 and not cfg.full_batch
     if tiled:
-        if cfg.weighted:
-            raise ValueError("tiled and weighted sampling are exclusive")
-        t = cfg.tile
-        if X.shape[1] % t:
-            raise ValueError(
-                f"tiled sampling needs the cell axis padded to a multiple "
-                f"of tile={t}; got {X.shape[1]} columns"
-            )
-        n_tiles = X.shape[1] // t
-        bs_t = min(-(-bs // t), n_tiles)  # whole tiles, rounded up
-        nb_t = -(-n_tiles // bs_t)
+        tsetup = _tiled_setup(cfg, X, Ys, bs)
 
     def iteration(carry, xs):
         it_key, it = xs
@@ -579,33 +629,8 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
             # move (genes, tile) slabs — with tile == 1 and no cell pad
             # this reduces to the per-cell branch below (same permutation
             # draw, same fill index, same update sequence)
-            idx = jax.random.permutation(it_key, n_tiles)
-            padn = nb_t * bs_t - n_tiles
-            if padn:
-                idx = jnp.concatenate([idx, jnp.full((padn,), n_tiles, idx.dtype)])
-            idx_mat = idx.reshape(nb_t, bs_t)
-            g = X.shape[0]
-            X3 = X.reshape(g, n_tiles, t)
-            Ys3 = tuple(Y.reshape(Y.shape[0], n_tiles, t) for Y in Ys)
-
-            def tile_body(c, bidx):
-                W, H, Bs = c
-                X_b = jnp.take(X3, bidx, axis=1, mode="fill",
-                               fill_value=0).reshape(g, bs_t * t)
-                Ys_b = tuple(
-                    jnp.take(Y, bidx, axis=1, mode="fill",
-                             fill_value=0).reshape(Y.shape[0], bs_t * t)
-                    for Y in Ys3
-                )
-                H3 = H.reshape(H.shape[0], n_tiles, t)
-                H_b = jnp.take(H3, bidx, axis=1, mode="fill",
-                               fill_value=0).reshape(H.shape[0], bs_t * t)
-                W, Bs, H_b, _ = update(cfg, hyper, W, Bs, H_b, X_b, Ys_b)
-                H3 = H3.at[:, bidx].set(
-                    H_b.reshape(H.shape[0], bs_t, t), mode="drop")
-                return (W, H3.reshape(H.shape), Bs), None
-
-            (W, H, Bs), _ = lax.scan(tile_body, (W, H, Bs), idx_mat)
+            W, H, Bs = _tiled_epoch(cfg, hyper, (W, H, Bs), it_key, tsetup,
+                                    update)
             aux = None
         else:
             if cfg.weighted:
@@ -871,20 +896,7 @@ def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
             # to a tile multiple and pre-shuffles globally; see
             # MUConfig.tile).  Shards are equal, so every device runs the
             # same (nb_t, bs_t) structure in lockstep for the psums.
-            t = cfg.tile
-            if cfg.weighted:
-                raise ValueError("tiled and weighted sampling are exclusive")
-            if n_loc % t:
-                raise ValueError(
-                    f"tiled sampling needs every cell shard padded to a "
-                    f"multiple of tile={t}; got {n_loc}-column shards"
-                )
-            n_tiles_loc = n_loc // t
-            bs_t = min(-(-bs_loc // t), n_tiles_loc)
-            nb_t = -(-n_tiles_loc // bs_t)
-            g_loc = X_loc.shape[0]
-            X3 = X_loc.reshape(g_loc, n_tiles_loc, t)
-            Ys3 = tuple(Y.reshape(Y.shape[0], n_tiles_loc, t) for Y in Ys_loc)
+            tsetup = _tiled_setup(cfg, X_loc, Ys_loc, bs_loc)
 
         # per-shard sampling stream
         key = jax.random.fold_in(key, lax.axis_index(axis))
@@ -897,33 +909,10 @@ def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
             it_key, it = xs
             W, H, Bs = carry
             if tiled:
-                idx = jax.random.permutation(it_key, n_tiles_loc)
-                padn = nb_t * bs_t - n_tiles_loc
-                if padn:
-                    idx = jnp.concatenate(
-                        [idx, jnp.full((padn,), n_tiles_loc, idx.dtype)])
-                idx_mat = idx.reshape(nb_t, bs_t)
-
-                def tile_body(c, bidx):
-                    W, H, Bs = c
-                    X_b = jnp.take(X3, bidx, axis=1, mode="fill",
-                                   fill_value=0).reshape(g_loc, bs_t * t)
-                    Ys_b = tuple(
-                        jnp.take(Y, bidx, axis=1, mode="fill",
-                                 fill_value=0).reshape(Y.shape[0], bs_t * t)
-                        for Y in Ys3
-                    )
-                    H3 = H.reshape(H.shape[0], n_tiles_loc, t)
-                    H_b = jnp.take(H3, bidx, axis=1, mode="fill",
-                                   fill_value=0).reshape(H.shape[0], bs_t * t)
-                    W, Bs, H_b, _ = joint_batch_update(
-                        cfg, hyper, W, Bs, H_b, X_b, Ys_b, r=psum
-                    )
-                    H3 = H3.at[:, bidx].set(
-                        H_b.reshape(H.shape[0], bs_t, t), mode="drop")
-                    return (W, H3.reshape(H.shape), Bs), None
-
-                (W, H, Bs), _ = lax.scan(tile_body, (W, H, Bs), idx_mat)
+                W, H, Bs = _tiled_epoch(
+                    cfg, hyper, (W, H, Bs), it_key, tsetup,
+                    partial(joint_batch_update, r=psum),
+                )
             else:
                 if cfg.weighted:
                     idx = jax.random.choice(

@@ -116,6 +116,14 @@ def bench_tpu(X, Ys):
     weighted = SAMPLING == "weighted"
     tiled = SAMPLING == "tiled"
     tile = mu.DEFAULT_TILE if tiled else 0
+    if tiled and BATCH is None:
+        # without a batch size the fit is full-batch and the tile field is
+        # inert — a '_tiled'-tagged row would really measure the standard
+        # config; demand an explicit minibatch shape instead
+        raise SystemExit(
+            "ALPINE_BENCH_SAMPLING=tiled requires ALPINE_BENCH_BATCH "
+            "(tiled sampling is a minibatch mode)"
+        )
     if tiled:
         # the tile permutation needs a tile-multiple cell axis (zero pad
         # columns are exactly neutral; the model layer does the same); the

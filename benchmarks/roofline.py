@@ -172,6 +172,14 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     als = "--als" in sys.argv[1:] or bench.USE_ALS
     minibatch = "--minibatch" in sys.argv[1:] or bench.BATCH is not None
+    if als and minibatch:
+        # the minibatch accounting below models JOINT epochs (2 X passes);
+        # an ALS epoch re-reads each gathered batch (n_blocks+1) times —
+        # refuse rather than emit a mislabeled artifact
+        raise SystemExit(
+            "minibatch roofline models joint mode only; ALS-minibatch "
+            "byte accounting is not modeled"
+        )
     if args:
         ips = float(args[0])
     else:

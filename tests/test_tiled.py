@@ -299,6 +299,64 @@ def test_sharded_tiled_requires_tile_aligned_shards():
                  jnp.ones((80,), jnp.float32))
 
 
+def test_tiled_rejects_als_mode():
+    """Joint mode only: ALS's block-cyclic batch updates have no tiled
+    trajectory defined — rejected at the model layer on ANY device, and
+    defensively in the mu core."""
+    adata = make_synthetic_adata(n_cells=64, n_genes=20)
+    m = ALPINE(n_components=6, n_covariate_components=[2, 2],
+               lam=[1.0, 1.0], device="cpu", random_state=0, use_als=True)
+    with pytest.raises(ValueError, match="tiled sampling"):
+        m.fit(adata, ["batch", "condition"], batch_size=16,
+              sampling_method="tiled", max_iter=3)
+
+    X, Ys, Ws, Hs, Bs = _problem(seed=5, n=40)
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=40,
+                      loss_kl=True, batch_size=16, tile=8, max_iter=2,
+                      use_als=True)
+    with pytest.raises(ValueError, match="joint mode"):
+        _fit(cfg, X, Ys, Ws, Hs, Bs)
+
+
+def test_tiled_fit_transform_cache_matches_uncached():
+    """Tiled fits cache the PERMUTED device X; a same-data transform must
+    reuse it and return each cell's OWN projection (H0 re-paired, result
+    un-permuted).  H0 draws are pad-width-dependent (pre-existing wrinkle,
+    same as sharded transforms), so hit/miss agree at CONVERGENCE (the
+    frozen-W projection is per-column convex), and a wrong un-permute
+    would misassign whole cells — far outside the convergence tolerance."""
+    adata = make_synthetic_adata(n_cells=300, n_genes=30)
+    m = ALPINE(n_components=8, n_covariate_components=[2, 3],
+               lam=[1.0, 2.0], device="cpu", random_state=0)
+    m.fit(adata, ["batch", "condition"], batch_size=130,
+          sampling_method="tiled", max_iter=10)
+    assert m._x_cache is not None and m._x_cache[4] is not None
+
+    ad_hit = adata.copy()
+    m.transform(ad_hit, n_iter=400)
+    m.free_device_cache()
+    ad_miss = adata.copy()
+    m.transform(ad_miss, n_iter=400)
+    hit = ad_hit.obsm["ALPINE_embedding"]
+    miss = ad_miss.obsm["ALPINE_embedding"]
+
+    def row_corr(a, b):
+        a = a - a.mean(1, keepdims=True)
+        b = b - b.mean(1, keepdims=True)
+        denom = (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+                 + 1e-12)
+        return (a * b).sum(1) / denom
+
+    # per-cell H is not perfectly unique (correlated W columns), so the
+    # aligned correlation plateaus ~0.94; random pairing sits near 0
+    aligned = row_corr(hit, miss)
+    assert aligned.mean() > 0.9, aligned.mean()
+    # contrast: a forgotten/wrong un-permute pairs cells at random
+    perm = np.random.default_rng(1).permutation(hit.shape[0])
+    misaligned = row_corr(hit, miss[perm])
+    assert aligned.mean() > misaligned.mean() + 0.5
+
+
 def test_model_tiled_rejected_on_2d_mesh_and_als():
     import jax as _jax
     from jax.sharding import Mesh
