@@ -29,14 +29,19 @@ from alpine_tpu.native import leiden_native
 
 def _smooth_knn_bandwidths(dist: np.ndarray, n_iter: int = 64):
     """UMAP smooth-kNN distances (McInnes et al.): per point, rho = distance
-    to the nearest neighbor and sigma solving
+    to the nearest *distinct* neighbor (local_connectivity=1 — duplicate
+    points contribute zero distances and are skipped) and sigma solving
     sum_j exp(-max(0, d_ij - rho)/sigma) = log2(n_neighbors), where
     n_neighbors counts the point itself (umap/scanpy convention).
     `dist` is (n, k) sorted ascending, self excluded — so the target is
-    log2(k + 1)."""
+    log2(k + 1).  Sigma is floored at MIN_K_DIST_SCALE=1e-3 times the
+    point's mean kNN distance (self's zero included in the mean), falling
+    back to the global mean when every neighbor is a duplicate (rho = 0)."""
     n, k = dist.shape
     target = np.log2(k + 1)
-    rho = dist[:, 0].copy()
+    pos = dist > 0.0
+    any_pos = pos.any(axis=1)
+    rho = np.where(any_pos, dist[np.arange(n), np.argmax(pos, axis=1)], 0.0)
     lo = np.zeros(n)
     hi = np.full(n, np.inf)
     mid = np.ones(n)
@@ -47,9 +52,10 @@ def _smooth_knn_bandwidths(dist: np.ndarray, n_iter: int = 64):
         lo = np.where(too_high, lo, mid)
         mid = np.where(too_high, (lo + hi) / 2.0,
                        np.where(np.isinf(hi), mid * 2.0, (lo + hi) / 2.0))
-    # scanpy/umap floor sigma at a fraction of the mean distance
-    mean_d = np.maximum(dist.mean(axis=1), 1e-12)
-    return rho, np.maximum(mid, 1e-3 * mean_d)
+    mean_i = dist.sum(axis=1) / (k + 1)  # self's zero distance included
+    mean_all = dist.sum() / max(n * (k + 1), 1)
+    floor = 1e-3 * np.where(rho > 0.0, mean_i, mean_all)
+    return rho, np.maximum(mid, np.maximum(floor, 1e-12))
 
 
 def knn_graph(

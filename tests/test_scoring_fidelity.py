@@ -1,0 +1,138 @@
+"""Fidelity of the CV scoring stack vs the reference's scanpy/igraph chain.
+
+The reference scores folds with sc.pp.neighbors + sc.tl.leiden(flavor=
+"igraph") + ARI/homogeneity (`/root/reference/alpine/optimization.py:
+271-278`).  Those packages are unavailable here, so alpine_tpu ships its own
+construction (optimize/scoring.py + native/leiden.cpp).  These tests compare
+it against tests/scoring_oracle.py — an independent transcription of the
+published algorithms (UMAP smooth-kNN connectivities; igraph's randomized
+Leiden) — at three levels:
+
+1. graph level: the connectivity weights agree numerically;
+2. cluster level: the partitions agree (ARI) on planted structure;
+3. decision level: scoring fitted ALPINE embeddings across lam regimes
+   orders hyperparameters identically, with close score values.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from sklearn.metrics.cluster import adjusted_rand_score
+
+from alpine_tpu.optimize import scoring
+from tests import scoring_oracle as oracle
+
+
+def _dense_from_edges(n, src, dst, w):
+    A = np.zeros((n, n))
+    A[src, dst] = w
+    A[dst, src] = w
+    return A
+
+
+def _blobs(n_per, centers, spread, seed, d=8):
+    r = np.random.default_rng(seed)
+    pts, lab = [], []
+    for i in range(centers):
+        c = r.normal(0.0, 4.0, d)
+        pts.append(c + r.normal(0.0, spread, (n_per, d)))
+        lab.append(np.full(n_per, i))
+    return np.concatenate(pts), np.concatenate(lab)
+
+
+# ---------------------------------------------------------------------------
+# 1. graph level
+# ---------------------------------------------------------------------------
+
+def test_connectivities_match_umap_transcription():
+    emb, _ = _blobs(50, 4, 1.5, seed=3)
+    n = emb.shape[0]
+    src, dst, w = scoring.knn_graph(emb, n_neighbors=15)
+    ours = _dense_from_edges(n, src, dst, w)
+    ref = oracle.fuzzy_simplicial_set(emb, n_neighbors=15)
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_connectivities_match_with_duplicate_points():
+    # duplicate points give zero kNN distances; UMAP's rho skips them
+    # (local_connectivity counts *distinct* neighbors)
+    emb, _ = _blobs(40, 3, 1.0, seed=7)
+    emb = np.concatenate([emb, emb[:10]])  # 10 exact duplicates
+    n = emb.shape[0]
+    src, dst, w = scoring.knn_graph(emb, n_neighbors=15)
+    ours = _dense_from_edges(n, src, dst, w)
+    ref = oracle.fuzzy_simplicial_set(emb, n_neighbors=15)
+    # kNN ties among duplicates can order differently between the two exact
+    # searches; compare where both placed edges, and the edge-weight mass
+    both = (ours > 0) & (ref > 0)
+    np.testing.assert_allclose(ours[both], ref[both], atol=1e-3, rtol=1e-3)
+    assert abs(ours.sum() - ref.sum()) / ref.sum() < 0.02
+
+
+# ---------------------------------------------------------------------------
+# 2. cluster level
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_leiden_partition_matches_igraph_transcription(seed):
+    emb, truth = _blobs(100, 4, 1.2, seed=seed)
+    ours = scoring.leiden(emb, seed=seed)
+    W = oracle.fuzzy_simplicial_set(emb, n_neighbors=15)
+    ref = oracle.community_leiden(W, resolution=1.0, seed=seed)
+    assert adjusted_rand_score(truth, ours) >= 0.95
+    assert adjusted_rand_score(truth, ref) >= 0.95
+    assert adjusted_rand_score(ours, ref) >= 0.95
+
+
+# ---------------------------------------------------------------------------
+# 3. decision level
+# ---------------------------------------------------------------------------
+
+def _fit_embedding(lam, seed=0):
+    """Unguided embedding of a fitted model on planted-batch-effect data
+    (same construction as test_search_quality)."""
+    from alpine_tpu import ALPINE
+    from alpine_tpu.utils.adata import AnnData
+
+    r = np.random.default_rng(seed)
+    n, g, k = 240, 60, 5
+    W = r.gamma(2.0, 1.0, (g, k))
+    H = r.gamma(2.0, 1.0, (k, n))
+    X = W @ H
+    batch = r.integers(0, 2, n)
+    sig = np.zeros((g, 1))
+    sig[: g // 2] = 6.0
+    X = (X + sig @ batch[None, :].astype(float) + r.random((g, n))).astype(np.float32).T
+    obs = pd.DataFrame({"batch": np.array([f"b{b}" for b in batch], dtype=object)},
+                       index=[f"c{i}" for i in range(n)])
+    adata = AnnData(X, obs=obs)
+    m = ALPINE(n_components=8, n_covariate_components=[2], lam=[lam],
+               random_state=0, device="cpu")
+    m.fit(adata, covariate_keys=["batch"], max_iter=60, verbose=False)
+    m.store_embeddings(adata)
+    return np.asarray(adata.obsm["ALPINE_embedding"]), obs["batch"].to_numpy()
+
+
+def test_lam_regime_decision_agrees_with_reference_stack():
+    """Both stacks must make the same call: small lam leaks the batch into
+    the unguided embedding (high ARI+homogeneity vs batch = bad), large lam
+    absorbs it (low score = good).  This is the optimizer's decision metric
+    (optimization.py:216: lower is better)."""
+    emb_bad, labels = _fit_embedding(lam=1e-3)
+    emb_good, _ = _fit_embedding(lam=1e4)
+
+    ours = {}
+    ref = {}
+    for name, emb in [("bad", emb_bad), ("good", emb_good)]:
+        ours[name] = scoring.embedding_score(scoring.leiden(emb, seed=0), labels)
+        ref[name] = oracle.reference_fold_score(emb, {"batch": labels}, seed=0)
+
+    # identical decision: the leaky regime scores strictly higher in both
+    assert ours["bad"] > ours["good"]
+    assert ref["bad"] > ref["good"]
+    # and the regime gap itself is comparable between stacks
+    assert ours["bad"] - ours["good"] > 0.25
+    assert ref["bad"] - ref["good"] > 0.25
+    # per-setting scores are close (clustering randomness gives some slack)
+    for name in ("bad", "good"):
+        assert abs(ours[name] - ref[name]) < 0.2, (name, ours[name], ref[name])
