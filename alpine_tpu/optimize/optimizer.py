@@ -426,13 +426,26 @@ class ComponentOptimizer:
         )
         return list(splitter.split(self.adata.X, labels))
 
+    def _scoring_device(self):
+        """Accelerator for the fold kNN search (ops/knn.py), or None for the
+        host sklearn path.  A mesh contributes its first device; a CPU
+        device stays on the float64-exact host path."""
+        from jax.sharding import Mesh
+
+        from alpine_tpu.parallel.mesh import resolve_device
+
+        resolved = resolve_device(self.device)
+        dev = resolved.devices.flat[0] if isinstance(resolved, Mesh) else resolved
+        return dev if getattr(dev, "platform", "cpu") != "cpu" else None
+
     def _leakage_score(self, embedding: np.ndarray, rows: np.ndarray) -> float:
         """Cluster a validation embedding and average ARI+homogeneity leakage
         across covariates (reference optimization.py:271-278; scanpy
-        neighbors+leiden replaced by the in-repo kNN + native Leiden)."""
+        neighbors+leiden replaced by the in-repo kNN + native Leiden; on an
+        accelerator the exact kNN search runs there blockwise)."""
         clusters = scoring.leiden(
             np.asarray(embedding), n_neighbors=15, resolution=1.0,
-            seed=self.random_state,
+            seed=self.random_state, device=self._scoring_device(),
         )
         per_cov = [
             scoring.embedding_score(clusters, self.adata.obs[key].to_numpy()[rows])

@@ -59,12 +59,18 @@ def _smooth_knn_bandwidths(dist: np.ndarray, n_iter: int = 64):
 
 
 def knn_graph(
-    emb: np.ndarray, n_neighbors: int = 15
+    emb: np.ndarray, n_neighbors: int = 15, device=None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Symmetric weighted kNN graph on the (cells x dims) embedding using
     UMAP fuzzy-simplicial-set connectivities (scanpy's default neighbors
     weighting).  Returns (src, dst, weight), each undirected edge once.
-    Fully deterministic (exact NearestNeighbors) — no seed."""
+    Fully deterministic (exact search) — no seed.
+
+    With `device=None` the kNN search runs on the host (sklearn, float64
+    distances).  An explicit `device` (a jax.Device) routes it through the
+    blockwise accelerator search (`ops/knn.py`) — exact, float32 distances;
+    at atlas-scale folds this turns the minutes-per-fold host search into
+    MXU work."""
     from scipy import sparse
 
     n = emb.shape[0]
@@ -73,8 +79,13 @@ def knn_graph(
     k = min(n_neighbors - 1, n - 1)
     if k <= 0:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),)
-    nn = NearestNeighbors(n_neighbors=k + 1).fit(emb)
-    dist, idx = nn.kneighbors(emb)
+    if device is not None:
+        from alpine_tpu.ops.knn import exact_knn
+
+        dist, idx = exact_knn(emb, k + 1, device=device)
+    else:
+        nn = NearestNeighbors(n_neighbors=k + 1).fit(emb)
+        dist, idx = nn.kneighbors(emb)
     dist, idx = dist[:, 1:], idx[:, 1:]  # drop self
 
     rho, sigma = _smooth_knn_bandwidths(dist.astype(np.float64))
@@ -172,11 +183,13 @@ def leiden(
     n_neighbors: int = 15,
     resolution: float = 1.0,
     seed: int = 0,
+    device=None,
 ) -> np.ndarray:
     """Cluster an embedding: kNN graph + Leiden (native C++; Louvain
-    fallback).  Returns integer labels (cells,)."""
+    fallback).  Returns integer labels (cells,).  `device` routes the kNN
+    search to an accelerator (see `knn_graph`)."""
     n = emb.shape[0]
-    src, dst, w = knn_graph(emb, n_neighbors=n_neighbors)
+    src, dst, w = knn_graph(emb, n_neighbors=n_neighbors, device=device)
     labels = leiden_native(n, src, dst, w, resolution=resolution, seed=seed)
     if labels is None:
         labels = _python_louvain(n, src, dst, w, resolution=resolution, seed=seed)

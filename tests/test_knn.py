@@ -1,0 +1,94 @@
+"""ops/knn.py — blockwise accelerator exact kNN vs sklearn ground truth.
+
+The optimizer's CV scoring clusters each validation fold's embedding on a
+15-NN graph; on an accelerator the search runs as blocked MXU work
+(`scoring.knn_graph(device=...)`).  These tests pin the device path to
+sklearn's exact answer on the jax CPU backend (conftest pins the platform),
+including padding, small-n and duplicate-row edge cases.
+"""
+
+import numpy as np
+import pytest
+from sklearn.neighbors import NearestNeighbors
+
+import jax
+
+from alpine_tpu.ops.knn import exact_knn
+from alpine_tpu.optimize import scoring
+
+
+def _sk(emb, k):
+    nn = NearestNeighbors(n_neighbors=k).fit(emb)
+    return nn.kneighbors(emb)
+
+
+def _cpu_dev():
+    return jax.devices("cpu")[0]
+
+
+@pytest.mark.parametrize("n,d,k,block", [
+    (500, 16, 16, 128),   # several scan steps + row padding
+    (130, 7, 15, 2048),   # single padded block
+    (64, 3, 64, 16),      # k == n, k > block
+])
+def test_exact_knn_matches_sklearn(n, d, k, block):
+    r = np.random.default_rng(n + d)
+    emb = r.normal(0, 1, (n, d)).astype(np.float32)
+    dist, idx = exact_knn(emb, k, device=_cpu_dev(), block=block)
+    sd, si = _sk(emb, k)
+    assert dist.shape == (n, k) and idx.shape == (n, k)
+    assert idx[:, 0].tolist() == list(range(n))  # self first
+    np.testing.assert_allclose(dist, sd, atol=1e-3, rtol=1e-4)
+    # identical neighbours wherever consecutive distances aren't ties
+    gaps = np.diff(sd, axis=1) > 1e-4
+    stable = np.concatenate([gaps, np.ones((n, 1), bool)], axis=1)
+    stable &= np.concatenate([np.ones((n, 1), bool), gaps], axis=1)
+    assert (idx == si)[stable].all()
+
+
+def test_exact_knn_tiny_and_k_clamp():
+    r = np.random.default_rng(9)
+    emb = r.normal(0, 1, (5, 2)).astype(np.float32)  # no equidistant ties
+    dist, idx = exact_knn(emb, 15, device=_cpu_dev())  # k clamped to n
+    assert dist.shape == (5, 5)
+    sd, si = _sk(emb, 5)
+    np.testing.assert_allclose(dist, sd, atol=1e-4)
+    np.testing.assert_array_equal(idx, si)
+
+
+def test_exact_knn_duplicate_rows():
+    r = np.random.default_rng(0)
+    emb = r.normal(0, 1, (40, 6)).astype(np.float32)
+    emb = np.concatenate([emb, emb[:8]])  # exact duplicates
+    dist, idx = exact_knn(emb, 10, device=_cpu_dev(), block=16)
+    assert idx[:, 0].tolist() == list(range(len(emb)))  # self still first
+    sd, _ = _sk(emb, 10)
+    np.testing.assert_allclose(np.sort(dist, axis=1), np.sort(sd, axis=1),
+                               atol=1e-3)
+
+
+def test_knn_graph_device_path_matches_host():
+    r = np.random.default_rng(4)
+    emb = r.normal(0, 2, (300, 12)).astype(np.float32)
+    n = emb.shape[0]
+    A_host = np.zeros((n, n))
+    s, d, w = scoring.knn_graph(emb, n_neighbors=15)
+    A_host[s, d] = w
+    A_dev = np.zeros((n, n))
+    s, d, w = scoring.knn_graph(emb, n_neighbors=15, device=_cpu_dev())
+    A_dev[s, d] = w
+    np.testing.assert_allclose(A_dev, A_host, atol=1e-3, rtol=1e-3)
+
+
+def test_optimizer_scoring_device_policy():
+    """CPU model device keeps the host (float64-exact) kNN path."""
+    import pandas as pd
+
+    from alpine_tpu import ComponentOptimizer
+    from alpine_tpu.utils.adata import AnnData
+
+    r = np.random.default_rng(0)
+    X = r.random((40, 12)).astype(np.float32)
+    obs = pd.DataFrame({"b": ["x", "y"] * 20}, index=[f"c{i}" for i in range(40)])
+    co = ComponentOptimizer(AnnData(X, obs=obs), ["b"], device="cpu")
+    assert co._scoring_device() is None

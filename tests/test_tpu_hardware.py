@@ -204,3 +204,43 @@ def test_compiled_pallas_whole_transcriptome_on_tpu():
     payload = _run_on_tpu(_WHOLE_TRANSCRIPTOME_SCRIPT)
     assert payload["max_rel"]["float32"] < 1e-5, payload
     assert payload["max_rel"]["bfloat16"] < 5e-3, payload
+
+
+_KNN_SCRIPT = r"""
+import json, time
+import numpy as np, jax
+
+if jax.default_backend() != "tpu":
+    print(json.dumps({"skip": "no tpu backend"}))
+    raise SystemExit(0)
+
+from sklearn.neighbors import NearestNeighbors
+from alpine_tpu.ops.knn import exact_knn
+
+r = np.random.default_rng(0)
+emb = r.normal(0, 1, (8192, 48)).astype(np.float32)
+dev = jax.devices()[0]
+t0 = time.perf_counter()
+dist, idx = exact_knn(emb, 16, device=dev)      # includes compile
+t_first = time.perf_counter() - t0
+t0 = time.perf_counter()
+dist, idx = exact_knn(emb, 16, device=dev)
+t_warm = time.perf_counter() - t0
+sd, si = NearestNeighbors(n_neighbors=16).fit(emb).kneighbors(emb)
+gaps = np.diff(sd, axis=1) > 1e-4
+stable = np.concatenate([gaps, np.ones((len(emb), 1), bool)], axis=1)
+stable &= np.concatenate([np.ones((len(emb), 1), bool), gaps], axis=1)
+print(json.dumps({
+    "max_abs_dist_err": float(np.abs(dist - sd).max()),
+    "idx_mismatch_stable": int((idx != si)[stable].sum()),
+    "t_warm_s": t_warm, "t_first_s": t_first,
+}))
+"""
+
+
+def test_device_knn_matches_sklearn_on_tpu():
+    """The blockwise MXU kNN (optimizer fold scoring at atlas scale) is
+    exact vs sklearn on the chip, modulo distance ties."""
+    payload = _run_on_tpu(_KNN_SCRIPT)
+    assert payload["max_abs_dist_err"] < 1e-2, payload
+    assert payload["idx_mismatch_stable"] == 0, payload
