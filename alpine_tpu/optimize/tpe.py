@@ -166,21 +166,25 @@ class Trials:
 
 
 def _forgetting_weights(n: int) -> np.ndarray:
-    """hyperopt's linear-forgetting ramp: the most recent LINEAR_FORGETTING
-    observations get weight 1, older ones ramp down linearly (oldest lowest).
-    Input order is chronological."""
-    w = np.ones(n)
-    older = n - LINEAR_FORGETTING
-    if older > 0:
-        ramp = np.linspace(1.0 / (older + 1), 1.0, older, endpoint=False)
-        w[:older] = ramp
-    return w
+    """hyperopt's linear_forgetting_weights(N, LF=25), applied PER below/
+    above group in chronological order: all ones when N < LF, otherwise the
+    oldest N-LF observations ramp linearly from 1/N to 1 and the newest LF
+    get weight 1.  (The below group is capped at 25 = LF, so its weights are
+    always flat — exactly as in hyperopt.)"""
+    if n < LINEAR_FORGETTING:
+        return np.ones(n)
+    ramp = np.linspace(1.0 / n, 1.0, n - LINEAR_FORGETTING)
+    return np.concatenate([ramp, np.ones(LINEAR_FORGETTING)])
 
 
 class _Parzen:
-    """1-D mixture of truncated normals over [low, high] with a flat-ish
-    prior component and optional per-observation mixture weights, following
-    hyperopt's adaptive-bandwidth heuristic."""
+    """1-D mixture of truncated normals over [low, high] with a flat prior
+    component and optional per-observation mixture weights — hyperopt's
+    adaptive_parzen_normal construction (verified term-for-term against an
+    independent transcription in tests/test_tpe_fidelity.py): prior inserted
+    at its sorted position, bandwidth = max neighbor distance (single real
+    neighbor at the ends), clipped to [prior_sigma / min(100, 1+len),
+    prior_sigma], prior kept at prior_sigma, prior_weight = 1."""
 
     def __init__(self, mus: np.ndarray, low: float, high: float,
                  weights: Optional[np.ndarray] = None):
@@ -189,27 +193,36 @@ class _Parzen:
         mus = np.asarray(mus, dtype=np.float64)
         if weights is None:
             weights = np.ones(len(mus))
-        all_mu = np.concatenate([[prior_mu], mus])
-        # the prior's mixture weight matches hyperopt (prior_weight=1.0)
-        all_w = np.concatenate([[1.0], np.asarray(weights, dtype=np.float64)])
-        order = np.argsort(all_mu)
-        sorted_mu = all_mu[order]
-        sorted_w = all_w[order]
-        if len(sorted_mu) == 1:
-            sigma = np.full_like(sorted_mu, prior_sigma)
+        weights = np.asarray(weights, dtype=np.float64)
+        order = np.argsort(mus, kind="stable")
+        obs_mu = mus[order]
+        obs_w = weights[order]
+
+        if len(obs_mu) == 0:
+            prior_pos = 0
+            sorted_mu = np.asarray([prior_mu])
+            sigma = np.asarray([prior_sigma])
+        elif len(obs_mu) == 1:
+            # hyperopt special-cases one observation: half the prior width
+            prior_pos = 0 if prior_mu < obs_mu[0] else 1
+            sorted_mu = np.insert(obs_mu, prior_pos, prior_mu)
+            sigma = np.empty(2)
+            sigma[prior_pos] = prior_sigma
+            sigma[1 - prior_pos] = prior_sigma * 0.5
         else:
-            # bandwidth = max distance to neighbors, clipped; the prepend/
-            # append duplicates make each endpoint's "missing side" diff 0,
-            # so the maximum picks its single real neighbor distance
-            left = np.diff(sorted_mu, prepend=sorted_mu[0])
-            right = np.diff(sorted_mu, append=sorted_mu[-1])
-            sigma = np.maximum(left, right)
+            prior_pos = int(np.searchsorted(obs_mu, prior_mu))
+            sorted_mu = np.insert(obs_mu, prior_pos, prior_mu)
+            sigma = np.empty_like(sorted_mu)
+            sigma[1:-1] = np.maximum(sorted_mu[1:-1] - sorted_mu[:-2],
+                                     sorted_mu[2:] - sorted_mu[1:-1])
+            sigma[0] = sorted_mu[1] - sorted_mu[0]
+            sigma[-1] = sorted_mu[-1] - sorted_mu[-2]
+
         sigma_max = prior_sigma
-        sigma_min = prior_sigma / max(100.0, float(len(sorted_mu)))
+        sigma_min = prior_sigma / min(100.0, 1.0 + float(len(sorted_mu)))
         sigma = np.clip(sigma, sigma_min, sigma_max)
-        # restore prior's wide bandwidth
-        prior_pos = int(np.where(order == 0)[0][0])
-        sigma[prior_pos] = prior_sigma
+        sigma[prior_pos] = prior_sigma  # the prior keeps its wide bandwidth
+        sorted_w = np.insert(obs_w, prior_pos, 1.0)  # prior_weight = 1.0
         self.mu = sorted_mu
         self.sigma = sigma
         self.w = sorted_w / sorted_w.sum()
@@ -259,12 +272,15 @@ def _tpe_suggest_one(
     obs_u = np.asarray(obs_u)
     obs_loss = np.asarray(obs_loss)
     n = len(obs_u)
-    fw = _forgetting_weights(n)  # chronological order
     n_below = min(int(np.ceil(0.25 * np.sqrt(n))), GAMMA_CAP)
     n_below = max(n_below, 1)
     order = np.argsort(obs_loss, kind="stable")
-    below, w_below = obs_u[order[:n_below]], fw[order[:n_below]]
-    above, w_above = obs_u[order[n_below:]], fw[order[n_below:]]
+    # hyperopt keeps each group in CHRONOLOGICAL order and applies the
+    # linear-forgetting ramp per group (ap_filter_trials semantics)
+    below_idx = np.sort(order[:n_below])
+    above_idx = np.sort(order[n_below:])
+    below, w_below = obs_u[below_idx], _forgetting_weights(len(below_idx))
+    above, w_above = obs_u[above_idx], _forgetting_weights(len(above_idx))
 
     l_est = _Parzen(below, expr.low, expr.high, weights=w_below)
     g_est = _Parzen(above if len(above) else below, expr.low, expr.high,
