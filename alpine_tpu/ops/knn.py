@@ -51,6 +51,11 @@ def _build_knn_fn():
                 X, Yb, (((1,), (1,)), ((), ())),
                 precision=lax.Precision.HIGHEST)  # (n_pad, block)
             s = 2.0 * dots - sq[:, None] - sqy[None, :]
+            # snap float dust to an exact zero distance: for duplicate rows
+            # the expansion leaves O(d·2^-24)·‖x‖² residue, which would defeat
+            # the duplicate-point rho handling downstream (UMAP treats zero
+            # distances as "same point")
+            s = jnp.where(s >= -1e-5 * (sq[:, None] + sqy[None, :]), 0.0, s)
             cols = base + jnp.arange(block, dtype=jnp.int32)
             s = jnp.where(vb[None, :], s, -jnp.inf)
             # the self column always ranks first (true distance is 0; the

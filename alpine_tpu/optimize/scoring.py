@@ -86,7 +86,17 @@ def knn_graph(
     else:
         nn = NearestNeighbors(n_neighbors=k + 1).fit(emb)
         dist, idx = nn.kneighbors(emb)
-    dist, idx = dist[:, 1:], idx[:, 1:]  # drop self
+    # drop the self entry BY INDEX, not by position: with duplicate points
+    # sklearn may return a zero-distance twin in column 0 (tie order is an
+    # implementation detail); if self is absent entirely (crowded out by
+    # duplicates), drop the farthest column instead
+    rows = np.arange(n)
+    is_self = idx == rows[:, None]
+    drop = np.where(is_self.any(axis=1), is_self.argmax(axis=1), k)
+    m = np.ones((n, k + 1), dtype=bool)
+    m[rows, drop] = False
+    dist = dist[m].reshape(n, k)
+    idx = idx[m].reshape(n, k)
 
     rho, sigma = _smooth_knn_bandwidths(dist.astype(np.float64))
     w = np.exp(-np.maximum(dist - rho[:, None], 0.0) / sigma[:, None])
