@@ -136,3 +136,48 @@ def test_lam_regime_decision_agrees_with_reference_stack():
     # per-setting scores are close (clustering randomness gives some slack)
     for name in ("bad", "good"):
         assert abs(ours[name] - ref[name]) < 0.2, (name, ours[name], ref[name])
+
+
+def test_optimizer_cv_decision_agrees_with_reference_stack(monkeypatch):
+    """The literal optimizer objective (calc_score: stratified CV, fold
+    fits, transform, cluster, ARI+homogeneity) makes the same call with the
+    in-repo clustering stack and with the transcribed scanpy/igraph stack
+    swapped into it.  Fold fits are seed-deterministic, so the only degree
+    of freedom between the two passes is the clustering backend."""
+    from alpine_tpu import ComponentOptimizer
+    from alpine_tpu.optimize import scoring as scoring_mod
+    from alpine_tpu.utils.adata import AnnData
+
+    r = np.random.default_rng(0)
+    n, g = 180, 50
+    W = r.gamma(2.0, 1.0, (g, 5))
+    H = r.gamma(2.0, 1.0, (5, n))
+    batch = r.integers(0, 2, n)
+    sig = np.zeros((g, 1))
+    sig[: g // 2] = 6.0
+    X = (W @ H + sig @ batch[None, :].astype(float) + r.random((g, n)))
+    X = X.astype(np.float32).T
+    obs = pd.DataFrame({"batch": np.array([f"b{b}" for b in batch], dtype=object)},
+                       index=[f"c{i}" for i in range(n)])
+    co = ComponentOptimizer(AnnData(X, obs=obs), ["batch"], max_iter=40,
+                            device="cpu", random_state=0)
+    co.n_splits = 2
+    co.iter_records = []
+
+    base = {"n_components": 8, "n_covariate_components": [2],
+            "orth_W": 0.0, "alpha_W": 0.0, "l1_ratio_W": 0.0}
+    settings = [{**base, "lam": [1e-3]}, {**base, "lam": [1e4]}]
+
+    ours = [co.calc_score(s) for s in settings]
+
+    def oracle_leiden(emb, n_neighbors=15, resolution=1.0, seed=0, device=None):
+        return oracle.reference_cluster(np.asarray(emb), n_neighbors=n_neighbors,
+                                        resolution=resolution, seed=seed)
+
+    monkeypatch.setattr(scoring_mod, "leiden", oracle_leiden)
+    ref = [co.calc_score(s) for s in settings]
+
+    # same decision: high-lam wins (lower leakage score) under BOTH stacks
+    assert ours[1] < ours[0], ours
+    assert ref[1] < ref[0], ref
+    assert abs(ours[0] - ref[0]) < 0.25 and abs(ours[1] - ref[1]) < 0.25
