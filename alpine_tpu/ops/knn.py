@@ -10,10 +10,15 @@ per fold, while one (n × n) blocked distance computation is MXU work —
 full distance matrix never materialises.
 
 Semantics match `sklearn.neighbors.NearestNeighbors(n_neighbors=k)` on the
-fit data: euclidean distances, self included (distance 0 first), ascending
-order, ties broken by lower index.  Distances use the |x|² + |y|² − 2·x·y
-expansion (same as sklearn's brute path) in float32 with HIGHEST matmul
-precision.
+fit data: euclidean distances, self included (pinned first), ascending
+order, ties broken by lower index.  Candidate SELECTION uses the
+|x|² + |y|² − 2·x·y expansion (same as sklearn's brute path) in float32
+with HIGHEST matmul precision; the selected k distances are then REFINED
+by direct subtraction, which is bitwise-exact zero for duplicate rows
+(downstream UMAP rho handling depends on it) and accurate to the scale of
+the *difference* for near neighbours — the expansion alone loses
+~d·2⁻²⁴·‖x‖² to cancellation, which at atlas embedding norms swamps
+genuinely small neighbour distances.
 
 Placement is explicit: pass `device=` (repo invariant — an explicit device
 is never silently ignored); the embedding travels as an argument, never a
@@ -24,7 +29,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -38,6 +43,11 @@ def _build_knn_fn():
     def knn(X, valid, k: int, block: int):
         n_pad, _ = X.shape
         nb = n_pad // block
+        # oversample the expansion-ranked candidates: the refinement pass
+        # (below) re-measures them exactly, so expansion noise at the top-k
+        # boundary only matters if a true neighbour falls outside the top-ks
+        # ranking — a much wider distance margin
+        ks = min(2 * k + 8, n_pad)
         sq = (X * X).sum(axis=1)  # (n_pad,)
         Xb = X.reshape(nb, block, X.shape[1])
         validb = valid.reshape(nb, block)
@@ -45,35 +55,60 @@ def _build_knn_fn():
         row_ids = jnp.arange(n_pad, dtype=jnp.int32)
 
         def step(carry, inp):
-            best_s, best_i = carry  # (n_pad, k) similarity = -dist², ids
+            best_s, best_i = carry  # (n_pad, ks) similarity = -dist², ids
             Yb, vb, sqy, base = inp
             dots = lax.dot_general(
                 X, Yb, (((1,), (1,)), ((), ())),
                 precision=lax.Precision.HIGHEST)  # (n_pad, block)
             s = 2.0 * dots - sq[:, None] - sqy[None, :]
-            # snap float dust to an exact zero distance: for duplicate rows
-            # the expansion leaves O(d·2^-24)·‖x‖² residue, which would defeat
-            # the duplicate-point rho handling downstream (UMAP treats zero
-            # distances as "same point")
-            s = jnp.where(s >= -1e-5 * (sq[:, None] + sqy[None, :]), 0.0, s)
             cols = base + jnp.arange(block, dtype=jnp.int32)
             s = jnp.where(vb[None, :], s, -jnp.inf)
             # the self column always ranks first (true distance is 0; the
             # expansion can leave float dust there)
             s = jnp.where(cols[None, :] == row_ids[:, None], jnp.inf, s)
-            bs, bpos = lax.top_k(s, min(k, block))
+            bs, bpos = lax.top_k(s, min(ks, block))
             bi = cols[bpos]
             cat_s = jnp.concatenate([best_s, bs], axis=1)
             cat_i = jnp.concatenate([best_i, bi], axis=1)
-            ms, mpos = lax.top_k(cat_s, k)
+            ms, mpos = lax.top_k(cat_s, ks)
             mi = jnp.take_along_axis(cat_i, mpos, axis=1)
             return (ms, mi), None
 
-        init = (jnp.full((n_pad, k), -jnp.inf, X.dtype),
-                jnp.zeros((n_pad, k), jnp.int32))
+        init = (jnp.full((n_pad, ks), -jnp.inf, X.dtype),
+                jnp.zeros((n_pad, ks), jnp.int32))
         bases = (jnp.arange(nb, dtype=jnp.int32) * block)
         (best_s, best_i), _ = lax.scan(step, init, (Xb, validb, sqb, bases))
-        d2 = jnp.where(jnp.isinf(best_s), 0.0, -best_s)
+
+        # refine the selected candidates by direct subtraction: the
+        # expansion's cancellation error (~d·2⁻²⁴·‖x‖²) is fine for RANKING
+        # but reports near neighbours at noise-level distances; the
+        # difference form is exact 0 for duplicate rows and accurate at the
+        # difference's own scale.  O(n·ks·d) — negligible vs the O(n²·d)
+        # search, blocked so the (block, ks, d) gather never materialises
+        # at full n
+        def refine(carry, inp):
+            xb, bi, bs = inp
+            diff = xb[:, None, :] - X[bi]
+            d2 = jnp.sum(diff * diff, axis=-1)
+            d2 = jnp.where(bs == -jnp.inf, jnp.inf, d2)  # unfilled slots
+            return carry, d2
+        _, d2 = lax.scan(
+            refine, 0,
+            (Xb, best_i.reshape(nb, block, ks),
+             best_s.reshape(nb, block, ks)))
+        d2 = d2.reshape(n_pad, ks)
+
+        # final top-k on the REFINED distances, ascending with sklearn's tie
+        # rule (lower index first); self stays pinned to column 0 (kernel
+        # contract — scoring drops self by INDEX, so duplicate twins after
+        # it are handled either way)
+        # (guard on filled slots: unfilled -inf entries carry the init
+        # best_i = 0, which must not inherit row 0's self pin)
+        sort_key = jnp.where(
+            (best_i == row_ids[:, None]) & (best_s != -jnp.inf), -1.0, d2)
+        order = jnp.lexsort((best_i, sort_key), axis=-1)[:, :k]
+        d2 = jnp.take_along_axis(d2, order, axis=1)
+        best_i = jnp.take_along_axis(best_i, order, axis=1)
         return jnp.sqrt(jnp.maximum(d2, 0.0)), best_i
 
     return knn

@@ -50,6 +50,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # repo-root bench.py: shares shape/dtype configuration
 
+from alpine_tpu.ops.mu import x_storage_itemsize  # single source of truth
+
 # v5e (the bench chip): 819 GB/s HBM BW, 197 bf16 TFLOP/s peak.
 # Override for other chips via env.
 HBM_GBPS = float(os.environ.get("ALPINE_HBM_GBPS", 819.0))
@@ -131,8 +133,7 @@ def bytes_per_iteration(als: bool, minibatch: bool = False) -> dict:
     g, n, K = bench.N_GENES, bench.N_CELLS, sum(bench.BLOCKS)
     labels = sum(bench.N_LABELS)
     n_blocks = len(bench.BLOCKS)
-    x_item = {"bfloat16": 2, "int16": 2, "int8": 1}.get(
-        bench.resolved_dtype(), 4)
+    x_item = x_storage_itemsize(bench.resolved_dtype())
     if minibatch:
         # a minibatch "iteration" is a full EPOCH (reference semantics:
         # fresh permutation, all batches) plus the full-data loss pass
@@ -211,11 +212,11 @@ def main():
         # gathers microbench at ~15 GB/s, benchmarks/gather_floor.py;
         # 128-column tiles move at ~streaming rate).  The tiled-mode floor
         # is therefore the plain bandwidth floor on the same bytes.
-        g, n, K = bench.N_GENES, bench.N_CELLS, sum(bench.BLOCKS)
-        x_item = {"bfloat16": 2, "int16": 2, "int8": 1}.get(
-            bench.resolved_dtype(), 4)
-        gathered = (g * n * x_item + sum(bench.N_LABELS) * n * x_item
-                    + 2 * K * n * 4)  # epoch X/Ys/H gather + H scatter
+        n, K = bench.N_CELLS, sum(bench.BLOCKS)
+        # epoch X/Ys gathers are one of each operand's two passes (the
+        # other is the streamed loss pass), plus the H gather + scatter
+        gathered = (acct["x_bytes"] // 2 + acct["y_bytes"] // 2
+                    + 2 * K * n * 4)
         streamed = acct["total_bytes"] - gathered
         out["sampling"] = bench.SAMPLING
         out["gathered_bytes"] = gathered

@@ -62,14 +62,32 @@ def test_exact_knn_duplicate_rows():
     emb = np.concatenate([emb, emb[:8]])  # exact duplicates
     dist, idx = exact_knn(emb, 10, device=_cpu_dev(), block=16)
     assert idx[:, 0].tolist() == list(range(len(emb)))  # self still first
-    # duplicate pairs report an EXACT zero distance (float dust snapped) —
-    # the downstream UMAP rho handling depends on it
+    # duplicate pairs report an EXACT zero distance (the refinement pass
+    # subtracts identical rows bitwise) — the downstream UMAP rho handling
+    # depends on it
     for i in range(8):
         row = dist[i][idx[i] == 40 + i]
         assert row.size == 1 and row[0] == 0.0, (i, dist[i], idx[i])
     sd, _ = _sk(emb, 10)
     np.testing.assert_allclose(np.sort(dist, axis=1), np.sort(sd, axis=1),
                                atol=1e-3)
+
+
+def test_exact_knn_near_neighbors_large_norms():
+    """Near neighbours on large-norm points: the |x|²+|y|²−2xy expansion
+    alone loses them to cancellation (≈‖x‖²·d·2⁻²⁴ noise ≫ the true
+    distances); the refinement pass must report them accurately, not as
+    spurious exact zeros (which would flip the downstream UMAP duplicate
+    handling and change CV scores vs the float64 host path)."""
+    r = np.random.default_rng(7)
+    base = r.uniform(0, 100, 50).astype(np.float32)
+    emb = np.stack([base + i * 0.01 for i in range(32)]).astype(np.float32)
+    dist, idx = exact_knn(emb, 8, device=_cpu_dev(), block=16)
+    sd, si = _sk(emb, 8)
+    assert idx[:, 0].tolist() == list(range(32))
+    np.testing.assert_allclose(dist, sd, rtol=5e-3, atol=1e-4)
+    assert (dist[:, 1:] > 0.0).all()  # no distinct pair collapses to 0
+    np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(si, axis=1))
 
 
 @pytest.mark.parametrize("with_duplicates", [False, True])
