@@ -118,6 +118,45 @@ def test_knn_graph_device_path_matches_host(with_duplicates):
         np.testing.assert_allclose(A_dev, A_host, atol=1e-3, rtol=1e-3)
 
 
+def test_exact_knn_fuzz_vs_sklearn():
+    """Randomized shapes/scales/duplicates vs sklearn: neighbor SETS equal
+    wherever the true distance gap at the k-boundary is resolvable in f32,
+    distances accurate, duplicates exactly zero."""
+    for seed in range(6):
+        r = np.random.default_rng(100 + seed)
+        n = int(r.integers(20, 400))
+        d = int(r.integers(2, 60))
+        k = int(r.integers(2, min(n, 24)))
+        block = int(r.choice([8, 32, 128, 2048]))
+        scale = float(r.choice([1.0, 50.0]))
+        emb = (r.normal(0, 1, (n, d)) * scale).astype(np.float32)
+        n_dup = int(r.integers(0, 5))
+        if n_dup:
+            emb = np.concatenate([emb, emb[:n_dup]])
+            n += n_dup
+            k = min(k, n)
+        dist, idx = exact_knn(emb, k, device=_cpu_dev(), block=block)
+        sdx, six = _sk(emb, min(k + 1, n))
+        sd, si = sdx[:, :k], six[:, :k]
+        cfg = (seed, n, d, k, block, scale, n_dup)
+        assert idx[:, 0].tolist() == list(range(n)), cfg
+        np.testing.assert_allclose(dist, sd, atol=1e-3 * scale, rtol=1e-3,
+                                   err_msg=str(cfg))
+        # set equality on rows where the k-th-included vs first-excluded
+        # gap is clearly resolvable in f32
+        gap_ok = (sdx[:, k] - sdx[:, k - 1]) > 1e-3 * scale \
+            if k < n else np.ones(n, bool)
+        got = np.sort(idx, axis=1)[gap_ok]
+        want = np.sort(si, axis=1)[gap_ok]
+        assert (got == want).all(), cfg
+        # duplicate twins at bitwise zero
+        for i in range(n_dup):
+            twin = n - n_dup + i
+            row = dist[i][idx[i] == twin]
+            if row.size:
+                assert row[0] == 0.0, cfg
+
+
 def test_optimizer_scoring_device_policy():
     """CPU model device keeps the host (float64-exact) kNN path."""
     import pandas as pd
