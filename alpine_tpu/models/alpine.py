@@ -196,6 +196,15 @@ class ALPINE:
                 "(one device or a 1-D cell mesh); use "
                 "sampling_method='random'."
             )
+        if sampling_method == "tiled" and batch_size is None:
+            # without a batch size the fit would silently run as a plain
+            # full-batch fit (no tile permutation at all) while claiming
+            # the tiled mode — reject instead of misrepresenting what ran
+            raise ValueError(
+                "sampling_method='tiled' is a minibatch mode: pass "
+                "batch_size (< n_cells); full-batch fits use "
+                "sampling_method='random'."
+            )
         if mp:
             if sampling_method == "weighted":
                 # balanced draws need a global view of the joint labels
@@ -345,8 +354,16 @@ class ALPINE:
         # pad to tile x n_shards so every equal shard is tile-aligned.
         # Zero pad columns are exactly neutral; multi-process fits were
         # rejected above.
-        tiled_mb = (sampling_method == "tiled"
-                    and batch_size is not None and batch_size < n_sample)
+        if sampling_method == "tiled" and batch_size >= n_sample:
+            # a covering batch would silently disable the tile permutation
+            # (fit_scan turns tiling off for full-batch configs) — reject,
+            # matching the batch_size=None check above
+            raise ValueError(
+                f"sampling_method='tiled' is a minibatch mode: batch_size "
+                f"({batch_size}) must be < n_cells ({n_sample}); full-batch "
+                f"fits use sampling_method='random'."
+            )
+        tiled_mb = sampling_method == "tiled"
         if tiled_mb:
             unit = mu.DEFAULT_TILE * (pad_devices
                                       if placement.is_sharded else 1)

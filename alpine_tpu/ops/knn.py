@@ -13,12 +13,18 @@ Semantics match `sklearn.neighbors.NearestNeighbors(n_neighbors=k)` on the
 fit data: euclidean distances, self included (pinned first), ascending
 order, ties broken by lower index.  Candidate SELECTION uses the
 |x|² + |y|² − 2·x·y expansion (same as sklearn's brute path) in float32
-with HIGHEST matmul precision; the selected k distances are then REFINED
-by direct subtraction, which is bitwise-exact zero for duplicate rows
-(downstream UMAP rho handling depends on it) and accurate to the scale of
-the *difference* for near neighbours — the expansion alone loses
-~d·2⁻²⁴·‖x‖² to cancellation, which at atlas embedding norms swamps
-genuinely small neighbour distances.
+with HIGHEST matmul precision, computed on MEAN-CENTERED coordinates:
+euclidean distances are translation-invariant, and centering shrinks the
+expansion's cancellation loss from ~d·2⁻²⁴·‖x‖² (NMF embeddings are
+all-nonnegative, so raw norms sit far from the origin) to the same bound
+at the data's intrinsic radius ‖x−μ‖ — the selection ranking resolves the
+k-boundary at that much finer scale.  The selected k distances are then
+REFINED by direct subtraction of the RAW coordinates, which is
+bitwise-exact zero for duplicate rows (downstream UMAP rho handling
+depends on it) and accurate to the scale of the *difference* for near
+neighbours.  The residual inexactness is selection-only: a true neighbour
+is lost only if more than the 2k+8 oversampled candidates crowd within
+centered-expansion noise of the k-th distance.
 
 Placement is explicit: pass `device=` (repo invariant — an explicit device
 is never silently ignored); the embedding travels as an argument, never a
@@ -40,7 +46,7 @@ def _build_knn_fn():
     from jax import lax
 
     @partial(jax.jit, static_argnames=("k", "block"))
-    def knn(X, valid, k: int, block: int):
+    def knn(X, mean, valid, k: int, block: int):
         n_pad, _ = X.shape
         nb = n_pad // block
         # oversample the expansion-ranked candidates: the refinement pass
@@ -48,8 +54,12 @@ def _build_knn_fn():
         # boundary only matters if a true neighbour falls outside the top-ks
         # ranking — a much wider distance margin
         ks = min(2 * k + 8, n_pad)
-        sq = (X * X).sum(axis=1)  # (n_pad,)
+        # selection runs on centered coordinates (distance-invariant; see
+        # module docstring) — refinement below uses the RAW X
+        Xc = X - mean[None, :]
+        sq = (Xc * Xc).sum(axis=1)  # (n_pad,)
         Xb = X.reshape(nb, block, X.shape[1])
+        Xcb = Xc.reshape(nb, block, X.shape[1])
         validb = valid.reshape(nb, block)
         sqb = sq.reshape(nb, block)
         row_ids = jnp.arange(n_pad, dtype=jnp.int32)
@@ -58,7 +68,7 @@ def _build_knn_fn():
             best_s, best_i = carry  # (n_pad, ks) similarity = -dist², ids
             Yb, vb, sqy, base = inp
             dots = lax.dot_general(
-                X, Yb, (((1,), (1,)), ((), ())),
+                Xc, Yb, (((1,), (1,)), ((), ())),
                 precision=lax.Precision.HIGHEST)  # (n_pad, block)
             s = 2.0 * dots - sq[:, None] - sqy[None, :]
             cols = base + jnp.arange(block, dtype=jnp.int32)
@@ -77,7 +87,7 @@ def _build_knn_fn():
         init = (jnp.full((n_pad, ks), -jnp.inf, X.dtype),
                 jnp.zeros((n_pad, ks), jnp.int32))
         bases = (jnp.arange(nb, dtype=jnp.int32) * block)
-        (best_s, best_i), _ = lax.scan(step, init, (Xb, validb, sqb, bases))
+        (best_s, best_i), _ = lax.scan(step, init, (Xcb, validb, sqb, bases))
 
         # refine the selected candidates by direct subtraction: the
         # expansion's cancellation error (~d·2⁻²⁴·‖x‖²) is fine for RANKING
@@ -141,13 +151,17 @@ def exact_knn(
     X[:n] = emb
     valid = np.zeros((n_pad,), dtype=bool)
     valid[:n] = True
+    # mean over the REAL rows (float64 accumulate), used only to center the
+    # selection-ranking coordinates on device — pad rows are valid-masked
+    mean = emb.mean(axis=0, dtype=np.float64).astype(np.float32)
 
     if _KNN_FN is None:
         _KNN_FN = _build_knn_fn()
     if device is not None:
         X = jax.device_put(X, device)
+        mean = jax.device_put(mean, device)
         valid = jax.device_put(valid, device)
-    dist, idx = _KNN_FN(X, valid, k=k, block=block)
+    dist, idx = _KNN_FN(X, mean, valid, k=k, block=block)
     # fetch to host (this is also the only reliable sync through axon)
     dist = np.asarray(dist, dtype=np.float64)[:n]
     idx = np.asarray(idx, dtype=np.int64)[:n]

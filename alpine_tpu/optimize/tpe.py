@@ -236,9 +236,29 @@ class _Parzen:
         self._z = np.maximum(self._norm.cdf(b) - self._norm.cdf(a), 1e-12)
 
     def sample(self, rng: np.random.Generator, n: int) -> np.ndarray:
-        idx = rng.choice(len(self.mu), size=n, p=self.w)
-        out = rng.normal(self.mu[idx], self.sigma[idx])
-        return np.clip(out, self.low, self.high)
+        # rejection-sample the truncated mixture, as hyperopt's GMM1 does
+        # (tpe.py GMM1: redraw until low <= x < high) — clipping instead
+        # would pile probability mass into atoms at the exact bounds, a
+        # different candidate distribution than the truncated density the
+        # logpdf scores.  Acceptance is bounded below by max-component
+        # truncation mass (_z >= 1e-12 floor); the round cap is a defensive
+        # backstop for pathological priors, not an expected path.
+        out = np.empty(n, dtype=np.float64)
+        filled = 0
+        for _ in range(1000):
+            m = n - filled
+            idx = rng.choice(len(self.mu), size=m, p=self.w)
+            draw = rng.normal(self.mu[idx], self.sigma[idx])
+            ok = (draw >= self.low) & (draw < self.high)
+            took = int(ok.sum())
+            out[filled:filled + took] = draw[ok]
+            filled += took
+            if filled == n:
+                return out
+        out[filled:] = np.clip(
+            rng.uniform(self.low, self.high, n - filled),
+            self.low, self.high)
+        return out
 
     def logpdf(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, dtype=np.float64)[:, None]

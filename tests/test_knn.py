@@ -157,6 +157,30 @@ def test_exact_knn_fuzz_vs_sklearn():
                 assert row[0] == 0.0, cfg
 
 
+def test_exact_knn_far_from_origin_cluster():
+    """Selection ranking must survive embeddings far from the origin: the
+    raw |x|²+|y|²−2xy expansion's cancellation noise grows with ‖x‖² (here
+    ~‖x‖²·2⁻²⁴ ≈ 3 in squared-distance units — above the true neighbour
+    gaps: measured, uncentered selection returns the wrong neighbour SET on
+    237/241 resolvable rows of this exact data), so selection must run on
+    mean-centered coordinates, where the same data is easy.  The refinement
+    pass cannot recover a neighbour selection never picked."""
+    r = np.random.default_rng(11)
+    n, d, k = 256, 48, 15
+    center = np.full(d, 1000.0)  # ‖x‖² ≈ 4.8e7 per point
+    emb = (center + r.normal(0, 1.0, (n, d))).astype(np.float32)
+    dist, idx = exact_knn(emb, k, device=_cpu_dev(), block=64)
+    sdx, six = _sk(emb, k + 1)
+    sd, si = sdx[:, :k], six[:, :k]
+    assert idx[:, 0].tolist() == list(range(n))
+    np.testing.assert_allclose(dist, sd, atol=2e-3, rtol=1e-3)
+    gap_ok = (sdx[:, k] - sdx[:, k - 1]) > 2e-3
+    got = np.sort(idx, axis=1)[gap_ok]
+    want = np.sort(si, axis=1)[gap_ok]
+    assert gap_ok.sum() > n // 2  # the gaps ARE resolvable after centering
+    assert (got == want).all()
+
+
 def test_optimizer_scoring_device_policy():
     """CPU model device keeps the host (float64-exact) kNN path."""
     import pandas as pd

@@ -318,6 +318,26 @@ def test_tiled_rejects_als_mode():
         _fit(cfg, X, Ys, Ws, Hs, Bs)
 
 
+def test_tiled_rejects_full_batch():
+    """Without a (covering-exclusive) batch_size the fit would silently run
+    as a plain full-batch fit — no tile permutation, no pre-shuffle — while
+    claiming the tiled mode (and compiling a separate but trajectory-
+    identical program keyed on tile).  Rejected instead, both for a missing
+    batch_size and for one that covers every cell."""
+    adata = make_synthetic_adata(n_cells=64, n_genes=20)
+    m = ALPINE(n_components=6, n_covariate_components=[2, 2],
+               lam=[1.0, 1.0], device="cpu", random_state=0)
+    with pytest.raises(ValueError, match="minibatch mode"):
+        m.fit(adata, ["batch", "condition"], sampling_method="tiled",
+              max_iter=3)
+    with pytest.raises(ValueError, match="minibatch mode"):
+        m.fit(adata, ["batch", "condition"], batch_size=64,
+              sampling_method="tiled", max_iter=3)
+    with pytest.raises(ValueError, match="minibatch mode"):
+        m.fit(adata, ["batch", "condition"], batch_size=1000,
+              sampling_method="tiled", max_iter=3)
+
+
 def test_tiled_fit_transform_cache_matches_uncached():
     """Tiled fits cache the PERMUTED device X; a same-data transform must
     reuse it and return each cell's OWN projection (H0 re-paired, result

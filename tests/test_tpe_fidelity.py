@@ -129,3 +129,35 @@ def test_gamma_split_matches_hyperopt_schedule():
     for n, expect in [(20, 2), (25, 2), (64, 2), (100, 3), (400, 5), (11000, 25)]:
         n_below = min(int(np.ceil(0.25 * np.sqrt(n))), GAMMA_CAP)
         assert n_below == expect, (n, n_below)
+
+
+def test_parzen_sampling_is_truncated_not_clipped():
+    """hyperopt's GMM1 rejection-samples the truncated mixture (redraw
+    until low <= x < high); boundary clipping would instead pile the
+    out-of-bounds mass into atoms at the exact bounds and bias candidate
+    selection toward the edges of bounded ranges (e.g. l1_ratio in [0,1]).
+    With an observation sitting ON the high bound, roughly a third of raw
+    mixture draws land out of bounds — plenty to expose a clip."""
+    from scipy.stats import norm
+
+    low, high = 0.0, 1.0
+    obs = np.array([1.0, 0.97, 0.99])  # mass piled against the high bound
+    p = _Parzen(obs, low, high, weights=np.ones(len(obs)))
+    rng = np.random.default_rng(3)
+    n = 20000
+    s = p.sample(rng, n)
+    assert s.shape == (n,)
+    assert ((s >= low) & (s < high)).all()
+    # a clip would put the raw out-of-bounds mass (here >20%) exactly AT
+    # the bounds; rejection leaves the bounds at measure zero
+    assert (s == high).sum() == 0 and (s == low).sum() == 0
+    # and the empirical CDF must match the analytic TRUNCATED mixture CDF
+    mass_oob = float(np.sum(p.w * (1.0 - (norm.cdf((high - p.mu) / p.sigma)
+                                          - norm.cdf((low - p.mu) / p.sigma)))))
+    assert mass_oob > 0.2  # the construction really does stress truncation
+    for q in (0.25, 0.5, 0.75, 0.95):
+        xq = np.quantile(s, q)
+        cdf = float(np.sum(p.w * (norm.cdf((xq - p.mu) / p.sigma)
+                                  - norm.cdf((low - p.mu) / p.sigma)))
+                    / np.sum(p.w * p._z))
+        assert abs(cdf - q) < 0.02, (q, xq, cdf)
