@@ -213,11 +213,10 @@ class ALPINE:
                     "weighted sampling is not supported in multi-process "
                     "fits; use sampling_method='random'."
                 )
-            if checkpoint_dir is not None:
-                raise ValueError(
-                    "checkpointing is not supported in multi-process fits "
-                    "(snapshots would need a cross-process H gather)."
-                )
+            # checkpointing IS supported multi-process: each rank snapshots
+            # the replicated W/Bs/losses plus its OWN H columns (the global
+            # H is never addressable from one process), under a per-rank
+            # config tag; resume is collectively validated (run_checkpointed)
 
         # all fallible preprocessing runs on LOCALS first — a failed re-fit
         # must never leave a previously fitted estimator half-mutated
@@ -517,6 +516,11 @@ class ALPINE:
                     # the chunk key schedule depends on the chunk size, so a
                     # different checkpoint_every must not resume this snapshot
                     "checkpoint_every": checkpoint_every,
+                    # multi-process fits snapshot PER RANK (each file holds
+                    # that rank's H columns): distinct tags per process, and
+                    # a snapshot must not resume on a different topology
+                    "n_processes": placement.n_processes,
+                    "process_index": placement.process_chunk_index,
                 },
                 backend=checkpoint_backend,
             )
@@ -524,17 +528,40 @@ class ALPINE:
             W, H, Bs, fit_key = init_state(cfg0)
             done, losses_parts = 0, []
             resumed = ckpt.load()
+            if mp:
+                # a preemption can leave ranks with snapshots at different
+                # iterations (or none at all); resuming unequal states would
+                # desynchronize the chunk loop and deadlock the collectives.
+                # Every rank sees the same allgathered table, so every rank
+                # takes the same branch.
+                from alpine_tpu.parallel import distributed as dist
+
+                done_local = -1 if resumed is None else int(resumed[0])
+                ranks_done = dist.process_allgather_rows(
+                    np.asarray([done_local], np.int64)
+                )
+                if not (ranks_done == done_local).all():
+                    if dist.is_coordinator():
+                        import warnings
+
+                        warnings.warn(
+                            "fit checkpoints disagree across processes "
+                            f"(iterations {sorted(set(ranks_done.ravel().tolist()))}); "
+                            "restarting the fit from scratch on every rank."
+                        )
+                    resumed = None
             if resumed is not None:
                 done, W_np, H_np, Bs_np, losses0 = resumed
                 if pad:
-                    # snapshots store the unpadded H; re-pad to the device
-                    # layout (zero columns are exactly neutral)
+                    # snapshots store the unpadded H (each rank's LOCAL
+                    # columns in mp fits); re-pad to the device layout
+                    # (zero columns are exactly neutral)
                     H_np = np.pad(H_np, ((0, 0), (0, pad)))
                 W = placement.put_w_matrix(jnp.asarray(W_np))
                 H = placement.put_cells_matrix(jnp.asarray(H_np))
                 Bs = tuple(placement.put_replicated(jnp.asarray(b)) for b in Bs_np)
                 losses_parts.append(losses0)
-                if verbose:
+                if verbose and (not mp or dist.is_coordinator()):
                     print(f"ALPINE fit: resumed from iteration {done}")
             chunk_idx = done // checkpoint_every
             # cfg0 is a valid fallback (scale_matrices needs only the block
@@ -551,8 +578,15 @@ class ALPINE:
                 losses_parts.append(L)
                 done += chunk
                 chunk_idx += 1
-                ckpt.save(done, W, H, Bs, np.concatenate(losses_parts))
-                if verbose and not self._callbacks_supported():
+                # multi-process: the global H is not addressable from one
+                # rank — snapshot THIS rank's columns, stripped of its
+                # interleaved pad (re-padded on resume).  W/Bs/losses are
+                # replicated and fully addressable everywhere.
+                H_save = (placement.local_cells_columns(H)[:, :n_local]
+                          if mp else H)
+                ckpt.save(done, W, H_save, Bs, np.concatenate(losses_parts))
+                if (verbose and not self._callbacks_supported()
+                        and (not mp or dist.is_coordinator())):
                     # per-chunk progress on backends without host callbacks
                     print(
                         f"ALPINE fit: iteration {done}/{n_iter}, "

@@ -93,6 +93,80 @@ try:
 except ValueError as e:
     assert "cannot represent" in str(e), e
 
+# --- multi-process checkpoint/resume (per-rank snapshots) ---
+from alpine_tpu.io.checkpoint import FitCheckpointer
+
+# full checkpointed fit: the chunked mp trajectory equals the plain one
+ck = ALPINE(device=mesh, **kw)
+ck.fit(adata_local, ["batch", "condition"], max_iter=12,
+       checkpoint_dir=os.path.join(workdir, "mp_ckpt"), checkpoint_every=4)
+np.testing.assert_allclose(ck.loss_history.values, expected_losses,
+                           rtol=1e-4)
+
+# preemption on BOTH ranks after the iteration-8 snapshot, then resume:
+# the restarted fit must actually load iteration 8 and finish with the
+# uninterrupted trajectory
+ckdir2 = os.path.join(workdir, "mp_ckpt_resume")
+orig_save, orig_load = FitCheckpointer.save, FitCheckpointer.load
+def interrupting_save(self, iteration, W, H, Bs, losses):
+    orig_save(self, iteration, W, H, Bs, losses)
+    if iteration >= 8:
+        raise KeyboardInterrupt
+FitCheckpointer.save = interrupting_save
+try:
+    try:
+        ALPINE(device=mesh, **kw).fit(
+            adata_local, ["batch", "condition"], max_iter=12,
+            checkpoint_dir=ckdir2, checkpoint_every=4)
+        raise AssertionError("expected KeyboardInterrupt")
+    except KeyboardInterrupt:
+        pass
+finally:
+    FitCheckpointer.save = orig_save
+loaded = {}
+def recording_load(self):
+    r = orig_load(self)
+    loaded["it"] = None if r is None else int(r[0])
+    return r
+FitCheckpointer.load = recording_load
+try:
+    res = ALPINE(device=mesh, **kw)
+    res.fit(adata_local, ["batch", "condition"], max_iter=12,
+            checkpoint_dir=ckdir2, checkpoint_every=4)
+finally:
+    FitCheckpointer.load = orig_load
+assert loaded["it"] == 8, loaded
+np.testing.assert_allclose(res.loss_history.values, expected_losses,
+                           rtol=1e-4)
+np.testing.assert_allclose(adata_local.obsm["ALPINE_embedding"],
+                           expected_emb[lo:hi], rtol=5e-3, atol=1e-5)
+
+# disagreeing snapshots (rank 1's is missing): every rank must restart
+# from scratch — same final trajectory, and NO collective deadlock
+ckdir3 = os.path.join(workdir, "mp_ckpt_disagree")
+FitCheckpointer.save = interrupting_save
+try:
+    try:
+        ALPINE(device=mesh, **kw).fit(
+            adata_local, ["batch", "condition"], max_iter=12,
+            checkpoint_dir=ckdir3, checkpoint_every=4)
+    except KeyboardInterrupt:
+        pass
+finally:
+    FitCheckpointer.save = orig_save
+if pid == 1:
+    import glob
+    for f in glob.glob(os.path.join(ckdir3, "fit_snapshot_*")):
+        os.remove(f)
+import warnings as _w
+with _w.catch_warnings():
+    _w.simplefilter("ignore")  # coordinator warns about the disagreement
+    dis = ALPINE(device=mesh, **kw)
+    dis.fit(adata_local, ["batch", "condition"], max_iter=12,
+            checkpoint_dir=ckdir3, checkpoint_every=4)
+np.testing.assert_allclose(dis.loss_history.values, expected_losses,
+                           rtol=1e-4)
+
 # coordinator gating helper
 assert dist.is_coordinator() == (pid == 0)
 print(f"WORKER-{pid}-OK", flush=True)
@@ -138,7 +212,7 @@ def test_two_process_sharded_fit(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
