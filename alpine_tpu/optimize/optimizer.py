@@ -26,7 +26,12 @@ Divergences from the reference (all forced by the environment, documented):
 
 Like the reference, TPE is sequential by nature (each suggestion conditions
 on all previous trials); the inner CV fits run on the accelerator and only
-embeddings return to host for scoring.
+embeddings return to host for scoring.  On a MULTI-PROCESS mesh the search
+runs trial-level parallel rounds instead (tpe.fmin_parallel — the same
+tradeoff hyperopt's parallel workers make): every process deterministically
+computes the round's n_processes suggestions, evaluates ONE on its local
+devices, and only the scores cross processes, so Trials stay identical
+everywhere.
 """
 
 from __future__ import annotations
@@ -193,19 +198,13 @@ class ComponentOptimizer:
 
         from alpine_tpu.parallel.mesh import Placement, resolve_device
 
-        if Placement(resolve_device(device)).is_multiprocess:
-            # CV folds are host-side subsets of the full dataset; a
-            # multi-process fit would re-interpret each fold as a
-            # per-process shard — wrong semantics, caught here instead of
-            # as garbage scores.  Search single-process (folds already
-            # parallelize over local devices), then fit the winning
-            # parameters multi-process.
-            raise NotImplementedError(
-                "ComponentOptimizer does not support multi-process meshes; "
-                "run the search in one process (device=make_cell_mesh()) "
-                "and use ALPINE(device=dist.global_cell_mesh()) for the "
-                "final multi-host fit."
-            )
+        # multi-process meshes get TRIAL-level parallelism: TPE suggests
+        # n_processes points per round, each process evaluates one on ITS
+        # OWN devices, and only the scores are exchanged (see _run_tpe).
+        # The fits themselves must stay process-local — CV folds are
+        # host-side subsets of the full dataset, and a multi-process fit
+        # would re-interpret each fold as a per-process shard.
+        self._setup_execution(Placement(resolve_device(device)))
 
         self.adata = adata.copy()
         self.covariate_keys: List[str] = covariate_keys
@@ -258,12 +257,108 @@ class ComponentOptimizer:
             )
         self.best_param: dict = {}
 
+        if self._mp_workers > 1:
+            # every process must have constructed the optimizer with the
+            # IDENTICAL full dataset and settings: the TPE streams (and so
+            # the collectives below) stay in lockstep only if every process
+            # derives the same suggestions from the same state.  Validated
+            # here, before any expensive trial fit.
+            self._assert_consistent_across_processes()
+
         self.max_iter_detect = self.max_iter is None
         if self.max_iter_detect:
             print(
                 "Owing to max_iter being None, it will be determine by the "
                 "average of the first n_splits iterations."
             )
+
+    # ---------------------------------------------------- multi-process
+    def _setup_execution(self, placement) -> None:
+        """Derive where this process's trial fits run.  Single-process:
+        the user's `device` as-is.  Multi-process 1-D mesh: this process's
+        LOCAL sub-mesh (trial-level parallelism; each process's CV fits —
+        and their fold batching — use only its own devices)."""
+        self._mp_workers, self._mp_rank = 1, 0
+        if not placement.is_multiprocess:
+            self._exec_device = placement.target
+            return
+        if len(placement.mesh.axis_names) != 1:
+            raise NotImplementedError(
+                "multi-process searches support 1-D (cell-axis) meshes "
+                "only; use distributed.global_cell_mesh()."
+            )
+        import jax
+        from jax.sharding import Mesh
+
+        if placement.n_processes != jax.process_count():
+            raise ValueError(
+                "a multi-process search mesh must span every process "
+                f"(mesh has {placement.n_processes} of "
+                f"{jax.process_count()} processes) — the per-round score "
+                "exchange is a global collective."
+            )
+        pid = jax.process_index()
+        local = [d for d in placement.mesh.devices.flat
+                 if d.process_index == pid]
+        # contiguity (and device ownership) validated by Placement
+        _ = placement.process_chunk_index
+        self._mp_workers = placement.n_processes
+        # worker index == jax.process_index(): the loss exchange
+        # (process_allgather) orders rows by process index
+        self._mp_rank = pid
+        self._exec_device = Mesh(np.asarray(local),
+                                 (placement.mesh.axis_names[0],))
+
+    def _assert_consistent_across_processes(self) -> None:
+        """Cross-check that every process built this optimizer from the
+        same data and settings (cheap digests; exact for the integer
+        fields).  A divergence would desynchronize the TPE streams and
+        deadlock the per-round collectives — fail now, with the reason."""
+        import zlib
+
+        from alpine_tpu.parallel import distributed as dist
+
+        fp = ALPINE._x_fingerprint(self.adata.X)
+        shape, sample_bytes, total, minimum, row_hash = fp
+        labels = "\x1f".join(
+            "\x1e".join(
+                "nan" if pd.isna(v) else str(v)
+                for v in np.asarray(self.adata.obs[key], dtype=object)
+            )
+            for key in self.covariate_keys
+        )
+        settings = repr((
+            self.covariate_keys, self.use_als, self.loss_type,
+            self.max_iter, self.batch_size, self.sampling_method,
+            self.random_state, self.fold_batching, self.shape_bucket,
+            self.data_dtype_,
+        ))
+        dist.assert_same_across_processes(
+            [
+                float(zlib.crc32(repr(shape).encode())),
+                float(zlib.crc32(sample_bytes)),
+                total, minimum, row_hash,
+                float(zlib.crc32(labels.encode())),
+                float(zlib.crc32(settings.encode())),
+            ],
+            "ComponentOptimizer inputs (adata digest, covariate labels, "
+            "settings)",
+        )
+
+    def _remote_trial_result(self, point: Dict, loss: float) -> Dict:
+        """Trial record for a point another process evaluated this round.
+        Everything except the exchanged loss is deterministically derivable
+        from the point, so every process appends identical records."""
+        params = self._point_to_params(point)
+        if params is None:
+            return {"loss": np.inf, "status": STATUS_FAIL}
+        record = dict(params)
+        record["lam"] = list(record["lam"])
+        # parallel rounds only run once max_iter is frozen (see round_size
+        # in _run_tpe), so the evaluating process recorded this same value
+        record["max_iter"] = self.max_iter
+        record["score"] = loss
+        return {"loss": loss, "status": STATUS_OK, "params": record}
 
     # ------------------------------------------------------------- search
     def search_hyperparams(
@@ -311,15 +406,77 @@ class ComponentOptimizer:
 
     def _run_tpe(self, additional_evals: int):
         """Drive fmin for `additional_evals` more trials on top of whatever
-        the Trials object already holds, then decode + record the best."""
-        best = fmin(
-            self.objective,
-            self.space,
-            algo=tpe.suggest,
-            max_evals=len(self.trials.trials) + additional_evals,
-            trials=self.trials,
-            rstate=np.random.default_rng(self.random_state),
-        )
+        the Trials object already holds, then decode + record the best.
+
+        Multi-process meshes run trial-level parallel rounds
+        (tpe.fmin_parallel): every process computes the same n_processes
+        suggestions per round from its identical rng/trials state,
+        evaluates ONE of them on its local devices, and only the scores
+        cross processes (one float per trial, allgathered).  While
+        max_iter elbow detection is live the rounds stay replicated
+        (size 1) so every process replays the freeze identically."""
+        if self._mp_workers > 1:
+            import zlib
+
+            from alpine_tpu.optimize.tpe import fmin_parallel
+            from alpine_tpu.parallel import distributed as dist
+
+            # the round loop below is a sequence of collectives — fail
+            # fast (with the reason) if the processes disagree on what
+            # search they are running
+            dist.assert_same_across_processes(
+                [
+                    float(len(self.trials.trials)),
+                    float(additional_evals),
+                    float(self.n_splits),
+                    float(zlib.crc32(repr((
+                        sorted(self.space.keys()),
+                        self.min_covariate_components,
+                        -1 if self.max_iter is None else self.max_iter,
+                    )).encode())),
+                ],
+                "search state (completed trials, max_evals, n_splits, "
+                "space/floors/max_iter)",
+            )
+            best = fmin_parallel(
+                self.objective,
+                self.space,
+                fn_remote=self._remote_trial_result,
+                exchange_losses=lambda v: dist.process_allgather_rows(
+                    np.asarray([v], np.float64)
+                ).ravel(),
+                n_workers=self._mp_workers,
+                worker_index=self._mp_rank,
+                algo=tpe.suggest,
+                max_evals=len(self.trials.trials) + additional_evals,
+                trials=self.trials,
+                rstate=np.random.default_rng(self.random_state),
+                # max_iter detection mutates optimizer state per evaluation
+                # — replicate those rounds on every process
+                round_size=lambda: (1 if self.max_iter is None
+                                    else self._mp_workers),
+            )
+            # replicated (size-1) rounds evaluate locally with NO exchange;
+            # on real hardware low-bit float differences between each
+            # process's devices could silently fork the TPE streams there.
+            # Verify the final trial record and the frozen max_iter agree
+            # everywhere — a fork becomes a clear error, not garbage trials.
+            dist.assert_same_across_processes(
+                [float(t["result"].get("loss", np.inf))
+                 for t in self.trials.trials]
+                + [float(-1 if self.max_iter is None else self.max_iter)],
+                "post-search trials (replicated rounds diverged across "
+                "processes — per-device float drift in max_iter detection?)",
+            )
+        else:
+            best = fmin(
+                self.objective,
+                self.space,
+                algo=tpe.suggest,
+                max_evals=len(self.trials.trials) + additional_evals,
+                trials=self.trials,
+                rstate=np.random.default_rng(self.random_state),
+            )
         if best is None:
             raise RuntimeError("Hyperparameter optimization did not return any result.")
         return self._decode_best(best)
@@ -434,7 +591,7 @@ class ComponentOptimizer:
 
         from alpine_tpu.parallel.mesh import resolve_device
 
-        resolved = resolve_device(self.device)
+        resolved = resolve_device(self._exec_device)
         dev = resolved.devices.flat[0] if isinstance(resolved, Mesh) else resolved
         return dev if getattr(dev, "platform", "cpu") != "cpu" else None
 
@@ -489,7 +646,7 @@ class ComponentOptimizer:
             use_als=self.use_als,
             random_state=self.random_state,
             loss_type=self.loss_type,
-            device=self.device,
+            device=self._exec_device,
             component_bucket=self._bucketed(true_blocks),
             data_dtype=self.data_dtype_,
             **args,
@@ -527,7 +684,7 @@ class ComponentOptimizer:
             return cached[1]
         encoders = FeatureEncoders(self.covariate_keys)
         Ys = encoders.fit_transform(self.adata.obs)  # (cells x labels) each
-        resolved = resolve_device(self.device)
+        resolved = resolve_device(self._exec_device)
         from alpine_tpu.utils.adata import dense_x
 
         fd = prepare_fold_data(
@@ -574,11 +731,15 @@ class ComponentOptimizer:
 
         state = dict(self.__dict__)
         state.pop("_fold_cache", None)
+        # derived from `device` + the live process topology; rebuilt on load
+        state.pop("_exec_device", None)
+        state.pop("_mp_workers", None)
+        state.pop("_mp_rank", None)
         state["device"] = describe_device(state.get("device"))
         return state
 
     def __setstate__(self, state):
-        from alpine_tpu.parallel.mesh import restore_device
+        from alpine_tpu.parallel.mesh import Placement, restore_device, resolve_device
 
         state["device"] = restore_device(state.get("device"))
         # pickles from before the data_dtype kwarg ran float32 fits; keep
@@ -587,6 +748,9 @@ class ComponentOptimizer:
         state.setdefault("data_dtype_", state["data_dtype"]
                          if state["data_dtype"] != "auto" else "float32")
         self.__dict__.update(state)
+        # recompute the execution topology against the LIVE runtime (the
+        # pickling host's device objects are meaningless here)
+        self._setup_execution(Placement(resolve_device(self.device)))
 
     def save_trials(self, filename: str):
         """Pickle the current trials (reference optimization.py:335-345)."""
@@ -655,7 +819,14 @@ class ComponentOptimizer:
         (reference optimization.py:479-510).  NOTE: the reference passes
         random_state twice (inside **best_param AND explicitly,
         optimization.py:496-501), which raises TypeError; fixed here by
-        relying on best_param["random_state"] alone."""
+        relying on best_param["random_state"] alone.
+
+        In a multi-process search every process holds the identical full
+        dataset, so this refit runs REPLICATED on each process's local
+        devices — identical fitted models everywhere.  For a sharded
+        final fit instead, pass ``best_param`` to
+        ``ALPINE(device=distributed.global_cell_mesh(), **opt.best_param)``
+        and fit each process's local cell shard."""
         if not self.best_param:  # __init__ sets {}; a hasattr guard (as in
             # the reference) could never fire
             raise RuntimeError(
@@ -670,7 +841,7 @@ class ComponentOptimizer:
             **self.best_param,
             use_als=self.use_als,
             loss_type=self.loss_type,
-            device=self.device,
+            device=self._exec_device,
             data_dtype=self.data_dtype_,
         )
         model.fit(

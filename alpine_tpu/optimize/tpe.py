@@ -378,6 +378,98 @@ def fmin(
     return {k: v[0] for k, v in best["misc"]["vals"].items()}
 
 
+def fmin_parallel(
+    fn: Callable[[Any], Dict[str, Any]],
+    space: Any,
+    *,
+    fn_remote: Callable[[Any, float], Dict[str, Any]],
+    exchange_losses: Callable[[float], np.ndarray],
+    n_workers: int,
+    worker_index: int,
+    algo=None,
+    max_evals: int = 100,
+    trials: Optional[Trials] = None,
+    rstate: Optional[np.random.Generator] = None,
+    round_size: Optional[Callable[[], int]] = None,
+) -> Optional[Dict[str, float]]:
+    """Round-based synchronous-parallel :func:`fmin` for multi-worker
+    searches (the reference's hyperopt offers the same trial-level
+    parallelism through MongoTrials workers, optimization.py:123-130 being
+    the sequential special case).
+
+    Every worker calls this with IDENTICAL ``trials``/``rstate`` and the
+    same deterministic ``algo``, so each round all workers compute the SAME
+    k suggestions from their own rng; worker j evaluates only the round's
+    j-th point with ``fn``, the round's losses are exchanged through
+    ``exchange_losses`` (must return every worker's loss as a
+    ``(n_workers,)`` array, row w = worker w's value), and each worker
+    reconstructs the other workers' trial records locally with
+    ``fn_remote(structured_point, loss)`` — keeping every worker's Trials
+    bit-identical while shipping exactly one float per trial.
+
+    ``round_size()`` (default: ``n_workers``) bounds a round's parallel
+    width.  A size-1 round is evaluated REPLICATED by every worker with no
+    exchange — the hook for warm-up trials whose evaluation has side
+    effects every worker must replay identically (e.g. max_iter elbow
+    detection).  Workers whose index exceeds a round's width evaluate
+    nothing but still join the exchange.
+
+    Tradeoff (inherent to parallel TPE, exactly as in hyperopt's async
+    modes): suggestion j of a k-wide round conditions on j-1 fewer
+    completed trials than a sequential search would, so the trial stream
+    differs from ``fmin``'s.  With ``n_workers=1`` this reduces to
+    :func:`fmin` exactly (same rng consumption, same trials).
+    """
+    if algo is None:
+        algo = tpe.suggest
+    if trials is None:
+        trials = Trials()
+    rng = rstate if rstate is not None else np.random.default_rng()
+    exprs = _flatten_space(space)
+
+    def _normalize(result) -> Dict[str, Any]:
+        if not isinstance(result, dict) or "status" not in result:
+            result = {"loss": float(result), "status": STATUS_OK}
+        return result
+
+    tid = 1 + max((t["tid"] for t in trials.trials), default=-1)
+    while len(trials.trials) < max_evals:
+        k = n_workers if round_size is None else int(round_size())
+        k = max(1, min(k, n_workers, max_evals - len(trials.trials)))
+        if k == 1:
+            # replicated round: every worker evaluates the same point and
+            # appends the same result — no exchange, side effects replayed
+            vals = algo(exprs, trials, rng)
+            result = _normalize(fn(_evaluate_space(space, vals)))
+            trials.append(tid, vals, result)
+            tid += 1
+            continue
+        # all k suggestions are drawn BEFORE any evaluation, from the same
+        # rng/trials state on every worker — identical points everywhere
+        round_vals = [algo(exprs, trials, rng) for _ in range(k)]
+        points = [_evaluate_space(space, v) for v in round_vals]
+        mine = worker_index if worker_index < k else None
+        my_result = _normalize(fn(points[mine])) if mine is not None else None
+        my_loss = (float(my_result.get("loss", np.inf))
+                   if my_result is not None else np.nan)
+        losses = np.asarray(exchange_losses(my_loss), dtype=np.float64)
+        if losses.shape != (n_workers,):
+            raise ValueError(
+                f"exchange_losses must return shape ({n_workers},), got "
+                f"{losses.shape}"
+            )
+        for j in range(k):
+            result = (my_result if j == mine
+                      else _normalize(fn_remote(points[j], float(losses[j]))))
+            trials.append(tid, round_vals[j], result)
+            tid += 1
+
+    best = trials.best_trial()
+    if best is None:
+        return None
+    return {k: v[0] for k, v in best["misc"]["vals"].items()}
+
+
 # ---------------------------------------------------------------------------
 # hyperopt interop (reference optimization.py:335-357 persistence contract)
 # ---------------------------------------------------------------------------

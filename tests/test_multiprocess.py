@@ -167,6 +167,48 @@ with _w.catch_warnings():
 np.testing.assert_allclose(dis.loss_history.values, expected_losses,
                            rtol=1e-4)
 
+# --- multi-process ComponentOptimizer (trial-level parallel search) ---
+from alpine_tpu import ComponentOptimizer
+
+opt = ComponentOptimizer(full, ["batch"], device=mesh, max_iter=6,
+                         random_state=0, data_dtype="float32")
+assert opt._mp_workers == nprocs and opt._mp_rank == pid
+# count how many trials THIS process actually fit (the work must be split)
+n_eval = {"n": 0}
+orig_calc = ComponentOptimizer.calc_score
+def counting_calc(self, args):
+    n_eval["n"] += 1
+    return orig_calc(self, args)
+ComponentOptimizer.calc_score = counting_calc
+try:
+    best = opt.search_hyperparams(
+        n_total_components_range=(8, 16), lam_range=(1.0, 100.0),
+        n_splits=2, max_evals=6)
+finally:
+    ComponentOptimizer.calc_score = orig_calc
+assert len(opt.trials.trials) == 6
+# identical trials on every process (losses exchanged, records rebuilt)
+losses = np.asarray([t["result"].get("loss", np.inf)
+                     for t in opt.trials.trials], np.float64)
+statuses = np.asarray([1.0 if t["result"]["status"] == "ok" else 0.0
+                       for t in opt.trials.trials])
+dist.assert_same_across_processes(np.concatenate([losses, statuses]),
+                                  "multi-process search trials")
+dist.assert_same_across_processes(
+    [float(best["n_components"]), float(best["lam"][0])],
+    "multi-process search best_param")
+# the work was split: each process evaluated only its own round indices
+n_ok = int(statuses.sum())
+counts = dist.process_allgather_rows(np.asarray([n_eval["n"]], np.int64))
+assert counts.sum() == n_ok, (counts, n_ok)
+if n_ok >= 2:
+    assert (counts > 0).sum() >= 2, counts  # both processes contributed
+# replicated refit: identical model everywhere
+bestfit = opt.fit_the_best_param()
+dist.assert_same_across_processes(
+    bestfit.loss_history["total loss"].to_numpy()[-1:],
+    "fit_the_best_param final loss")
+
 # coordinator gating helper
 assert dist.is_coordinator() == (pid == 0)
 print(f"WORKER-{pid}-OK", flush=True)
@@ -212,7 +254,7 @@ def test_two_process_sharded_fit(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -242,11 +284,15 @@ def test_assert_same_across_processes_single_is_noop():
     dist.assert_same_across_processes([1, 2, 3], "anything")  # no raise
 
 
-def test_optimizer_rejects_multiprocess_mesh(monkeypatch):
-    """CV folds are host-side subsets of the full data; a multi-process
-    fit would re-interpret them as per-process shards — the optimizer must
-    reject the topology up front with guidance."""
+def test_optimizer_multiprocess_mesh_setup(monkeypatch):
+    """Multi-process meshes run TRIAL-level parallel searches: the
+    optimizer derives this process's LOCAL sub-mesh for its own fits (CV
+    folds are host-side subsets of the full data — a multi-process fit
+    would re-interpret them as per-process shards).  2-D multi-process
+    meshes are rejected with guidance.  The real 2-process search runs in
+    the worker of test_two_process_sharded_fit."""
     import jax
+    from jax.sharding import Mesh
 
     from alpine_tpu import ComponentOptimizer
     from alpine_tpu.parallel import mesh as mesh_mod
@@ -257,9 +303,18 @@ def test_optimizer_rejects_multiprocess_mesh(monkeypatch):
         property(lambda self: self.mesh is not None),
     )
     adata = make_synthetic_adata(n_cells=40, n_genes=10)
-    with pytest.raises(NotImplementedError, match="multi-process"):
-        ComponentOptimizer(adata, ["batch"],
-                           device=mesh_mod.make_cell_mesh(1))
+    # 1-D "multi-process" mesh (single process here, so the consistency
+    # collectives are no-ops): constructs, local exec mesh derived
+    opt = ComponentOptimizer(adata, ["batch"],
+                             device=mesh_mod.make_cell_mesh(1), max_iter=5)
+    assert isinstance(opt._exec_device, Mesh)
+    assert all(d.process_index == jax.process_index()
+               for d in opt._exec_device.devices.flat)
+    # 2-D multi-process meshes: rejected up front
+    if len(jax.devices()) >= 2:
+        with pytest.raises(NotImplementedError, match="1-D"):
+            ComponentOptimizer(adata, ["batch"],
+                               device=mesh_mod.make_gene_cell_mesh(2, 1))
     # non-mesh devices unaffected by the (patched) property
     ComponentOptimizer(adata, ["batch"], device="cpu", max_iter=5)
 
