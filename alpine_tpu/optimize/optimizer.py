@@ -345,6 +345,41 @@ class ComponentOptimizer:
             "settings)",
         )
 
+    def _search_state_digest(self, additional_evals: int) -> List[float]:
+        """Float digest of everything the lockstep TPE rounds depend on.
+        Must cover the search-space BOUNDS (not just its labels) and the
+        CONTENTS of any pre-loaded trials: same-shaped spaces with different
+        ranges, or same-length trials files with different points, would
+        fork the per-process suggestion streams while every count-based
+        check still passes — each worker would then evaluate ITS version of
+        point j and the exchanged losses would silently disagree in meaning."""
+        import zlib
+
+        # Expression is a frozen dataclass -> its repr carries kind/low/
+        # high/q exactly; the space tree is rendered key-sorted
+        space_repr = repr([(k, self.space[k]) for k in sorted(self.space)])
+        trials_repr = repr([
+            (
+                t.get("tid"),
+                sorted((k, tuple(v))
+                       for k, v in t.get("misc", {}).get("vals", {}).items()),
+                t.get("result", {}).get("loss"),
+                t.get("result", {}).get("status"),
+            )
+            for t in self.trials.trials
+        ])
+        return [
+            float(len(self.trials.trials)),
+            float(additional_evals),
+            float(self.n_splits),
+            float(zlib.crc32(space_repr.encode())),
+            float(zlib.crc32(trials_repr.encode())),
+            float(zlib.crc32(repr((
+                self.min_covariate_components,
+                -1 if self.max_iter is None else self.max_iter,
+            )).encode())),
+        ]
+
     def _remote_trial_result(self, point: Dict, loss: float) -> Dict:
         """Trial record for a point another process evaluated this round.
         Everything except the exchanged loss is deterministically derivable
@@ -416,8 +451,6 @@ class ComponentOptimizer:
         max_iter elbow detection is live the rounds stay replicated
         (size 1) so every process replays the freeze identically."""
         if self._mp_workers > 1:
-            import zlib
-
             from alpine_tpu.optimize.tpe import fmin_parallel
             from alpine_tpu.parallel import distributed as dist
 
@@ -425,18 +458,9 @@ class ComponentOptimizer:
             # fast (with the reason) if the processes disagree on what
             # search they are running
             dist.assert_same_across_processes(
-                [
-                    float(len(self.trials.trials)),
-                    float(additional_evals),
-                    float(self.n_splits),
-                    float(zlib.crc32(repr((
-                        sorted(self.space.keys()),
-                        self.min_covariate_components,
-                        -1 if self.max_iter is None else self.max_iter,
-                    )).encode())),
-                ],
+                self._search_state_digest(additional_evals),
                 "search state (completed trials, max_evals, n_splits, "
-                "space/floors/max_iter)",
+                "space bounds, loaded trial contents, floors, max_iter)",
             )
             best = fmin_parallel(
                 self.objective,
@@ -751,6 +775,11 @@ class ComponentOptimizer:
         # recompute the execution topology against the LIVE runtime (the
         # pickling host's device objects are meaningless here)
         self._setup_execution(Placement(resolve_device(self.device)))
+        if self._mp_workers > 1:
+            # same guard as construction: each rank unpickles its own copy
+            # (adata travels inside the pickle), and a stale rank would mix
+            # losses computed on different datasets into one Trials object
+            self._assert_consistent_across_processes()
 
     def save_trials(self, filename: str):
         """Pickle the current trials (reference optimization.py:335-345)."""

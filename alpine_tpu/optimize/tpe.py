@@ -334,6 +334,38 @@ class rand:
 # ---------------------------------------------------------------------------
 
 
+def _normalize_result(result) -> Dict[str, Any]:
+    """Coerce an objective's return into the trial-result dict shape
+    (bare floats become STATUS_OK records, as in hyperopt)."""
+    if not isinstance(result, dict) or "status" not in result:
+        result = {"loss": float(result), "status": STATUS_OK}
+    return result
+
+
+def _next_tid(trials: Trials) -> int:
+    """Next free tid: imported hyperopt pickles may carry gapped/non-0-based
+    tids, and a duplicate would make tid-keyed lookups resolve to the old
+    imported trial instead of the new one."""
+    return 1 + max((t["tid"] for t in trials.trials), default=-1)
+
+
+def _best_point(trials: Trials) -> Optional[Dict[str, float]]:
+    """Best trial's raw values keyed by hp label (hyperopt's fmin return
+    contract; cf. reference usage optimization.py:135-148)."""
+    best = trials.best_trial()
+    if best is None:
+        return None
+    return {k: v[0] for k, v in best["misc"]["vals"].items()}
+
+
+def _unreachable_remote(point, loss):  # pragma: no cover - guard only
+    raise AssertionError("fn_remote is unreachable with n_workers=1")
+
+
+def _unreachable_exchange(loss):  # pragma: no cover - guard only
+    raise AssertionError("exchange_losses is unreachable with n_workers=1")
+
+
 def fmin(
     fn: Callable[[Any], Dict[str, Any]],
     space: Any,
@@ -347,35 +379,25 @@ def fmin(
     structure and returns {"loss": float, "status": STATUS_OK|STATUS_FAIL, ...};
     extra keys (e.g. "params") are stored on the trial.  Returns the best
     trial's raw values keyed by hp label (hyperopt contract; cf. reference
-    usage optimization.py:135-148)."""
-    if algo is None:
-        algo = tpe.suggest
-    if trials is None:
-        trials = Trials()
-    rng = rstate if rstate is not None else np.random.default_rng()
+    usage optimization.py:135-148).
 
-    exprs = _flatten_space(space)
-
-    # next free tid: imported hyperopt pickles may carry gapped/non-0-based
-    # tids, and a duplicate would make tid-keyed lookups resolve to the old
-    # imported trial instead of the new one
-    tid = 1 + max((t["tid"] for t in trials.trials), default=-1)
-    while len(trials.trials) < max_evals:
-        vals = algo(exprs, trials, rng)
-        structured = _evaluate_space(space, vals)
-        result = fn(structured)
-        if not isinstance(result, dict) or "status" not in result:
-            result = {"loss": float(result), "status": STATUS_OK}
-        trials.append(tid, vals, result)
-        if verbose:
-            print(f"trial {tid}: loss={result.get('loss')} "
-                  f"status={result.get('status')}")
-        tid += 1
-
-    best = trials.best_trial()
-    if best is None:
-        return None
-    return {k: v[0] for k, v in best["misc"]["vals"].items()}
+    Implemented as the n_workers=1 case of :func:`fmin_parallel` (every
+    round is then replicated/width-1, so the exchange hooks are provably
+    never called) — one loop owns the tid/normalization/append semantics
+    for both the sequential and the multi-worker search."""
+    return fmin_parallel(
+        fn,
+        space,
+        fn_remote=_unreachable_remote,
+        exchange_losses=_unreachable_exchange,
+        n_workers=1,
+        worker_index=0,
+        algo=algo,
+        max_evals=max_evals,
+        trials=trials,
+        rstate=rstate,
+        verbose=verbose,
+    )
 
 
 def fmin_parallel(
@@ -391,6 +413,7 @@ def fmin_parallel(
     trials: Optional[Trials] = None,
     rstate: Optional[np.random.Generator] = None,
     round_size: Optional[Callable[[], int]] = None,
+    verbose: bool = False,
 ) -> Optional[Dict[str, float]]:
     """Round-based synchronous-parallel :func:`fmin` for multi-worker
     searches (the reference's hyperopt offers the same trial-level
@@ -412,13 +435,26 @@ def fmin_parallel(
     exchange — the hook for warm-up trials whose evaluation has side
     effects every worker must replay identically (e.g. max_iter elbow
     detection).  Workers whose index exceeds a round's width evaluate
-    nothing but still join the exchange.
+    nothing but still join the exchange.  A round narrowed only by the
+    remaining-eval budget (fewer than ``round_size()`` trials left) stays
+    a PARALLEL round: worker 0 evaluates and the rest adopt the exchanged
+    loss — never a silent fan-out to n_workers redundant evaluations,
+    whose per-device float drift could fail the search after all its
+    compute was spent.
+
+    If a worker's ``fn`` raises during a parallel round, the worker still
+    joins the loss exchange (shipping NaN, the sentinel idle workers
+    already use) and re-raises AFTER the collective; its peers see the NaN
+    and raise a RuntimeError naming the failed worker — every worker gets
+    a clear error instead of hanging forever inside a gloo collective that
+    has no timeout.
 
     Tradeoff (inherent to parallel TPE, exactly as in hyperopt's async
     modes): suggestion j of a k-wide round conditions on j-1 fewer
     completed trials than a sequential search would, so the trial stream
     differs from ``fmin``'s.  With ``n_workers=1`` this reduces to
-    :func:`fmin` exactly (same rng consumption, same trials).
+    :func:`fmin` exactly (same rng consumption, same trials) — and
+    :func:`fmin` is literally this function at n_workers=1.
     """
     if algo is None:
         algo = tpe.suggest
@@ -427,47 +463,71 @@ def fmin_parallel(
     rng = rstate if rstate is not None else np.random.default_rng()
     exprs = _flatten_space(space)
 
-    def _normalize(result) -> Dict[str, Any]:
-        if not isinstance(result, dict) or "status" not in result:
-            result = {"loss": float(result), "status": STATUS_OK}
-        return result
+    def _append(tid: int, vals: Dict[str, float], result: Dict[str, Any]) -> None:
+        trials.append(tid, vals, result)
+        if verbose:
+            print(f"trial {tid}: loss={result.get('loss')} "
+                  f"status={result.get('status')}")
 
-    tid = 1 + max((t["tid"] for t in trials.trials), default=-1)
+    tid = _next_tid(trials)
     while len(trials.trials) < max_evals:
-        k = n_workers if round_size is None else int(round_size())
-        k = max(1, min(k, n_workers, max_evals - len(trials.trials)))
-        if k == 1:
+        want = n_workers if round_size is None else int(round_size())
+        want = max(1, min(want, n_workers))
+        if want == 1:
             # replicated round: every worker evaluates the same point and
             # appends the same result — no exchange, side effects replayed
             vals = algo(exprs, trials, rng)
-            result = _normalize(fn(_evaluate_space(space, vals)))
-            trials.append(tid, vals, result)
+            result = _normalize_result(fn(_evaluate_space(space, vals)))
+            _append(tid, vals, result)
             tid += 1
             continue
+        k = min(want, max_evals - len(trials.trials))
         # all k suggestions are drawn BEFORE any evaluation, from the same
         # rng/trials state on every worker — identical points everywhere
         round_vals = [algo(exprs, trials, rng) for _ in range(k)]
         points = [_evaluate_space(space, v) for v in round_vals]
         mine = worker_index if worker_index < k else None
-        my_result = _normalize(fn(points[mine])) if mine is not None else None
-        my_loss = (float(my_result.get("loss", np.inf))
-                   if my_result is not None else np.nan)
+        my_result, my_error = None, None
+        if mine is not None:
+            try:
+                my_result = _normalize_result(fn(points[mine]))
+            except Exception as exc:
+                my_error = exc
+        if my_result is not None:
+            my_loss = float(my_result.get("loss", np.inf))
+            if math.isnan(my_loss):
+                # NaN is the exchange's error/idle sentinel; a NaN loss is
+                # an unusable trial anyway (best_trial filters non-finite)
+                # — coerce BOTH the wire value and the local record so
+                # every worker appends the same trial
+                my_loss = float("inf")
+                my_result["loss"] = float("inf")
+        else:
+            my_loss = float("nan")
         losses = np.asarray(exchange_losses(my_loss), dtype=np.float64)
         if losses.shape != (n_workers,):
             raise ValueError(
                 f"exchange_losses must return shape ({n_workers},), got "
                 f"{losses.shape}"
             )
+        if my_error is not None:
+            # the collective is complete — peers are unblocked and will
+            # raise on the NaN below; surface the real failure here
+            raise my_error
+        failed = [j for j in range(k) if j != mine and np.isnan(losses[j])]
+        if failed:
+            raise RuntimeError(
+                f"worker(s) {failed} failed during a parallel round (their "
+                "objective raised; see their logs) — aborting this worker "
+                "too so no process is left waiting in a collective."
+            )
         for j in range(k):
             result = (my_result if j == mine
-                      else _normalize(fn_remote(points[j], float(losses[j]))))
-            trials.append(tid, round_vals[j], result)
+                      else _normalize_result(fn_remote(points[j], float(losses[j]))))
+            _append(tid, round_vals[j], result)
             tid += 1
 
-    best = trials.best_trial()
-    if best is None:
-        return None
-    return {k: v[0] for k, v in best["misc"]["vals"].items()}
+    return _best_point(trials)
 
 
 # ---------------------------------------------------------------------------

@@ -209,6 +209,46 @@ dist.assert_same_across_processes(
     bestfit.loss_history["total loss"].to_numpy()[-1:],
     "fit_the_best_param final loss")
 
+# pickle round-trip re-runs the construction-time consistency digest (a
+# collective — both ranks must do it in lockstep) and rebuilds the topology
+import pickle as _pickle
+opt_rt = _pickle.loads(_pickle.dumps(opt))
+assert opt_rt._mp_workers == nprocs and opt_rt._mp_rank == pid
+
+# max_iter DETECTION under real collectives: the first trial runs as a
+# replicated size-1 round on every process (elbow detection side effects
+# replayed), then the frozen-max_iter rounds go parallel — the k=1 -> k=n
+# transition and the post-search drift digest cross real gloo here
+opt_det = ComponentOptimizer(full, ["batch"], device=mesh, max_iter=None,
+                             random_state=1, data_dtype="float32")
+det_eval = {"n": 0}
+def det_counting_calc(self, args):
+    det_eval["n"] += 1
+    return orig_calc(self, args)
+ComponentOptimizer.calc_score = det_counting_calc
+try:
+    opt_det.search_hyperparams(
+        n_total_components_range=(8, 16), lam_range=(1.0, 100.0),
+        n_splits=2, max_evals=5)
+finally:
+    ComponentOptimizer.calc_score = orig_calc
+assert opt_det.max_iter is not None  # detection ran and froze
+det_losses = np.asarray([t["result"].get("loss", np.inf)
+                         for t in opt_det.trials.trials], np.float64)
+assert len(det_losses) == 5
+dist.assert_same_across_processes(
+    np.concatenate([det_losses, [float(opt_det.max_iter)]]),
+    "max_iter-detection search (trials + frozen max_iter)")
+# the replicated detection rounds ran on EVERY process, the parallel
+# remainder was split: total local evals exceed a pure split but stay
+# below every-process-evaluates-everything
+det_counts = dist.process_allgather_rows(
+    np.asarray([det_eval["n"]], np.int64)).ravel()
+det_ok = int(sum(1 for t in opt_det.trials.trials
+                 if t["result"]["status"] == "ok"))
+assert det_counts.sum() > det_ok or det_ok == 0, (det_counts, det_ok)
+assert det_counts.sum() < nprocs * det_ok + nprocs, (det_counts, det_ok)
+
 # coordinator gating helper
 assert dist.is_coordinator() == (pid == 0)
 print(f"WORKER-{pid}-OK", flush=True)

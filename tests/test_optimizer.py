@@ -469,3 +469,43 @@ def test_score_ranking_stable_across_clustering_backends(monkeypatch):
     for s in all_scores:
         assert int(np.argmin(s)) == 2, all_scores
         assert s[2] < s[0] - 0.2 and s[2] < s[1] - 0.2, all_scores
+
+
+def test_search_state_digest_covers_bounds_and_trial_contents(small_adata):
+    """The multi-process pre-round digest must change when the search-space
+    BOUNDS or the loaded trials' CONTENTS differ — same-shaped spaces or
+    same-length trials files passing the digest would silently fork the
+    per-process TPE streams (round-3 review finding)."""
+    from alpine_tpu import ComponentOptimizer
+    from alpine_tpu.optimize.tpe import Trials
+
+    def make(lam_hi=100.0):
+        co = ComponentOptimizer(small_adata, ["batch"], max_iter=8,
+                                device="cpu", random_state=0)
+        # set up search state without running trials (what _run_tpe sees)
+        from alpine_tpu.optimize.optimizer import SearchSpace
+        space = SearchSpace((8, 16), (1.0, lam_hi), (0.0, 1.0), (0.0, 100.0),
+                            (0.0, 1.0), n_covariates=1)
+        co.n_splits = 2
+        co._search_space = space
+        co.space = space.to_tpe()
+        co.min_covariate_components = co._resolve_floors(None)
+        co.trials = Trials()
+        return co
+
+    base = make()
+    same = make()
+    assert base._search_state_digest(5) == same._search_state_digest(5)
+
+    # identical labels/lengths, different lam bound -> digest differs
+    other_bounds = make(lam_hi=1000.0)
+    assert sorted(other_bounds.space.keys()) == sorted(base.space.keys())
+    assert base._search_state_digest(5) != other_bounds._search_state_digest(5)
+
+    # same trial COUNT, different contents -> digest differs
+    with_trial_a = make()
+    with_trial_a.trials.append(0, {"x": 1.0}, {"loss": 2.0, "status": "ok"})
+    with_trial_b = make()
+    with_trial_b.trials.append(0, {"x": 1.5}, {"loss": 2.0, "status": "ok"})
+    assert (with_trial_a._search_state_digest(5)
+            != with_trial_b._search_state_digest(5))

@@ -191,6 +191,105 @@ def test_replicated_rounds_while_round_size_one():
     assert counts[0] == counts[1] == 15
 
 
+def test_tail_round_exchanges_instead_of_replicating():
+    # 21 evals on 2 workers: 10 rounds of 2, then a width-1 TAIL round that
+    # must stay a parallel round (worker 0 evaluates, worker 1 adopts the
+    # exchanged loss) — not a replicated round that burns n_workers
+    # redundant fits and exposes the post-search digest to float drift
+    trials, results, counts = _lockstep_workers(n_workers=2, max_evals=21)
+    assert results[0] == results[1]
+    assert len(trials[0].trials) == len(trials[1].trials) == 21
+    for a, b in zip(trials[0].trials, trials[1].trials):
+        assert a["misc"]["vals"] == b["misc"]["vals"]
+        assert a["result"]["loss"] == b["result"]["loss"]
+    assert counts == [11, 10], counts
+
+
+def test_worker_exception_surfaces_on_every_worker():
+    # worker 1's objective raises inside a parallel round: worker 1 must
+    # re-raise its own error AFTER joining the exchange, and worker 0 must
+    # get a RuntimeError naming the failed worker — neither may hang in
+    # the (timeout-free) collective
+    barrier = threading.Barrier(2)
+    shared = np.full(2, np.nan)
+    errors = {}
+
+    def run(widx):
+        def _fn(point):
+            if widx == 1:
+                raise ValueError("boom on worker 1")
+            return _objective(point)
+
+        def _ex(my_loss):
+            shared[widx] = my_loss
+            barrier.wait()
+            row = shared.copy()
+            barrier.wait()
+            return row
+
+        try:
+            fmin_parallel(
+                _fn, SPACE, fn_remote=_remote, exchange_losses=_ex,
+                n_workers=2, worker_index=widx, algo=tpe.suggest,
+                max_evals=10, trials=Trials(),
+                rstate=np.random.default_rng(5),
+            )
+        except BaseException as exc:
+            errors[widx] = exc
+            return
+        errors[widx] = None
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=60)
+    assert not any(th.is_alive() for th in threads), "a worker hung"
+    assert isinstance(errors[1], ValueError) and "boom" in str(errors[1])
+    assert isinstance(errors[0], RuntimeError) and "worker(s) [1]" in str(errors[0])
+
+
+def test_nan_loss_coerced_identically_on_wire_and_record():
+    # a genuinely-NaN objective loss must not be mistaken for the error
+    # sentinel, and every worker must append the SAME (inf) record
+    def nan_objective(point):
+        return {"loss": float("nan"), "status": STATUS_OK}
+
+    barrier = threading.Barrier(2)
+    shared = np.full(2, np.nan)
+    trials = [Trials(), Trials()]
+    errors = []
+
+    def run(widx):
+        def _ex(my_loss):
+            shared[widx] = my_loss
+            barrier.wait()
+            row = shared.copy()
+            barrier.wait()
+            return row
+
+        try:
+            fmin_parallel(
+                nan_objective, SPACE,
+                fn_remote=lambda p, loss: {"loss": loss, "status": STATUS_OK},
+                exchange_losses=_ex, n_workers=2, worker_index=widx,
+                algo=tpe.suggest, max_evals=4, trials=trials[widx],
+                rstate=np.random.default_rng(5),
+            )
+        except BaseException as exc:
+            errors.append((widx, exc))
+            barrier.abort()
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=60)
+    assert not errors, errors
+    for a, b in zip(trials[0].trials, trials[1].trials):
+        assert a["result"]["loss"] == b["result"]["loss"] == float("inf")
+
+
 def test_exchange_shape_validated():
     with pytest.raises(ValueError, match="exchange_losses"):
         fmin_parallel(
