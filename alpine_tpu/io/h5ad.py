@@ -23,6 +23,31 @@ import pandas as pd
 from alpine_tpu.utils.adata import AnnData
 
 
+def _node_shape(node) -> tuple:
+    """Shape of an h5ad array node WITHOUT reading its contents (dense
+    dataset -> .shape; sparse group -> its ``shape`` attribute)."""
+    import h5py
+
+    if isinstance(node, h5py.Dataset):
+        return tuple(node.shape)
+    if "shape" in node.attrs:
+        return tuple(int(v) for v in node.attrs["shape"])
+    raise ValueError("h5ad node has no shape metadata")
+
+
+def h5ad_dims(path: str) -> tuple:
+    """(n_obs, n_vars) of an .h5ad file without reading X.
+
+    The cheap first step of out-of-core ingestion: each process of a
+    multi-host fit asks for the global cell count, computes its own row
+    range (``distributed.process_cell_range``) and then reads only that
+    range with ``read_h5ad(path, obs_range=...)``."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return _node_shape(f["X"])
+
+
 def _decode(arr: np.ndarray) -> np.ndarray:
     if arr.dtype.kind in ("S", "O"):
         return np.asarray([
@@ -38,31 +63,70 @@ def _attr_str(node, name, default=""):
     return v.decode("utf-8") if isinstance(v, bytes) else v
 
 
-def _read_array(node) -> np.ndarray:
+def _sparse_rows(node, enc: str, lo: int, hi: int) -> np.ndarray:
+    """Densified rows [lo, hi) of an on-disk CSR/CSC group, reading only
+    what the range needs: CSR reads the rows' own data/index slice (one
+    indptr-bounded hyperslab); CSC streams column blocks and keeps the
+    in-range rows, so host memory stays O(block nnz + output) instead of
+    O(file nnz)."""
+    shape = _node_shape(node)
+    n_rows, n_cols = int(shape[0]), int(shape[1])
+    indptr_ds = node["indptr"]
+    fmt = enc.replace("_matrix", "") or _attr_str(node, "h5sparse_format")
+    if fmt not in ("csr", "csc"):
+        # legacy file with no format metadata: the indptr length
+        # identifies the compressed axis (rows+1 for CSR, cols+1 CSC)
+        fmt = "csr" if indptr_ds.shape[0] == n_rows + 1 else "csc"
+    if fmt == "csr":
+        from scipy import sparse
+
+        indptr = indptr_ds[lo:hi + 1]
+        start, stop = int(indptr[0]), int(indptr[-1])
+        mat = sparse.csr_matrix(
+            (node["data"][start:stop], node["indices"][start:stop],
+             indptr - start),
+            shape=(hi - lo, n_cols),
+        )
+        return np.asarray(mat.todense())
+    # CSC: rows are the uncompressed axis — every column can hold rows in
+    # [lo, hi), so stream the columns in blocks and filter
+    out = np.zeros((hi - lo, n_cols), dtype=node["data"].dtype)
+    indptr = indptr_ds[()]
+    block = 2048
+    for c0 in range(0, n_cols, block):
+        c1 = min(c0 + block, n_cols)
+        start, stop = int(indptr[c0]), int(indptr[c1])
+        if start == stop:
+            continue
+        rows = node["indices"][start:stop]
+        data = node["data"][start:stop]
+        cols = np.repeat(
+            np.arange(c0, c1), np.diff(indptr[c0:c1 + 1]).astype(np.int64)
+        )
+        keep = (rows >= lo) & (rows < hi)
+        out[rows[keep] - lo, cols[keep]] = data[keep]
+    return out
+
+
+def _read_array(node, rows=None) -> np.ndarray:
+    """Read an h5ad array node; ``rows=(lo, hi)`` reads only that slice of
+    the leading (obs) axis — dense datasets via an HDF5 hyperslab, sparse
+    groups via `_sparse_rows`, categorical/nullable groups by slicing their
+    codes/values."""
     import h5py
 
     if isinstance(node, h5py.Dataset):
-        return _decode(node[()])
+        return _decode(node[()] if rows is None else node[rows[0]:rows[1]])
     enc = _attr_str(node, "encoding-type")
     if enc in ("csr_matrix", "csc_matrix") or (
         "data" in node and "indices" in node and "indptr" in node
     ):
-        from scipy import sparse
-
-        shape = tuple(node.attrs["shape"])
-        indptr = node["indptr"][()]
-        fmt = enc.replace("_matrix", "") or _attr_str(node, "h5sparse_format")
-        if fmt not in ("csr", "csc"):
-            # legacy file with no format metadata: the indptr length
-            # identifies the compressed axis (rows+1 for CSR, cols+1 CSC)
-            fmt = "csr" if len(indptr) == shape[0] + 1 else "csc"
-        cls = sparse.csr_matrix if fmt == "csr" else sparse.csc_matrix
-        mat = cls((node["data"][()], node["indices"][()], indptr),
-                  shape=shape)
-        return np.asarray(mat.todense())
+        lo, hi = rows if rows is not None else (0, _node_shape(node)[0])
+        return _sparse_rows(node, enc, lo, hi)
     if enc == "categorical" or ("categories" in node and "codes" in node):
         cats = _decode(node["categories"][()])
-        codes = node["codes"][()]
+        codes = (node["codes"][()] if rows is None
+                 else node["codes"][rows[0]:rows[1]])
         out = np.empty(len(codes), dtype=object)
         mask = codes >= 0
         out[mask] = cats[codes[mask]]
@@ -72,8 +136,9 @@ def _read_array(node) -> np.ndarray:
         # anndata >= 0.8 nullable-integer / nullable-boolean columns
         # (pandas Int64/boolean dtypes): masked entries become None — the
         # same NA convention the categorical branch and encoder use
-        values = node["values"][()]
-        mask = node["mask"][()].astype(bool)
+        sl = slice(None) if rows is None else slice(rows[0], rows[1])
+        values = node["values"][sl]
+        mask = node["mask"][sl].astype(bool)
         out = np.empty(len(values), dtype=object)
         out[~mask] = values[~mask].tolist()
         out[mask] = None
@@ -81,11 +146,12 @@ def _read_array(node) -> np.ndarray:
     raise ValueError(f"unsupported h5ad node encoding: {enc!r}")
 
 
-def _read_dataframe(group) -> pd.DataFrame:
+def _read_dataframe(group, rows=None) -> pd.DataFrame:
     index_name = group.attrs.get("_index", "_index")
     if isinstance(index_name, bytes):
         index_name = index_name.decode("utf-8")
-    index = _decode(group[index_name][()]) if index_name in group else None
+    index = (_decode(_read_array(group[index_name], rows=rows))
+             if index_name in group else None)
     order = group.attrs.get("column-order", None)
     if order is not None:
         cols = [c.decode("utf-8") if isinstance(c, bytes) else c for c in order]
@@ -94,24 +160,47 @@ def _read_dataframe(group) -> pd.DataFrame:
     df = pd.DataFrame(index=index)
     for c in cols:
         if c in group:
-            df[c] = _read_array(group[c])
+            df[c] = _read_array(group[c], rows=rows)
     return df
 
 
-def read_h5ad(path: str) -> AnnData:
-    """Load an .h5ad file into an alpine_tpu AnnData (X densified)."""
+def read_h5ad(path: str, obs_range=None) -> AnnData:
+    """Load an .h5ad file into an alpine_tpu AnnData (X densified).
+
+    ``obs_range=(lo, hi)`` reads only cells (obs rows) [lo, hi) — X, obs,
+    obsm and layers are range-read from disk (dense hyperslabs / CSR indptr
+    slices / streamed CSC column blocks), var and varm in full.  This is
+    the out-of-core ingestion path for multi-process atlas fits: each host
+    calls ``distributed.process_cell_range(h5ad_dims(path)[0])`` and loads
+    only its own shard, so no process ever materializes the full matrix
+    (the reference loads everything via `scanpy.read_h5ad`; it has no
+    multi-process mode to feed, `/root/reference/alpine/main.py:70`)."""
     import h5py
 
     with h5py.File(path, "r") as f:
-        X = np.asarray(_read_array(f["X"]), dtype=np.float32)
-        obs = _read_dataframe(f["obs"]) if "obs" in f else None
+        rows = None
+        if obs_range is not None:
+            lo, hi = (int(obs_range[0]), int(obs_range[1]))
+            n_obs = _node_shape(f["X"])[0]
+            if not (0 <= lo <= hi <= n_obs):
+                raise ValueError(
+                    f"obs_range {obs_range!r} out of bounds for an .h5ad "
+                    f"file with {n_obs} obs rows (need 0 <= lo <= hi <= "
+                    f"{n_obs})."
+                )
+            rows = (lo, hi)
+        X = np.asarray(_read_array(f["X"], rows=rows), dtype=np.float32)
+        obs = _read_dataframe(f["obs"], rows=rows) if "obs" in f else None
         var = _read_dataframe(f["var"]) if "var" in f else None
         adata = AnnData(X, obs=obs, var=var)
         for name in ("obsm", "varm", "layers"):
             if name in f:
                 target = getattr(adata, name)
+                obs_aligned = name in ("obsm", "layers")
                 for k in f[name]:
-                    target[k] = _read_array(f[name][k])
+                    target[k] = _read_array(
+                        f[name][k], rows=rows if obs_aligned else None
+                    )
     return adata
 
 

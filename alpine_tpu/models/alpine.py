@@ -254,11 +254,12 @@ class ALPINE:
         Ys = [y.T.copy() for y in Y]  # (labels_i, cells), main.py:446-449
 
         n_sample = n_local
+        mp_locals = None  # per-chunk cell counts, ordered along the mesh
         if mp:
             # per-process inputs must be mutually consistent BEFORE the
-            # expensive fit: equal shard sizes, same genes, and identical
-            # covariate label sets (hashed — equal counts with different
-            # labels would silently misalign the one-hot rows)
+            # expensive fit: same genes, same device ownership, and
+            # identical covariate label sets (hashed — equal counts with
+            # different labels would silently misalign the one-hot rows)
             import hashlib
 
             from alpine_tpu.parallel import distributed as dist
@@ -270,12 +271,18 @@ class ALPINE:
                 )
 
             dist.assert_same_across_processes(
-                [n_local, adata.shape[1]]
+                [adata.shape[1], placement.local_cell_shards]
                 + [y.shape[0] for y in Ys]
                 + [label_hash(k) for k in covariate_keys],
-                "per-process fit inputs (local cell count, gene count, "
-                "covariate label sets)",
+                "per-process fit inputs (gene count, per-process device "
+                "count, covariate label sets)",
             )
+            # shard sizes need NOT be equal (h5ad row-range ingestion gives
+            # near-equal ones): collect each chunk's cell count, ordered by
+            # its position along the mesh cell axis — this fixes the global
+            # cell count, the per-chunk H0 column offsets, and the common
+            # padded shard width every process pads to
+            mp_locals = dist.chunk_cell_sizes(placement, n_local)
             # an EXPLICIT integer dtype can be un-castable on one shard
             # only (e.g. a count > 127 lives on process 1); that process
             # raising alone would leave the others blocked at the next
@@ -298,7 +305,7 @@ class ALPINE:
                         "the data on at least one process's shard "
                         f"(requires integer values in [0, {limit}])."
                     )
-            n_sample = n_local * placement.n_processes  # GLOBAL cell count
+            n_sample = int(mp_locals.sum())  # GLOBAL cell count
 
         # commit estimator state only after the encoders fitted
         self.fe = fe
@@ -323,11 +330,12 @@ class ALPINE:
         n_labels = tuple(y.shape[0] for y in Ys)
         # restarts run the XLA (vmapped) path, which needs no tile padding;
         # the sharded kernel path needs tile-aligned shards even unguided.
-        # Multi-process: every process pads its LOCAL chunk so each of its
-        # devices gets a tile-aligned shard (all processes compute the same
-        # pad — shard sizes were just verified equal); the pads therefore
-        # sit interleaved in the global array, which is exactly neutral.
-        pad_cells = n_local if mp else n_sample
+        # Multi-process: every process pads its LOCAL chunk to one common
+        # aligned width (derived from the LARGEST chunk — all processes
+        # compute the same target from the allgathered chunk sizes, then
+        # each adds its own shortfall); the pads therefore sit interleaved
+        # in the global array, which is exactly neutral.
+        pad_cells = int(mp_locals.max()) if mp else n_sample
         pad_devices = (placement.local_cell_shards if mp
                        else placement.cell_shards)
         pad = (self._pallas_pad(pad_cells, n_labels, n_devices=pad_devices,
@@ -367,6 +375,11 @@ class ALPINE:
             unit = mu.DEFAULT_TILE * (pad_devices
                                       if placement.is_sharded else 1)
             pad = (-pad_cells) % unit
+        if mp:
+            # pad_cells + pad is the agreed per-chunk width (identical on
+            # every process: all its inputs are global); THIS chunk pads by
+            # its own shortfall, so near-equal shards stay collective-safe
+            pad = pad_cells + pad - n_local
         placement.check_gene_axis(self.n_features)
         # Real atlases are usually sorted by sample/batch — exactly the
         # covariates weighted sampling balances — so contiguous cell shards
@@ -450,7 +463,7 @@ class ALPINE:
                 # every process draws the IDENTICAL global H0 (same seed,
                 # same global shape — so the trajectory matches the
                 # single-process fit), then keeps only its chunk's columns
-                off = placement.process_chunk_index * n_local
+                off = int(mp_locals[: placement.process_chunk_index].sum())
                 H0 = H0[:, off:off + n_local]
             if pad:
                 # match the pre-padded X (zero columns are exactly neutral)
@@ -521,6 +534,12 @@ class ALPINE:
                     # a snapshot must not resume on a different topology
                     "n_processes": placement.n_processes,
                     "process_index": placement.process_chunk_index,
+                    # near-equal shards: the per-chunk cell layout decides
+                    # every chunk's H0 slice and pad — a snapshot from one
+                    # layout must not resume under another even when the
+                    # global cell count matches
+                    "cell_layout": (None if mp_locals is None
+                                    else tuple(int(v) for v in mp_locals)),
                 },
                 backend=checkpoint_backend,
             )
@@ -1279,6 +1298,7 @@ class ALPINE:
                      and not env_flag("ALPINE_TPU_NO_X_CACHE")
                      and cached[2] == n_sample
                      and cached[1] == self._x_fingerprint(adata.X))
+        mp_locals = None
         if mp:
             # collectives must run UNCONDITIONALLY and in the same order on
             # every process — a consistency check inside the cache-miss
@@ -1286,9 +1306,14 @@ class ALPINE:
             from alpine_tpu.parallel import distributed as dist
 
             dist.assert_same_across_processes(
-                [n_sample, adata.shape[1]],
-                "per-process transform inputs (local cells, genes)",
+                [adata.shape[1], placement.local_cell_shards],
+                "per-process transform inputs (genes, per-process device "
+                "count)",
             )
+            # near-equal shards allowed (h5ad row-range ingestion): agree
+            # on the global width, the per-chunk H0 offsets and one common
+            # padded chunk width, exactly as fit does
+            mp_locals = dist.chunk_cell_sizes(placement, n_sample)
             # ...and the cache decision itself must be collective: a mixed
             # hit/miss would give processes different pad widths (hence
             # different compiled programs) — use the cache only if EVERY
@@ -1317,10 +1342,15 @@ class ALPINE:
             # are neutral for the projection (columns are independent) and
             # are sliced off below (round-1 advisor finding: non-divisible
             # cell counts crashed the sharded transform).  Multi-process:
-            # adata is THIS process's shard; pad the local chunk so each
-            # local device gets an equal piece
-            pad = (-n_sample) % (placement.local_cell_shards if mp
-                                 else placement.cell_shards)
+            # adata is THIS process's shard; every process pads its chunk
+            # to ONE common aligned width (from the largest chunk — shards
+            # may be near-equal) so each local device gets an equal piece
+            if mp:
+                n_max = int(mp_locals.max())
+                target = n_max + (-n_max) % placement.local_cell_shards
+                pad = target - n_sample
+            else:
+                pad = (-n_sample) % placement.cell_shards
             placement.check_gene_axis(self.n_features)
             # narrow cast first: half-size pad.  strict=False: out-of-sample
             # data need not be integer-representable (the reference's
@@ -1336,8 +1366,8 @@ class ALPINE:
             # draw the GLOBAL H0 identically on every process (matching the
             # single-device draw at the same global width), keep this
             # chunk's columns, zero-pad the local tail
-            n_global = n_sample * placement.n_processes
-            off = placement.process_chunk_index * n_sample
+            n_global = int(mp_locals.sum())
+            off = int(mp_locals[: placement.process_chunk_index].sum())
             H0 = jnp.maximum(
                 jax.random.uniform(
                     key, (self.total_components, n_global), dtype=jnp.float32

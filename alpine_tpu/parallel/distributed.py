@@ -104,6 +104,43 @@ def global_cell_mesh():
     return Mesh(np.asarray(jax.devices()), (CELL_AXIS,))
 
 
+def process_cell_range(n_cells: int, n_processes: Optional[int] = None,
+                       process_index_: Optional[int] = None) -> tuple:
+    """This process's contiguous cell (obs-row) range ``(lo, hi)`` of a
+    globally ``n_cells``-cell dataset, split near-equally across processes
+    (the first ``n_cells % n_processes`` processes take one extra cell).
+
+    The ingestion partner of ``io.h5ad.read_h5ad(path, obs_range=...)``:
+
+        n_obs, _ = h5ad_dims(path)
+        lo, hi = dist.process_cell_range(n_obs)
+        adata_local = read_h5ad(path, obs_range=(lo, hi))
+        model.fit(adata_local, ...)
+
+    Shards may differ by one cell; the fit pads every shard to a common
+    aligned width internally (zero columns are exactly neutral), so no
+    cells need to be dropped to satisfy an equal-shard contract.
+
+    NOTE: the range is keyed by the process's position along the mesh's
+    cell axis (`Placement.process_chunk_index`), which for
+    `global_cell_mesh` equals the jax process index."""
+    if not isinstance(n_cells, int) or n_cells <= 0:
+        raise ValueError("n_cells must be a positive integer")
+    p = process_count() if n_processes is None else int(n_processes)
+    i = process_index() if process_index_ is None else int(process_index_)
+    if not 0 <= i < p:
+        raise ValueError(f"process index {i} out of range for {p} processes")
+    if n_cells < p:
+        raise ValueError(
+            f"cannot split {n_cells} cells across {p} processes "
+            "(every process needs at least one cell)"
+        )
+    base, rem = divmod(n_cells, p)
+    lo = i * base + min(i, rem)
+    hi = lo + base + (1 if i < rem else 0)
+    return lo, hi
+
+
 def process_allgather_rows(local_row: np.ndarray) -> np.ndarray:
     """All-gather a small 1-D host array across processes; returns
     (n_processes, len) with row p from process p.  Host-side utility for
@@ -114,6 +151,33 @@ def process_allgather_rows(local_row: np.ndarray) -> np.ndarray:
     return np.asarray(
         multihost_utils.process_allgather(np.asarray(local_row), tiled=False)
     )
+
+
+def chunk_cell_sizes(placement, n_local: int) -> np.ndarray:
+    """Allgather every process's local cell count, returned ORDERED BY
+    POSITION ALONG THE MESH CELL AXIS (chunk index), not by process index.
+    Multi-process fits use this to support near-equal shards: the sum is
+    the global cell count, prefix sums are the per-chunk H0 column
+    offsets, and the max fixes the common padded shard width."""
+    if not isinstance(n_local, int) or n_local <= 0:
+        raise ValueError(
+            "every process of a multi-process fit must hold at least one "
+            f"cell (this process has {n_local})"
+        )
+    pairs = process_allgather_rows(
+        np.asarray([placement.process_chunk_index, n_local], np.int64)
+    )
+    chunks = pairs[:, 0]
+    if sorted(chunks.tolist()) != list(range(placement.n_processes)):
+        raise ValueError(
+            "multi-process mesh chunk indices are not a permutation of "
+            f"0..{placement.n_processes - 1} (got {chunks.tolist()}); every "
+            "process must own one contiguous run of the mesh cell axis "
+            "(use distributed.global_cell_mesh)."
+        )
+    sizes = np.zeros(placement.n_processes, dtype=np.int64)
+    sizes[chunks] = pairs[:, 1]
+    return sizes
 
 
 def assert_same_across_processes(values, what: str) -> None:

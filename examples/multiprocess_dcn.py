@@ -1,19 +1,26 @@
-"""Multi-process (DCN) fit: every process passes only its own cell shard.
+"""Multi-process (DCN) fit: every process reads only its own cell shard.
 
 On a real TPU pod slice, each host runs the same program:
 
     from alpine_tpu.parallel import distributed as dist
+    from alpine_tpu.io.h5ad import h5ad_dims, read_h5ad
     dist.initialize()                       # autodetected on TPU pods
-    mesh = dist.global_cell_mesh()
-    model = ALPINE(..., device=mesh)
+    lo, hi = dist.process_cell_range(h5ad_dims("atlas.h5ad")[0])
+    adata_local = read_h5ad("atlas.h5ad", obs_range=(lo, hi))
+    model = ALPINE(..., device=dist.global_cell_mesh())
     model.fit(adata_local, ["batch"])       # adata_local = this host's cells
+
+No host ever materializes the full matrix: `read_h5ad(obs_range=...)`
+reads just that row range from disk (dense hyperslab / CSR indptr slice /
+streamed CSC blocks), and shard sizes may differ by a cell — the fit pads
+every chunk to a common width internally (exactly neutral zero columns).
 
 This example demonstrates the identical code path without a pod: run it
 once and it launches TWO worker processes on localhost (CPU backend, gloo
 cross-process collectives, 2 virtual devices each) that fit one global
-model over a 4-device mesh.  Each worker builds only its own half of the
-cells; W/Bs/loss_history come back identical on both, and each worker's
-adata holds its own cells' embeddings.
+model over a 4-device mesh from an .h5ad file with an ODD cell count
+(1999 -> 1000/999 shards).  W/Bs/loss_history come back identical on both
+workers, and each worker's adata holds its own cells' embeddings.
 
 Run: python examples/multiprocess_dcn.py
 """
@@ -30,7 +37,27 @@ sys.path.insert(0, REPO)
 WORKER = os.environ.get("ALPINE_MP_WORKER")
 
 if WORKER is None:
-    # ----- parent: launch the two workers ---------------------------------
+    # ----- parent: write the shared .h5ad, launch the two workers ---------
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from alpine_tpu import AnnData
+    from alpine_tpu.io.h5ad import write_h5ad
+
+    n_global, g = 1999, 300  # odd on purpose: shards come out 1000/999
+    rng = np.random.default_rng(0)
+    counts = rng.poisson(
+        rng.gamma(2.0, 1.0, (g, 6)) @ rng.gamma(2.0, 1.0, (6, n_global))
+    ).clip(0, 127).astype(np.float32).T
+    obs = pd.DataFrame(
+        {"batch": [f"b{b}" for b in rng.integers(0, 2, n_global)]},
+        index=[f"cell{i}" for i in range(n_global)],
+    )
+    atlas = tempfile.NamedTemporaryFile(suffix=".h5ad", delete=False).name
+    write_h5ad(AnnData(counts, obs=obs), atlas)
+
     s = socket.socket()
     s.bind(("localhost", 0))
     port = s.getsockname()[1]
@@ -39,12 +66,13 @@ if WORKER is None:
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             env={**os.environ, "ALPINE_MP_WORKER": str(pid),
-                 "ALPINE_MP_PORT": str(port)},
+                 "ALPINE_MP_PORT": str(port), "ALPINE_MP_H5AD": atlas},
             cwd=REPO,
         )
         for pid in range(2)
     ]
     rc = [p.wait() for p in procs]
+    os.unlink(atlas)
     sys.exit(max(rc))
 
 # ----- worker: one process of the distributed fit -------------------------
@@ -61,25 +89,15 @@ from alpine_tpu.parallel import distributed as dist  # noqa: E402
 dist.initialize(coordinator_address=f"localhost:{os.environ['ALPINE_MP_PORT']}",
                 num_processes=2, process_id=pid)
 
-import numpy as np  # noqa: E402
-import pandas as pd  # noqa: E402
+from alpine_tpu import ALPINE  # noqa: E402
+from alpine_tpu.io.h5ad import h5ad_dims, read_h5ad  # noqa: E402
 
-from alpine_tpu import ALPINE, AnnData  # noqa: E402
-
-# each process builds ONLY its own cells (in real use: read your shard of
-# the atlas from disk/object store — e.g. one .h5ad chunk per host)
-n_global, n_local, g = 2000, 1000, 300
-rng = np.random.default_rng(0)
-lo = pid * n_local
-counts = rng.poisson(
-    rng.gamma(2.0, 1.0, (g, 6)) @ rng.gamma(2.0, 1.0, (6, n_global))
-).clip(0, 127).astype(np.float32).T[lo:lo + n_local]
-obs = pd.DataFrame(
-    {"batch": np.array([f"b{b}" for b in rng.integers(0, 2, n_global)],
-                       dtype=object)[lo:lo + n_local]},
-    index=[f"cell{i}" for i in range(lo, lo + n_local)],
-)
-adata_local = AnnData(counts, obs=obs)
+# each process reads ONLY its own cells from the shared file — the
+# out-of-core ingestion recipe (no host builds the full matrix)
+atlas = os.environ["ALPINE_MP_H5AD"]
+n_obs, n_genes = h5ad_dims(atlas)
+lo, hi = dist.process_cell_range(n_obs)
+adata_local = read_h5ad(atlas, obs_range=(lo, hi))
 
 model = ALPINE(n_components=12, n_covariate_components=[3], lam=[1e2],
                device=dist.global_cell_mesh(), random_state=0)
@@ -87,7 +105,8 @@ model.fit(adata_local, ["batch"], max_iter=30)
 
 final = float(model.loss_history["total loss"].iloc[-1])
 emb = adata_local.obsm["ALPINE_embedding"]
-print(f"[process {pid}] data_dtype_={model.data_dtype_} "
+print(f"[process {pid}] cells [{lo}, {hi}) of {n_obs} "
+      f"data_dtype_={model.data_dtype_} "
       f"final loss {final:.6g} local embedding {emb.shape}", flush=True)
 if dist.is_coordinator():
     print("[process 0] loss_history is replicated — any process can save "

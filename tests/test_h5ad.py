@@ -208,3 +208,139 @@ def test_read_nullable_integer_column(tmp_path):
         col.create_dataset("mask", data=np.array([False, True, False]))
     back = read_h5ad(p)
     assert list(back.obs["count"]) == [1, None, 3]
+
+
+# --- row-range (out-of-core) reads: the multi-process ingestion path -----
+
+
+def _write_rich(tmp_path, x_writer):
+    """File with every obs-aligned node kind: X (via x_writer), plain +
+    categorical (with NaN) + nullable obs columns, obsm, varm, layers."""
+    r = np.random.default_rng(7)
+    dense = ((r.random((11, 6)) > 0.4) * r.random((11, 6))).astype(np.float32)
+    p = str(tmp_path / "rich.h5ad")
+    with h5py.File(p, "w") as f:
+        x_writer(f, dense)
+        obs = f.create_group("obs")
+        obs.attrs["_index"] = "_index"
+        obs.attrs["column-order"] = np.asarray(["lab", "score", "nn"],
+                                               dtype="S")
+        obs.create_dataset(
+            "_index", data=np.asarray([f"c{i}" for i in range(11)], dtype="S")
+        )
+        cg = obs.create_group("lab")
+        cg.attrs["encoding-type"] = "categorical"
+        cg.create_dataset("categories", data=np.asarray(["x", "y"], dtype="S"))
+        cg.create_dataset(
+            "codes", data=np.asarray([0, 1, -1, 0, 1, 0, -1, 1, 0, 1, 0],
+                                     dtype=np.int8)
+        )
+        obs.create_dataset("score", data=np.arange(11, dtype=np.float64))
+        ng = obs.create_group("nn")
+        ng.attrs["encoding-type"] = "nullable-integer"
+        ng.create_dataset("values", data=np.arange(11, dtype=np.int64))
+        ng.create_dataset(
+            "mask", data=(np.arange(11) % 4 == 1).astype(np.bool_)
+        )
+        var = f.create_group("var")
+        var.attrs["_index"] = "_index"
+        var.create_dataset(
+            "_index", data=np.asarray([f"g{i}" for i in range(6)], dtype="S")
+        )
+        obsm = f.create_group("obsm")
+        obsm.create_dataset("emb", data=r.random((11, 3)))
+        varm = f.create_group("varm")
+        varm.create_dataset("w", data=r.random((6, 2)))
+        layers = f.create_group("layers")
+        layers.create_dataset("norm", data=dense * 2)
+    return p, dense
+
+
+def _dense_writer(f, dense):
+    f.create_dataset("X", data=dense)
+
+
+def _sparse_writer(fmt):
+    from scipy import sparse
+
+    def write(f, dense):
+        mat = (sparse.csr_matrix(dense) if fmt == "csr"
+               else sparse.csc_matrix(dense))
+        g = f.create_group("X")
+        g.attrs["encoding-type"] = f"{fmt}_matrix"
+        g.attrs["shape"] = dense.shape
+        g.create_dataset("data", data=mat.data)
+        g.create_dataset("indices", data=mat.indices)
+        g.create_dataset("indptr", data=mat.indptr)
+
+    return write
+
+
+@pytest.mark.parametrize(
+    "writer", [_dense_writer, _sparse_writer("csr"), _sparse_writer("csc")],
+    ids=["dense", "csr", "csc"],
+)
+def test_obs_range_read_matches_full_slice(tmp_path, writer):
+    """read_h5ad(obs_range=(lo, hi)) must equal slicing the full read, for
+    every X encoding and every obs-aligned node (var/varm stay whole)."""
+    from alpine_tpu.io.h5ad import h5ad_dims
+
+    p, dense = _write_rich(tmp_path, writer)
+    assert h5ad_dims(p) == (11, 6)
+    full = read_h5ad(p)
+    np.testing.assert_allclose(full.X, dense, rtol=1e-6)
+    for lo, hi in [(0, 11), (0, 5), (4, 9), (10, 11), (3, 3)]:
+        part = read_h5ad(p, obs_range=(lo, hi))
+        np.testing.assert_allclose(part.X, dense[lo:hi], rtol=1e-6)
+        assert list(part.obs.index) == list(full.obs.index[lo:hi])
+        assert list(part.obs["lab"].fillna("NA")) == list(
+            full.obs["lab"].fillna("NA")[lo:hi]
+        )
+        np.testing.assert_allclose(part.obs["score"],
+                                   full.obs["score"][lo:hi])
+        assert list(part.obs["nn"].isna()) == list(
+            full.obs["nn"].isna()[lo:hi]
+        )
+        np.testing.assert_allclose(part.obsm["emb"], full.obsm["emb"][lo:hi])
+        np.testing.assert_allclose(part.layers["norm"],
+                                   full.layers["norm"][lo:hi])
+        # var-aligned nodes are never sliced
+        assert list(part.var.index) == list(full.var.index)
+        np.testing.assert_allclose(part.varm["w"], full.varm["w"])
+
+
+def test_obs_range_validation(tmp_path):
+    p, _ = _write_rich(tmp_path, _dense_writer)
+    for bad in [(-1, 4), (3, 2), (0, 12), (12, 12)]:
+        with pytest.raises(ValueError, match="obs_range"):
+            read_h5ad(p, obs_range=bad)
+
+
+def test_h5ad_dims_does_not_read_x(tmp_path):
+    """h5ad_dims must come from metadata (sparse: the shape attr), not a
+    densifying read."""
+    from alpine_tpu.io.h5ad import h5ad_dims
+
+    p, dense = _write_rich(tmp_path, _sparse_writer("csr"))
+    assert h5ad_dims(p) == dense.shape
+
+
+def test_process_cell_range_arithmetic():
+    """Near-equal contiguous split: ranges partition [0, n), sizes differ
+    by at most one, the first n%p processes take the extra cell."""
+    from alpine_tpu.parallel.distributed import process_cell_range
+
+    for n, p in [(95, 2), (96, 2), (7, 3), (100, 8), (5, 5), (1, 1)]:
+        ranges = [process_cell_range(n, p, i) for i in range(p)]
+        assert ranges[0][0] == 0 and ranges[-1][1] == n
+        for (a, b), (c, d) in zip(ranges, ranges[1:]):
+            assert b == c and b > a
+        sizes = [hi - lo for lo, hi in ranges]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+    with pytest.raises(ValueError, match="at least one"):
+        process_cell_range(3, 4, 0)
+    with pytest.raises(ValueError, match="out of range"):
+        process_cell_range(10, 2, 2)
+    with pytest.raises(ValueError, match="positive integer"):
+        process_cell_range(0, 1, 0)

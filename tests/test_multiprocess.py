@@ -78,6 +78,40 @@ model.transform(fresh_local, n_iter=5)
 emb = fresh_local.obsm["ALPINE_embedding"]
 assert emb.shape == (n_local, 6) and np.isfinite(emb).all()
 
+# --- near-equal shards via h5ad row-range ingestion (out-of-core path) ---
+# 95 cells over 2 processes -> 48/47: every step below exercises ragged
+# per-chunk pads (process 1 pads one extra zero column to the common width)
+from alpine_tpu.io.h5ad import h5ad_dims, read_h5ad
+
+h5 = os.path.join(workdir, "unequal.h5ad")
+n_obs, n_vars = h5ad_dims(h5)
+assert (n_obs, n_vars) == (95, 32), (n_obs, n_vars)
+lo2, hi2 = dist.process_cell_range(n_obs)
+assert (hi2 - lo2) == (48 if pid == 0 else 47), (lo2, hi2)
+local2 = read_h5ad(h5, obs_range=(lo2, hi2))
+uq = ALPINE(device=mesh, **kw)
+uq.fit(local2, ["batch", "condition"], max_iter=12)
+exp_u_losses = np.load(os.path.join(workdir, "expected_unequal_losses.npy"))
+exp_u_emb = np.load(os.path.join(workdir, "expected_unequal_embedding.npy"))
+np.testing.assert_allclose(uq.loss_history.values, exp_u_losses, rtol=1e-4)
+np.testing.assert_allclose(local2.obsm["ALPINE_embedding"],
+                           exp_u_emb[lo2:hi2], rtol=5e-3, atol=1e-5)
+
+# near-equal shards also ride the shard-local minibatch path (pad columns
+# are neutral dead slots in the per-shard draws)
+uqmb = ALPINE(device=mesh, **kw)
+uqmb.fit(local2, ["batch", "condition"], max_iter=6, batch_size=24)
+Lu = uqmb.loss_history["total loss"].to_numpy()
+assert np.isfinite(Lu).all() and Lu[-1] < Lu[0], Lu
+
+# transform with near-equal fresh shards (changed X -> cache miss, so the
+# ragged-pad ingestion path runs rather than the fit's cached device X)
+f2 = read_h5ad(h5, obs_range=(lo2, hi2))
+f2.X = f2.X + 0.25
+uq.transform(f2, n_iter=5)
+assert f2.obsm["ALPINE_embedding"].shape == (hi2 - lo2, 6)
+assert np.isfinite(f2.obsm["ALPINE_embedding"]).all()
+
 # an explicit int dtype that only ONE shard cannot represent must raise
 # on EVERY process (collective validation; a lone raise would deadlock
 # the others at the next collective)
@@ -276,6 +310,22 @@ def test_two_process_sharded_fit(tmp_path):
     np.save(tmp_path / "expected_losses.npy", single.loss_history.values)
     np.save(tmp_path / "expected_embedding.npy",
             full.obsm["ALPINE_embedding"])
+
+    # near-equal-shard dataset (95 cells -> 48/47): workers ingest it by
+    # h5ad row range (the out-of-core recipe); expected trajectory comes
+    # from the single-device fit on the full data
+    from alpine_tpu.io.h5ad import write_h5ad
+
+    full95 = make_synthetic_adata(n_cells=95, n_genes=32, seed=3)
+    write_h5ad(full95, str(tmp_path / "unequal.h5ad"))
+    single95 = ALPINE(n_components=6, n_covariate_components=[2, 3],
+                      lam=[1.0, 2.0], random_state=0, data_dtype="float32",
+                      device="cpu")
+    single95.fit(full95, ["batch", "condition"], max_iter=12)
+    np.save(tmp_path / "expected_unequal_losses.npy",
+            single95.loss_history.values)
+    np.save(tmp_path / "expected_unequal_embedding.npy",
+            full95.obsm["ALPINE_embedding"])
 
     port = _free_port()
     env = dict(os.environ)
