@@ -11,8 +11,9 @@ directly with h5py into the bundled `alpine_tpu.AnnData` container:
   datasets, categorical groups with ``categories``/``codes``)
 - ``/obsm``, ``/varm``, ``/layers``: groups of arrays
 
-``write_h5ad`` emits the same layout (dense X, plain/categorical columns)
-so models and corrected matrices can round-trip to scanpy sessions.
+``write_h5ad`` emits the same layout (sparse X stays CSR/CSC on disk,
+dense X stays dense; plain/categorical columns) so models and corrected
+matrices can round-trip to scanpy sessions without densifying an atlas.
 """
 
 from __future__ import annotations
@@ -205,15 +206,21 @@ def read_h5ad(path: str, obs_range=None) -> AnnData:
 
 
 def write_h5ad(adata: AnnData, path: str) -> None:
-    """Write an AnnData-compatible object to .h5ad (dense X).  Strings are
-    stored as UTF-8 variable-length (matching anndata; plain "S" dtype would
-    crash on non-ASCII labels/barcodes).
+    """Write an AnnData-compatible object to .h5ad.  Sparse X/layers/obsm
+    values are written as CSR/CSC groups WITHOUT densifying (an atlas-scale
+    count matrix stays a count matrix on disk, and the round trip through
+    ``read_h5ad``'s out-of-core ``obs_range`` path keeps working); dense
+    arrays are written as plain datasets.  Strings are stored as UTF-8
+    variable-length (matching anndata; plain "S" dtype would crash on
+    non-ASCII labels/barcodes).
 
     Every node carries the ``encoding-type``/``encoding-version`` attribute
     pair of the anndata ≥0.8 on-disk spec — anndata's IO registry dispatches
     readers on that pair, so files without it fail (or legacy-misparse) in
     real scanpy sessions, defeating this module's purpose."""
     import h5py
+
+    from alpine_tpu.utils.adata import as_compressed, is_sparse_x
 
     str_dt = h5py.string_dtype(encoding="utf-8")
 
@@ -225,7 +232,23 @@ def write_h5ad(adata: AnnData, path: str) -> None:
     def utf8(values):
         return np.asarray([str(v) for v in values], dtype=object)
 
+    def write_sparse(g, name, mat):
+        # canonicalize (sums hand-built duplicates on a copy; COO/DIA → CSR)
+        # so data/indices/indptr represent the dense values exactly
+        mat = as_compressed(mat)
+        fmt = getattr(mat, "format", "csr")
+        if fmt not in ("csr", "csc"):  # pragma: no cover - as_compressed
+            mat, fmt = mat.tocsr(), "csr"
+        sg = enc(g.create_group(name), f"{fmt}_matrix", "0.1.0")
+        sg.attrs["shape"] = np.asarray(mat.shape, dtype=np.int64)
+        sg.create_dataset("data", data=mat.data)
+        sg.create_dataset("indices", data=mat.indices)
+        sg.create_dataset("indptr", data=mat.indptr)
+        return sg
+
     def write_array(g, name, arr):
+        if is_sparse_x(arr):
+            return write_sparse(g, name, arr)
         arr = np.asarray(arr)
         if arr.dtype.kind in ("O", "U", "S"):
             ds = g.create_dataset(name, data=utf8(arr), dtype=str_dt)
@@ -254,10 +277,11 @@ def write_h5ad(adata: AnnData, path: str) -> None:
                 write_array(g, c, col.to_numpy())
 
     with h5py.File(path, "w") as f:
-        from alpine_tpu.utils.adata import dense_x
-
         enc(f, "anndata", "0.1.0")
-        write_array(f, "X", dense_x(adata.X))
+        if is_sparse_x(adata.X):
+            write_sparse(f, "X", adata.X)
+        else:
+            write_array(f, "X", np.asarray(adata.X))
         write_df(f, "obs", adata.obs)
         write_df(f, "var", adata.var)
         for name in ("obsm", "varm", "layers"):

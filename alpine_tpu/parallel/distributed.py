@@ -124,8 +124,9 @@ def process_cell_range(n_cells: int, n_processes: Optional[int] = None,
     NOTE: the range is keyed by the process's position along the mesh's
     cell axis (`Placement.process_chunk_index`), which for
     `global_cell_mesh` equals the jax process index."""
-    if not isinstance(n_cells, int) or n_cells <= 0:
+    if not isinstance(n_cells, (int, np.integer)) or n_cells <= 0:
         raise ValueError("n_cells must be a positive integer")
+    n_cells = int(n_cells)
     p = process_count() if n_processes is None else int(n_processes)
     i = process_index() if process_index_ is None else int(process_index_)
     if not 0 <= i < p:
@@ -159,7 +160,7 @@ def chunk_cell_sizes(placement, n_local: int) -> np.ndarray:
     Multi-process fits use this to support near-equal shards: the sum is
     the global cell count, prefix sums are the per-chunk H0 column
     offsets, and the max fixes the common padded shard width."""
-    if not isinstance(n_local, int) or n_local <= 0:
+    if not isinstance(n_local, (int, np.integer)) or n_local <= 0:
         raise ValueError(
             "every process of a multi-process fit must hold at least one "
             f"cell (this process has {n_local})"

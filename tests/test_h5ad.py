@@ -325,6 +325,51 @@ def test_h5ad_dims_does_not_read_x(tmp_path):
     assert h5ad_dims(p) == dense.shape
 
 
+@pytest.mark.parametrize("fmt", ["csr", "csc"])
+def test_write_sparse_x_stays_sparse(tmp_path, fmt):
+    """write_h5ad must keep a sparse X sparse on disk (an atlas-scale count
+    matrix must not densify at write time), with the anndata encoding
+    attrs, and the file must round-trip — including obs_range reads."""
+    r = np.random.default_rng(3)
+    dense = ((r.random((10, 7)) > 0.6) * r.random((10, 7))).astype(np.float32)
+    mat = sparse.csr_matrix(dense) if fmt == "csr" else sparse.csc_matrix(dense)
+    ad = AnnData(mat, obs=pd.DataFrame(index=[f"c{i}" for i in range(10)]),
+                 var=pd.DataFrame(index=[f"g{i}" for i in range(7)]))
+    ad.layers["counts"] = mat.copy()
+    p = str(tmp_path / f"sp_{fmt}.h5ad")
+    write_h5ad(ad, p)
+    with h5py.File(p, "r") as f:
+        assert f["X"].attrs["encoding-type"] == f"{fmt}_matrix"
+        assert f["X"].attrs["encoding-version"] == "0.1.0"
+        assert tuple(f["X"].attrs["shape"]) == (10, 7)
+        assert f["X"]["data"].shape[0] == mat.nnz  # not densified
+        assert f["layers"]["counts"].attrs["encoding-type"] == f"{fmt}_matrix"
+    back = read_h5ad(p)
+    np.testing.assert_allclose(back.X, dense, rtol=1e-6)
+    np.testing.assert_allclose(back.layers["counts"], dense, rtol=1e-6)
+    part = read_h5ad(p, obs_range=(3, 8))
+    np.testing.assert_allclose(part.X, dense[3:8], rtol=1e-6)
+    np.testing.assert_allclose(part.layers["counts"], dense[3:8], rtol=1e-6)
+
+
+def test_write_sparse_x_sums_duplicates_without_mutating(tmp_path):
+    """A hand-built COO with duplicate entries must write the TRUE dense
+    values (duplicates summed on a copy — the caller's matrix untouched)."""
+    coo = sparse.coo_matrix(
+        (np.asarray([5.0, -3.0, 1.0]), ([0, 0, 1], [1, 1, 0])), shape=(2, 3)
+    )
+    nnz_before = coo.nnz
+    ad = AnnData(coo, obs=pd.DataFrame(index=["a", "b"]),
+                 var=pd.DataFrame(index=["g0", "g1", "g2"]))
+    p = str(tmp_path / "dup.h5ad")
+    write_h5ad(ad, p)
+    assert coo.nnz == nnz_before  # caller's matrix not mutated
+    back = read_h5ad(p)
+    np.testing.assert_allclose(
+        back.X, np.asarray([[0, 2, 0], [1, 0, 0]], np.float32)
+    )
+
+
 def test_process_cell_range_arithmetic():
     """Near-equal contiguous split: ranges partition [0, n), sizes differ
     by at most one, the first n%p processes take the extra cell."""
@@ -338,6 +383,8 @@ def test_process_cell_range_arithmetic():
         sizes = [hi - lo for lo, hi in ranges]
         assert max(sizes) - min(sizes) <= 1
         assert sizes == sorted(sizes, reverse=True)
+    # numpy integer cell counts (e.g. a numpy-derived shape) are accepted
+    assert process_cell_range(np.int64(95), 2, 0) == (0, 48)
     with pytest.raises(ValueError, match="at least one"):
         process_cell_range(3, 4, 0)
     with pytest.raises(ValueError, match="out of range"):
