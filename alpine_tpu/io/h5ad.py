@@ -64,15 +64,20 @@ def _attr_str(node, name, default=""):
     return v.decode("utf-8") if isinstance(v, bytes) else v
 
 
-def _sparse_rows(node, enc: str, lo: int, hi: int) -> np.ndarray:
+def _sparse_rows(node, enc: str, lo: int, hi: int, dtype=None) -> np.ndarray:
     """Densified rows [lo, hi) of an on-disk CSR/CSC group, reading only
     what the range needs: CSR reads the rows' own data/index slice (one
     indptr-bounded hyperslab); CSC streams column blocks and keeps the
     in-range rows, so host memory stays O(block nnz + output) instead of
-    O(file nnz)."""
+    O(file nnz).  Duplicate entries (hand-built non-canonical files) SUM,
+    matching scipy's todense.  ``dtype`` sets the output dtype up front —
+    read_h5ad passes float32 for X so the dense shard is only ever
+    materialized once at 4 bytes/element (an int64/float64 atlas would
+    otherwise briefly hold a double-width copy)."""
     shape = _node_shape(node)
     n_rows, n_cols = int(shape[0]), int(shape[1])
     indptr_ds = node["indptr"]
+    out_dtype = node["data"].dtype if dtype is None else np.dtype(dtype)
     fmt = enc.replace("_matrix", "") or _attr_str(node, "h5sparse_format")
     if fmt not in ("csr", "csc"):
         # legacy file with no format metadata: the indptr length
@@ -83,15 +88,17 @@ def _sparse_rows(node, enc: str, lo: int, hi: int) -> np.ndarray:
 
         indptr = indptr_ds[lo:hi + 1]
         start, stop = int(indptr[0]), int(indptr[-1])
+        # cast the nnz data (cheap) so todense materializes the rows at
+        # the final width directly
         mat = sparse.csr_matrix(
-            (node["data"][start:stop], node["indices"][start:stop],
-             indptr - start),
+            (node["data"][start:stop].astype(out_dtype, copy=False),
+             node["indices"][start:stop], indptr - start),
             shape=(hi - lo, n_cols),
         )
         return np.asarray(mat.todense())
     # CSC: rows are the uncompressed axis — every column can hold rows in
     # [lo, hi), so stream the columns in blocks and filter
-    out = np.zeros((hi - lo, n_cols), dtype=node["data"].dtype)
+    out = np.zeros((hi - lo, n_cols), dtype=out_dtype)
     indptr = indptr_ds[()]
     block = 2048
     for c0 in range(0, n_cols, block):
@@ -105,15 +112,18 @@ def _sparse_rows(node, enc: str, lo: int, hi: int) -> np.ndarray:
             np.arange(c0, c1), np.diff(indptr[c0:c1 + 1]).astype(np.int64)
         )
         keep = (rows >= lo) & (rows < hi)
-        out[rows[keep] - lo, cols[keep]] = data[keep]
+        # np.add.at, not assignment: duplicates must SUM like scipy todense
+        np.add.at(out, (rows[keep] - lo, cols[keep]),
+                  data[keep].astype(out_dtype, copy=False))
     return out
 
 
-def _read_array(node, rows=None) -> np.ndarray:
+def _read_array(node, rows=None, sparse_dtype=None) -> np.ndarray:
     """Read an h5ad array node; ``rows=(lo, hi)`` reads only that slice of
     the leading (obs) axis — dense datasets via an HDF5 hyperslab, sparse
     groups via `_sparse_rows`, categorical/nullable groups by slicing their
-    codes/values."""
+    codes/values.  ``sparse_dtype`` pre-casts a sparse node's densification
+    (X reads pass float32 — single-materialization memory path)."""
     import h5py
 
     if isinstance(node, h5py.Dataset):
@@ -123,7 +133,7 @@ def _read_array(node, rows=None) -> np.ndarray:
         "data" in node and "indices" in node and "indptr" in node
     ):
         lo, hi = rows if rows is not None else (0, _node_shape(node)[0])
-        return _sparse_rows(node, enc, lo, hi)
+        return _sparse_rows(node, enc, lo, hi, dtype=sparse_dtype)
     if enc == "categorical" or ("categories" in node and "codes" in node):
         cats = _decode(node["categories"][()])
         codes = (node["codes"][()] if rows is None
@@ -190,7 +200,10 @@ def read_h5ad(path: str, obs_range=None) -> AnnData:
                     f"{n_obs})."
                 )
             rows = (lo, hi)
-        X = np.asarray(_read_array(f["X"], rows=rows), dtype=np.float32)
+        X = np.asarray(
+            _read_array(f["X"], rows=rows, sparse_dtype=np.float32),
+            dtype=np.float32,
+        )
         obs = _read_dataframe(f["obs"], rows=rows) if "obs" in f else None
         var = _read_dataframe(f["var"]) if "var" in f else None
         adata = AnnData(X, obs=obs, var=var)

@@ -160,14 +160,18 @@ def chunk_cell_sizes(placement, n_local: int) -> np.ndarray:
     Multi-process fits use this to support near-equal shards: the sum is
     the global cell count, prefix sums are the per-chunk H0 column
     offsets, and the max fixes the common padded shard width."""
-    if not isinstance(n_local, (int, np.integer)) or n_local <= 0:
+    # gather BEFORE validating: a process raising unilaterally here would
+    # leave its peers blocked in this very collective (the repo-wide
+    # collective-failure discipline — every rank must see the bad size and
+    # raise together)
+    pairs = process_allgather_rows(
+        np.asarray([placement.process_chunk_index, int(n_local)], np.int64)
+    )
+    if (pairs[:, 1] <= 0).any():
         raise ValueError(
             "every process of a multi-process fit must hold at least one "
-            f"cell (this process has {n_local})"
+            f"cell (per-process (chunk, cells) pairs: {pairs.tolist()})"
         )
-    pairs = process_allgather_rows(
-        np.asarray([placement.process_chunk_index, n_local], np.int64)
-    )
     chunks = pairs[:, 0]
     if sorted(chunks.tolist()) != list(range(placement.n_processes)):
         raise ValueError(

@@ -95,7 +95,7 @@ from alpine_tpu.io.h5ad import h5ad_dims, read_h5ad  # noqa: E402
 # each process reads ONLY its own cells from the shared file — the
 # out-of-core ingestion recipe (no host builds the full matrix)
 atlas = os.environ["ALPINE_MP_H5AD"]
-n_obs, n_genes = h5ad_dims(atlas)
+n_obs, _ = h5ad_dims(atlas)
 lo, hi = dist.process_cell_range(n_obs)
 adata_local = read_h5ad(atlas, obs_range=(lo, hi))
 

@@ -370,6 +370,66 @@ def test_write_sparse_x_sums_duplicates_without_mutating(tmp_path):
     )
 
 
+def test_csc_range_read_sums_duplicates_and_respects_dtype(tmp_path):
+    """Hand-built non-canonical CSC files carry duplicate entries whose
+    dense value is their SUM (what scipy's todense returns); the streamed
+    range reader must add, not overwrite.  X densification happens directly
+    at float32 (single materialization, half the peak memory of an
+    int64/float64 atlas)."""
+    p = str(tmp_path / "dupcsc.h5ad")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("X")
+        g.attrs["encoding-type"] = "csc_matrix"
+        g.attrs["shape"] = (2, 3)
+        # column 0 holds (row0: 5.0) and (row0: -3.0) — dense value 2.0
+        g.create_dataset("data", data=np.asarray([5.0, -3.0, 4.0], np.float64))
+        g.create_dataset("indices", data=np.asarray([0, 0, 1]))
+        g.create_dataset("indptr", data=np.asarray([0, 2, 3, 3]))
+    expected = np.asarray([[2.0, 0.0, 0.0], [0.0, 4.0, 0.0]], np.float32)
+    full = read_h5ad(p)
+    assert full.X.dtype == np.float32
+    np.testing.assert_allclose(full.X, expected)
+    part = read_h5ad(p, obs_range=(0, 1))
+    np.testing.assert_allclose(part.X, expected[:1])
+
+
+def test_chunk_cell_sizes_gathers_before_validating(monkeypatch):
+    """A bad local size must reach the allgather (so every rank raises
+    together) — raising unilaterally before the collective would leave the
+    peers blocked in it forever."""
+    from alpine_tpu.parallel import distributed as dist
+
+    class FakePlacement:
+        n_processes = 2
+        process_chunk_index = 0
+
+    gathered = []
+
+    def fake_gather(row):
+        gathered.append(np.asarray(row))
+        # what every rank sees: rank 1 reports zero cells
+        return np.asarray([[0, 7], [1, 0]], np.int64)
+
+    monkeypatch.setattr(dist, "process_allgather_rows", fake_gather)
+    with pytest.raises(ValueError, match="at least one"):
+        dist.chunk_cell_sizes(FakePlacement(), 7)
+    assert len(gathered) == 1  # the collective ran BEFORE the raise
+    # and the healthy path orders sizes by chunk index
+    monkeypatch.setattr(
+        dist, "process_allgather_rows",
+        lambda row: np.asarray([[1, 48], [0, 47]], np.int64),
+    )
+    sizes = dist.chunk_cell_sizes(FakePlacement(), 47)
+    assert sizes.tolist() == [47, 48]
+    # non-permutation chunk indices (broken mesh ownership) raise clearly
+    monkeypatch.setattr(
+        dist, "process_allgather_rows",
+        lambda row: np.asarray([[0, 48], [0, 47]], np.int64),
+    )
+    with pytest.raises(ValueError, match="permutation"):
+        dist.chunk_cell_sizes(FakePlacement(), 48)
+
+
 def test_process_cell_range_arithmetic():
     """Near-equal contiguous split: ranges partition [0, n), sizes differ
     by at most one, the first n%p processes take the extra cell."""
