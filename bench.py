@@ -256,24 +256,35 @@ def bench_reference_torch_cpu(X, Ys):
     return 1.0 / best  # best-of-N: same convention as the TPU measurement
 
 
-def _device_reachable(timeout_s: int = 240) -> bool:
+def _device_reachable(timeout_s: int = None, attempts: int = 2) -> bool:
     """Bounded liveness probe of the default jax backend IN A SUBPROCESS.
     The axon TPU tunnel can go hard-down (even jax.devices() then hangs
     with no timeout of its own); without this, an outage turns the
     driver's bench run into an indefinite hang and the round records NO
-    artifact.  A fast explicit failure line beats that."""
+    artifact.  A fast explicit failure line beats that.
+
+    Tunnel INIT latency is itself high-variance (90 s typical when healthy,
+    occasional multi-minute spikes), so the probe retries once and allows
+    a generous window per attempt — a false "down" verdict costs the round
+    its measurement, while a slow true-down detection only delays the
+    error line (the watchdog still bounds the whole run)."""
     import subprocess
     import sys
 
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("ALPINE_BENCH_PROBE_S", 420))
     probe = ("import jax, numpy as np;"
              "x = jax.numpy.ones((128, 128));"
              "np.asarray(x @ x)")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(max(1, attempts)):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def _last_recorded_context():
