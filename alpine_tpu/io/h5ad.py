@@ -112,9 +112,20 @@ def _sparse_rows(node, enc: str, lo: int, hi: int, dtype=None) -> np.ndarray:
             np.arange(c0, c1), np.diff(indptr[c0:c1 + 1]).astype(np.int64)
         )
         keep = (rows >= lo) & (rows < hi)
-        # np.add.at, not assignment: duplicates must SUM like scipy todense
-        np.add.at(out, (rows[keep] - lo, cols[keep]),
-                  data[keep].astype(out_dtype, copy=False))
+        r = (rows[keep] - lo).astype(np.int64)
+        c = cols[keep]
+        d = data[keep].astype(out_dtype, copy=False)
+        if r.size == 0:
+            continue
+        # duplicates must SUM like scipy todense, but np.add.at is an
+        # unbuffered ufunc (~8 M nnz/s) — detect the canonical no-duplicate
+        # case (a C-speed sort) and use plain fancy assignment there
+        lin = r * n_cols + c
+        lin.sort()
+        if (np.diff(lin) == 0).any():
+            np.add.at(out, (r, c), d)
+        else:
+            out[r, c] = d
     return out
 
 
@@ -268,6 +279,35 @@ def write_h5ad(adata: AnnData, path: str) -> None:
             return enc(ds, "string-array", "0.2.0")
         return enc(g.create_dataset(name, data=arr), "array", "0.2.0")
 
+    def write_nullable(g, name, col, bool_like):
+        """pandas Int*/boolean extension columns and object columns of
+        ints/bools with Nones write as anndata's nullable values+mask
+        groups — stringifying them through the categorical branch would
+        corrupt numeric obs metadata (1 -> "1") on the round trip."""
+        mask = col.isna().to_numpy().astype(np.bool_)
+        filler = False if bool_like else 0
+        values = col.fillna(filler).to_numpy(
+            dtype=np.bool_ if bool_like else np.int64
+        )
+        etype = "nullable-boolean" if bool_like else "nullable-integer"
+        ng = enc(g.create_group(name), etype, "0.1.0")
+        enc(ng.create_dataset("values", data=values), "array", "0.2.0")
+        enc(ng.create_dataset("mask", data=mask), "array", "0.2.0")
+
+    def _object_kind(col):
+        """'bool'/'int' when every non-null element of an object column is
+        a bool/integer (the reader's nullable output), else None."""
+        nonnull = [v for v in col if v is not None
+                   and not (isinstance(v, float) and np.isnan(v))]
+        if not nonnull:
+            return None
+        if all(isinstance(v, (bool, np.bool_)) for v in nonnull):
+            return "bool"
+        if all(isinstance(v, (int, np.integer))
+               and not isinstance(v, (bool, np.bool_)) for v in nonnull):
+            return "int"
+        return None
+
     def write_df(f, name, df: pd.DataFrame):
         g = enc(f.create_group(name), "dataframe", "0.2.0")
         g.attrs["_index"] = "_index"
@@ -276,8 +316,22 @@ def write_h5ad(adata: AnnData, path: str) -> None:
         enc(ds, "string-array", "0.2.0")
         for c in df.columns:
             col = df[c]
-            if col.dtype == object or str(col.dtype) == "category":
-                s = col.astype("category") if col.dtype == object else col
+            if (pd.api.types.is_extension_array_dtype(col.dtype)
+                and not isinstance(col.dtype, pd.CategoricalDtype)
+                and (pd.api.types.is_integer_dtype(col.dtype)
+                     or pd.api.types.is_bool_dtype(col.dtype))
+            ):  # pandas Int8..Int64 / boolean nullable dtypes
+                write_nullable(g, c, col,
+                               pd.api.types.is_bool_dtype(col.dtype))
+            elif col.dtype == object and _object_kind(col) is not None:
+                write_nullable(g, c, col, _object_kind(col) == "bool")
+            elif (col.dtype == object or str(col.dtype) == "category"
+                  or isinstance(col.dtype, pd.StringDtype)):
+                # StringDtype included: modern pandas infers it for string
+                # columns, and the plain string-array fallback would
+                # stringify missing values to a literal "nan"
+                s = (col if str(col.dtype) == "category"
+                     else col.astype("category"))
                 cg = enc(g.create_group(c), "categorical", "0.2.0")
                 cg.attrs["ordered"] = False
                 enc(cg.create_dataset("categories",

@@ -237,17 +237,6 @@ class ALPINE:
             suggest_data_dtype(adata.X) if self.data_dtype == "auto"
             else self.data_dtype
         )
-        if mp and self.data_dtype == "auto":
-            # harmonize: local shards may resolve differently (one shard's
-            # max count <= 127, another's not); every process must compile
-            # and store under ONE regime — take the widest resolution
-            from alpine_tpu.parallel import distributed as dist
-
-            order = ("int8", "int16", "bfloat16", "float32")
-            codes = dist.process_allgather_rows(
-                np.asarray([order.index(resolved_dtype)], np.int64)
-            )
-            resolved_dtype = order[int(codes.max())]
 
         fe = FeatureEncoders(covariate_keys)
         Y: List[Float32Array] = fe.fit_transform(adata.obs)
@@ -270,13 +259,33 @@ class ALPINE:
                     hashlib.sha256(blob.encode()).digest()[:6], "big"
                 )
 
+            # the ctor dtype REGIME must be part of this FIRST collective:
+            # a rank constructed with data_dtype="auto" runs the
+            # harmonization allgather below while an explicit-dtype rank
+            # skips it, so a mixed fleet would misalign the collective
+            # sequence itself (hang/garbage) before any later check fires;
+            # differing explicit dtypes would compile different lockstep
+            # programs.  Both must die HERE with a clear error.
+            dtype_regimes = ("auto", "float32", "bfloat16", "int16", "int8")
             dist.assert_same_across_processes(
-                [adata.shape[1], placement.local_cell_shards]
+                [adata.shape[1], placement.local_cell_shards,
+                 dtype_regimes.index(self.data_dtype)]
                 + [y.shape[0] for y in Ys]
                 + [label_hash(k) for k in covariate_keys],
                 "per-process fit inputs (gene count, per-process device "
-                "count, covariate label sets)",
+                "count, data_dtype setting, covariate label sets)",
             )
+            if self.data_dtype == "auto":
+                # harmonize: local shards may resolve differently (one
+                # shard's max count <= 127, another's not); every process
+                # must compile and store under ONE regime — take the widest
+                # resolution.  Collective-safe: the assert above guarantees
+                # every rank is in auto mode.
+                order = ("int8", "int16", "bfloat16", "float32")
+                codes = dist.process_allgather_rows(
+                    np.asarray([order.index(resolved_dtype)], np.int64)
+                )
+                resolved_dtype = order[int(codes.max())]
             # shard sizes need NOT be equal (h5ad row-range ingestion gives
             # near-equal ones): collect each chunk's cell count, ordered by
             # its position along the mesh cell axis — this fixes the global
@@ -1305,10 +1314,16 @@ class ALPINE:
             # branch would deadlock whenever processes disagree on the hit
             from alpine_tpu.parallel import distributed as dist
 
+            # include the model's resolved storage regime: ranks holding
+            # models fitted/loaded under different data_dtype_ would
+            # compile different lockstep programs (e.g. mismatched
+            # save/load files per host)
+            regimes = ("float32", "bfloat16", "int16", "int8")
             dist.assert_same_across_processes(
-                [adata.shape[1], placement.local_cell_shards],
+                [adata.shape[1], placement.local_cell_shards,
+                 regimes.index(self._storage_dtype)],
                 "per-process transform inputs (genes, per-process device "
-                "count)",
+                "count, model storage dtype)",
             )
             # near-equal shards allowed (h5ad row-range ingestion): agree
             # on the global width, the per-chunk H0 offsets and one common

@@ -164,9 +164,10 @@ def chunk_cell_sizes(placement, n_local: int) -> np.ndarray:
     # leave its peers blocked in this very collective (the repo-wide
     # collective-failure discipline — every rank must see the bad size and
     # raise together)
-    pairs = process_allgather_rows(
-        np.asarray([placement.process_chunk_index, int(n_local)], np.int64)
-    )
+    pairs = process_allgather_rows(np.asarray(
+        [placement.process_chunk_index, int(n_local), process_index()],
+        np.int64,
+    ))
     if (pairs[:, 1] <= 0).any():
         raise ValueError(
             "every process of a multi-process fit must hold at least one "
@@ -179,6 +180,24 @@ def chunk_cell_sizes(placement, n_local: int) -> np.ndarray:
             f"0..{placement.n_processes - 1} (got {chunks.tolist()}); every "
             "process must own one contiguous run of the mesh cell axis "
             "(use distributed.global_cell_mesh)."
+        )
+    if (pairs[:, 0] != pairs[:, 2]).any():
+        # legal (a custom mesh may order chunks differently), but the
+        # documented ingestion recipe keys file row ranges by PROCESS
+        # index (process_cell_range) while chunk positions decide the
+        # global cell order — mispaired shards still fit, but the
+        # trajectory/H0 layout no longer matches the single-process fit
+        # of the same file
+        import warnings
+
+        warnings.warn(
+            "multi-process mesh chunk order differs from process order "
+            f"((chunk, process) pairs: {pairs[:, [0, 2]].tolist()}); if "
+            "per-process shards were ingested with process_cell_range "
+            "(keyed by process index), pass its process_index_ argument "
+            "as Placement.process_chunk_index so file rows land at their "
+            "chunk positions.",
+            stacklevel=2,
         )
     sizes = np.zeros(placement.n_processes, dtype=np.int64)
     sizes[chunks] = pairs[:, 1]

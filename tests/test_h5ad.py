@@ -370,6 +370,47 @@ def test_write_sparse_x_sums_duplicates_without_mutating(tmp_path):
     )
 
 
+def test_nullable_numeric_obs_columns_round_trip(tmp_path):
+    """Nullable integer/boolean obs columns (pandas Int64/boolean dtypes,
+    or the object int/None columns the reader itself produces) must
+    round-trip as NUMBERS + None — the old categorical fallback stringified
+    them (1 -> \"1\"), corrupting numeric metadata for scanpy sessions."""
+    obs = pd.DataFrame(
+        {
+            "n_counts": pd.array([5, None, 7], dtype="Int64"),
+            "flag": pd.array([True, None, False], dtype="boolean"),
+            "obj_int": np.array([1, None, 3], dtype=object),
+            "obj_bool": np.array([True, None, False], dtype=object),
+            "strings": np.array(["a", None, "b"], dtype=object),
+        },
+        index=["c0", "c1", "c2"],
+    )
+    ad = AnnData(np.ones((3, 2), np.float32), obs=obs)
+    p = str(tmp_path / "nullable_rt.h5ad")
+    write_h5ad(ad, p)
+    with h5py.File(p, "r") as f:
+        assert f["obs"]["n_counts"].attrs["encoding-type"] == "nullable-integer"
+        assert f["obs"]["flag"].attrs["encoding-type"] == "nullable-boolean"
+        assert f["obs"]["obj_int"].attrs["encoding-type"] == "nullable-integer"
+        assert f["obs"]["obj_bool"].attrs["encoding-type"] == "nullable-boolean"
+        assert f["obs"]["strings"].attrs["encoding-type"] == "categorical"
+    back = read_h5ad(p)
+    assert list(back.obs["n_counts"]) == [5, None, 7]
+    assert list(back.obs["flag"]) == [True, None, False]
+    assert list(back.obs["obj_int"]) == [1, None, 3]
+    assert list(back.obs["obj_bool"]) == [True, None, False]
+    s = back.obs["strings"]
+    assert list(s[~s.isna()]) == ["a", "b"] and bool(s.isna().iloc[1])
+    # and a second write of what the reader produced is stable (the reader
+    # emits object columns of ints/None — the exact shape the old code
+    # corrupted)
+    p2 = str(tmp_path / "nullable_rt2.h5ad")
+    write_h5ad(back, p2)
+    again = read_h5ad(p2)
+    assert list(again.obs["n_counts"]) == [5, None, 7]
+    assert list(again.obs["obj_int"]) == [1, None, 3]
+
+
 def test_csc_range_read_sums_duplicates_and_respects_dtype(tmp_path):
     """Hand-built non-canonical CSC files carry duplicate entries whose
     dense value is their SUM (what scipy's todense returns); the streamed
@@ -408,23 +449,36 @@ def test_chunk_cell_sizes_gathers_before_validating(monkeypatch):
     def fake_gather(row):
         gathered.append(np.asarray(row))
         # what every rank sees: rank 1 reports zero cells
-        return np.asarray([[0, 7], [1, 0]], np.int64)
+        return np.asarray([[0, 7, 0], [1, 0, 1]], np.int64)
 
     monkeypatch.setattr(dist, "process_allgather_rows", fake_gather)
     with pytest.raises(ValueError, match="at least one"):
         dist.chunk_cell_sizes(FakePlacement(), 7)
     assert len(gathered) == 1  # the collective ran BEFORE the raise
-    # and the healthy path orders sizes by chunk index
+    # the healthy path orders sizes by chunk index; a chunk order that
+    # differs from process order warns about the ingestion-recipe pairing
     monkeypatch.setattr(
         dist, "process_allgather_rows",
-        lambda row: np.asarray([[1, 48], [0, 47]], np.int64),
+        lambda row: np.asarray([[1, 48, 0], [0, 47, 1]], np.int64),
     )
-    sizes = dist.chunk_cell_sizes(FakePlacement(), 47)
+    with pytest.warns(UserWarning, match="chunk order differs"):
+        sizes = dist.chunk_cell_sizes(FakePlacement(), 47)
+    assert sizes.tolist() == [47, 48]
+    # aligned chunk/process order: no warning
+    import warnings as _w
+
+    monkeypatch.setattr(
+        dist, "process_allgather_rows",
+        lambda row: np.asarray([[0, 47, 0], [1, 48, 1]], np.int64),
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        sizes = dist.chunk_cell_sizes(FakePlacement(), 47)
     assert sizes.tolist() == [47, 48]
     # non-permutation chunk indices (broken mesh ownership) raise clearly
     monkeypatch.setattr(
         dist, "process_allgather_rows",
-        lambda row: np.asarray([[0, 48], [0, 47]], np.int64),
+        lambda row: np.asarray([[0, 48, 0], [0, 47, 1]], np.int64),
     )
     with pytest.raises(ValueError, match="permutation"):
         dist.chunk_cell_sizes(FakePlacement(), 48)

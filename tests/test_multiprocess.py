@@ -283,6 +283,19 @@ det_ok = int(sum(1 for t in opt_det.trials.trials
 assert det_counts.sum() > det_ok or det_ok == 0, (det_counts, det_ok)
 assert det_counts.sum() < nprocs * det_ok + nprocs, (det_counts, det_ok)
 
+# mixed data_dtype REGIMES across ranks must die in the FIRST collective
+# with a clear error on every rank: a rank in auto mode runs a
+# harmonization allgather that explicit ranks skip, so letting the fit
+# proceed would misalign the collective sequences themselves (hang)
+mix_kw = {k: v for k, v in kw.items() if k != "data_dtype"}
+mix = ALPINE(device=mesh, data_dtype=("auto" if pid == 1 else "float32"),
+             **mix_kw)
+try:
+    mix.fit(adata_local, ["batch", "condition"], max_iter=2)
+    raise AssertionError("expected ValueError for mixed data_dtype")
+except ValueError as e:
+    assert "differs across processes" in str(e), e
+
 # coordinator gating helper
 assert dist.is_coordinator() == (pid == 0)
 print(f"WORKER-{pid}-OK", flush=True)
