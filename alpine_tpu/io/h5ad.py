@@ -31,8 +31,12 @@ def _node_shape(node) -> tuple:
 
     if isinstance(node, h5py.Dataset):
         return tuple(node.shape)
-    if "shape" in node.attrs:
-        return tuple(int(v) for v in node.attrs["shape"])
+    # "shape" is the anndata encoding; h5sparse-era files (the legacy
+    # format _sparse_rows' h5sparse_format fallback exists for) store it
+    # as "h5sparse_shape" instead
+    for key in ("shape", "h5sparse_shape"):
+        if key in node.attrs:
+            return tuple(int(v) for v in node.attrs[key])
     raise ValueError("h5ad node has no shape metadata")
 
 
@@ -297,8 +301,11 @@ def write_h5ad(adata: AnnData, path: str) -> None:
     def _object_kind(col):
         """'bool'/'int' when every non-null element of an object column is
         a bool/integer (the reader's nullable output), else None."""
-        nonnull = [v for v in col if v is not None
-                   and not (isinstance(v, float) and np.isnan(v))]
+        # pandas-native NA detection: None, float nan AND pd.NA (e.g. an
+        # Int64 column passed through .astype(object)) — a hand-rolled
+        # None/nan test misses pd.NA and the column would stringify
+        # through the categorical branch
+        nonnull = [v for v, na in zip(col, col.isna()) if not na]
         if not nonnull:
             return None
         if all(isinstance(v, (bool, np.bool_)) for v in nonnull):

@@ -259,21 +259,35 @@ class ALPINE:
                     hashlib.sha256(blob.encode()).digest()[:6], "big"
                 )
 
-            # the ctor dtype REGIME must be part of this FIRST collective:
-            # a rank constructed with data_dtype="auto" runs the
-            # harmonization allgather below while an explicit-dtype rank
-            # skips it, so a mixed fleet would misalign the collective
-            # sequence itself (hang/garbage) before any later check fires;
-            # differing explicit dtypes would compile different lockstep
-            # programs.  Both must die HERE with a clear error.
-            dtype_regimes = ("auto", "float32", "bfloat16", "int16", "int8")
+            # every fit argument that shapes the COLLECTIVE SEQUENCE must
+            # be part of this FIRST collective — a mixed fleet would
+            # otherwise misalign the sequence itself (silent hang/garbage)
+            # before any later check fires:
+            #  - data_dtype regime: an "auto" rank runs the harmonization
+            #    allgather below, an explicit-dtype rank skips it; differing
+            #    explicit dtypes compile different lockstep programs
+            #  - checkpoint_dir presence: run_checkpointed's host allgather
+            #    of resume states has no counterpart on a non-checkpointing
+            #    rank (checkpoint_every additionally keys the snapshot
+            #    schedule that the resume validation compares)
+            #  - max_iter: None runs a 200-iteration warm-up fit (psums) the
+            #    explicit rank never issues; differing values change the
+            #    per-iteration psum schedule
+            #  - batch_size: full-batch vs minibatch compile different
+            #    programs with different collective schedules
+            # All must die HERE with a clear error.
             dist.assert_same_across_processes(
                 [adata.shape[1], placement.local_cell_shards,
-                 dtype_regimes.index(self.data_dtype)]
+                 mu.DATA_DTYPES.index(self.data_dtype),
+                 int(checkpoint_dir is not None),
+                 checkpoint_every if checkpoint_dir is not None else -1,
+                 -1 if max_iter is None else int(max_iter),
+                 -1 if batch_size is None else int(batch_size)]
                 + [y.shape[0] for y in Ys]
                 + [label_hash(k) for k in covariate_keys],
                 "per-process fit inputs (gene count, per-process device "
-                "count, data_dtype setting, covariate label sets)",
+                "count, data_dtype setting, checkpointing, max_iter, "
+                "batch_size, covariate label sets)",
             )
             if self.data_dtype == "auto":
                 # harmonize: local shards may resolve differently (one
@@ -281,11 +295,10 @@ class ALPINE:
                 # must compile and store under ONE regime — take the widest
                 # resolution.  Collective-safe: the assert above guarantees
                 # every rank is in auto mode.
-                order = ("int8", "int16", "bfloat16", "float32")
-                codes = dist.process_allgather_rows(
-                    np.asarray([order.index(resolved_dtype)], np.int64)
-                )
-                resolved_dtype = order[int(codes.max())]
+                codes = dist.process_allgather_rows(np.asarray(
+                    [mu.STORAGE_DTYPES.index(resolved_dtype)], np.int64
+                ))
+                resolved_dtype = mu.STORAGE_DTYPES[int(codes.max())]
             # shard sizes need NOT be equal (h5ad row-range ingestion gives
             # near-equal ones): collect each chunk's cell count, ordered by
             # its position along the mesh cell axis — this fixes the global
@@ -636,6 +649,13 @@ class ALPINE:
             W, H, Bs, fit_key = init_state(cfg0)
             chunk_size = max(1, min(50, -(-n_iter // 10)))
             done, parts, cfg = 0, [], cfg0
+            # one copy of each progress line per fit, not one per process
+            # (same gate as run_checkpointed's per-chunk print)
+            coordinator = True
+            if mp:
+                from alpine_tpu.parallel import distributed as dist
+
+                coordinator = dist.is_coordinator()
             while done < n_iter:
                 c = min(chunk_size, n_iter - done)
                 cfg = self._make_cfg(Ys, n_sample, c, trim_h=not mp)
@@ -643,11 +663,12 @@ class ALPINE:
                 L = np.asarray(jax.device_get(L))
                 parts.append(L)
                 done += c
-                print(
-                    f"ALPINE fit: iteration {done}/{n_iter}, "
-                    f"objective loss {L[-1, 0]:.6g}",
-                    flush=True,
-                )
+                if coordinator:
+                    print(
+                        f"ALPINE fit: iteration {done}/{n_iter}, "
+                        f"objective loss {L[-1, 0]:.6g}",
+                        flush=True,
+                    )
             return cfg, (W, H, Bs, np.concatenate(parts))
 
         # progress bar contract (reference main.py:489-494, 669-671):
@@ -1318,10 +1339,9 @@ class ALPINE:
             # models fitted/loaded under different data_dtype_ would
             # compile different lockstep programs (e.g. mismatched
             # save/load files per host)
-            regimes = ("float32", "bfloat16", "int16", "int8")
             dist.assert_same_across_processes(
                 [adata.shape[1], placement.local_cell_shards,
-                 regimes.index(self._storage_dtype)],
+                 mu.STORAGE_DTYPES.index(self._storage_dtype)],
                 "per-process transform inputs (genes, per-process device "
                 "count, model storage dtype)",
             )
@@ -1497,12 +1517,9 @@ class ALPINE:
         if self.matmul_precision not in ("highest", "default"):
             raise ValueError("matmul_precision must be 'highest' or 'default'.")
 
-        if self.data_dtype not in ("auto", "float32", "bfloat16", "int8",
-                                   "int16"):
-            raise ValueError(
-                "data_dtype must be 'auto', 'float32', 'bfloat16', 'int8', "
-                "or 'int16'."
-            )
+        if self.data_dtype not in mu.DATA_DTYPES:
+            choices = ", ".join(f"'{d}'" for d in mu.DATA_DTYPES)
+            raise ValueError(f"data_dtype must be one of: {choices}.")
 
     def _validate_fit_args(
         self, adata, covariate_keys, batch_size, max_iter, sampling_method, verbose

@@ -78,6 +78,18 @@ def guided_width(blocks: Tuple[int, ...]) -> int:
     return sum(blocks[:-1])
 
 
+# THE model-layer data_dtype vocabulary (single source of truth; the ctor
+# whitelist, fit's auto-harmonization and the multi-process wire codes all
+# derive from these — CLAUDE.md "single sources of truth").  STORAGE_DTYPES
+# is ordered narrowest -> widest storage: fit's auto-resolution
+# harmonization takes the MAX index across process shards, and both tuples
+# serve as cross-process wire codes (allgathered INDEX equality), so per-
+# site copies that could drift are forbidden.  "float64" (x_storage_dtype's
+# exactness-testing alias) is deliberately not a model-layer choice.
+STORAGE_DTYPES = ("int8", "int16", "bfloat16", "float32")
+DATA_DTYPES = ("auto",) + STORAGE_DTYPES
+
+
 def x_storage_dtype(x_dtype: str):
     """THE storage-name → dtype mapping for X (single source of truth;
     MUConfig.xdt and the model layer's itemsize arithmetic both use it)."""

@@ -190,11 +190,11 @@ class ComponentOptimizer:
                 f"Unknown sampling method: {sampling_method}. Only 'weighted', "
                 "and 'random' are supported."
             )
-        if data_dtype not in ("auto", "float32", "bfloat16", "int8", "int16"):
-            raise ValueError(
-                "data_dtype must be 'auto', 'float32', 'bfloat16', 'int8', "
-                "or 'int16'."
-            )
+        from alpine_tpu.ops import mu
+
+        if data_dtype not in mu.DATA_DTYPES:
+            choices = ", ".join(f"'{d}'" for d in mu.DATA_DTYPES)
+            raise ValueError(f"data_dtype must be one of: {choices}.")
 
         from alpine_tpu.parallel.mesh import Placement, resolve_device
 

@@ -411,6 +411,58 @@ def test_nullable_numeric_obs_columns_round_trip(tmp_path):
     assert list(again.obs["obj_int"]) == [1, None, 3]
 
 
+def test_object_column_with_pd_na_writes_nullable(tmp_path):
+    """pd.NA in an object column (e.g. an Int64 array passed through
+    .astype(object)) must be recognized as missing: the old hand-rolled
+    None/NaN test let pd.NA through, failed the all-int check, and
+    stringified the column via the categorical branch (1 -> \"1\")."""
+    obs = pd.DataFrame(
+        {
+            "na_int": pd.array([1, None, 3], dtype="Int64").astype(object),
+            "na_bool": pd.array([True, None, False],
+                                dtype="boolean").astype(object),
+        },
+        index=["c0", "c1", "c2"],
+    )
+    assert obs["na_int"].iloc[1] is pd.NA  # the shape under test
+    ad = AnnData(np.ones((3, 2), np.float32), obs=obs)
+    p = str(tmp_path / "pd_na.h5ad")
+    write_h5ad(ad, p)
+    with h5py.File(p, "r") as f:
+        assert f["obs"]["na_int"].attrs["encoding-type"] == "nullable-integer"
+        assert f["obs"]["na_bool"].attrs["encoding-type"] == "nullable-boolean"
+    back = read_h5ad(p)
+    assert list(back.obs["na_int"]) == [1, None, 3]
+    assert list(back.obs["na_bool"]) == [True, None, False]
+
+
+def test_read_h5sparse_legacy_attrs(tmp_path):
+    """h5sparse-era files store their format/shape as h5sparse_format /
+    h5sparse_shape attrs (no anndata 'encoding-type'/'shape'); both the
+    full read and the out-of-core obs_range read must honor them — shape
+    first (reads died on the missing 'shape' before the format fallback
+    could even fire), and the format attr disambiguates a SQUARE matrix
+    whose indptr length fits both axes."""
+    from alpine_tpu.io.h5ad import h5ad_dims
+
+    r = np.random.default_rng(3)
+    X = ((r.random((6, 6)) < 0.5) * r.random((6, 6))).astype(np.float32)
+    for fmt, mat in (("csr", sparse.csr_matrix(X)),
+                     ("csc", sparse.csc_matrix(X))):
+        p = str(tmp_path / f"h5sparse_{fmt}.h5ad")
+        with h5py.File(p, "w") as f:
+            g = f.create_group("X")
+            g.attrs["h5sparse_format"] = fmt
+            g.attrs["h5sparse_shape"] = np.asarray(X.shape, np.int64)
+            g.create_dataset("data", data=mat.data)
+            g.create_dataset("indices", data=mat.indices)
+            g.create_dataset("indptr", data=mat.indptr)
+        assert h5ad_dims(p) == (6, 6)
+        np.testing.assert_allclose(np.asarray(read_h5ad(p).X), X, rtol=1e-6)
+        part = read_h5ad(p, obs_range=(2, 5))
+        np.testing.assert_allclose(np.asarray(part.X), X[2:5], rtol=1e-6)
+
+
 def test_csc_range_read_sums_duplicates_and_respects_dtype(tmp_path):
     """Hand-built non-canonical CSC files carry duplicate entries whose
     dense value is their SUM (what scipy's todense returns); the streamed

@@ -296,6 +296,19 @@ try:
 except ValueError as e:
     assert "differs across processes" in str(e), e
 
+# mixed checkpoint_dir PRESENCE must die the same way: the checkpointing
+# rank runs run_checkpointed's resume-state allgather, which has no
+# counterpart on the plain rank — without the first-collective check the
+# fleet deadlocks with no error anywhere
+mixck = ALPINE(device=mesh, **kw)
+try:
+    mixck.fit(adata_local, ["batch", "condition"], max_iter=2,
+              checkpoint_dir=(os.path.join(workdir, "mix_ck")
+                              if pid == 0 else None))
+    raise AssertionError("expected ValueError for mixed checkpoint_dir")
+except ValueError as e:
+    assert "differs across processes" in str(e), e
+
 # coordinator gating helper
 assert dist.is_coordinator() == (pid == 0)
 print(f"WORKER-{pid}-OK", flush=True)
