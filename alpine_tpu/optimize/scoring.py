@@ -119,7 +119,6 @@ def _python_louvain(
     """Pure-Python Louvain (local move + aggregation, no refinement) —
     fallback when the native Leiden library cannot be built."""
     rng = np.random.default_rng(seed)
-    labels = np.arange(n, dtype=np.int64)
     cur_src, cur_dst, cur_w = src.astype(np.int64), dst.astype(np.int64), weight.astype(np.float64)
     node_map = np.arange(n, dtype=np.int64)
     n_cur = n

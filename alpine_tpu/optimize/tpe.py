@@ -336,10 +336,17 @@ class rand:
 
 def _normalize_result(result) -> Dict[str, Any]:
     """Coerce an objective's return into the trial-result dict shape
-    (bare floats become STATUS_OK records, as in hyperopt)."""
-    if not isinstance(result, dict) or "status" not in result:
-        result = {"loss": float(result), "status": STATUS_OK}
-    return result
+    (bare floats become STATUS_OK records, as in hyperopt).  A dict
+    missing 'status' is a contract violation — name it instead of
+    letting float(dict) raise an unrelated TypeError."""
+    if isinstance(result, dict):
+        if "status" not in result:
+            raise ValueError(
+                "objective result dict must include a 'status' key "
+                f"(hyperopt contract); got keys {sorted(result)}"
+            )
+        return result
+    return {"loss": float(result), "status": STATUS_OK}
 
 
 def _next_tid(trials: Trials) -> int:
@@ -431,11 +438,13 @@ def fmin_parallel(
     bit-identical while shipping exactly one float per trial.
 
     ``round_size()`` (default: ``n_workers``) bounds a round's parallel
-    width.  A size-1 round is evaluated REPLICATED by every worker with no
-    exchange — the hook for warm-up trials whose evaluation has side
-    effects every worker must replay identically (e.g. max_iter elbow
-    detection).  Workers whose index exceeds a round's width evaluate
-    nothing but still join the exchange.  A round narrowed only by the
+    width.  A size-1 round is evaluated REPLICATED by every worker (no
+    loss exchange; with n_workers > 1 an ok/error flag is still exchanged
+    so a raising worker fails the whole fleet instead of leaving peers in
+    a later collective) — the hook for warm-up trials whose evaluation
+    has side effects every worker must replay identically (e.g. max_iter
+    elbow detection).  Workers whose index exceeds a round's width
+    evaluate nothing but still join the exchange.  A round narrowed only by the
     remaining-eval budget (fewer than ``round_size()`` trials left) stays
     a PARALLEL round: worker 0 evaluates and the rest adopt the exchanged
     loss — never a silent fan-out to n_workers redundant evaluations,
@@ -475,9 +484,35 @@ def fmin_parallel(
         want = max(1, min(want, n_workers))
         if want == 1:
             # replicated round: every worker evaluates the same point and
-            # appends the same result — no exchange, side effects replayed
+            # appends the same result (no loss exchange, side effects
+            # replayed).  Failure containment still needs one collective
+            # when workers exist: a worker whose fn raises here would
+            # otherwise die alone while its peers advance into the next
+            # round's exchange and hang forever (the exact hang the
+            # parallel-round NaN protocol below prevents) — so exchange an
+            # ok/error FLAG, then raise together.
             vals = algo(exprs, trials, rng)
-            result = _normalize_result(fn(_evaluate_space(space, vals)))
+            result, my_error = None, None
+            try:
+                result = _normalize_result(fn(_evaluate_space(space, vals)))
+            except Exception as exc:
+                if n_workers == 1:
+                    raise
+                my_error = exc
+            if n_workers > 1:
+                flag = 0.0 if my_error is None else float("nan")
+                flags = np.asarray(exchange_losses(flag), dtype=np.float64)
+                if my_error is not None:
+                    # the collective is complete — peers are unblocked
+                    raise my_error
+                bad = [j for j in range(n_workers) if np.isnan(flags[j])]
+                if bad:
+                    raise RuntimeError(
+                        f"worker(s) {bad} failed during a replicated round "
+                        "(their objective raised; see their logs) — "
+                        "aborting this worker too so no process is left "
+                        "waiting in a collective."
+                    )
             _append(tid, vals, result)
             tid += 1
             continue

@@ -163,11 +163,25 @@ def chunk_cell_sizes(placement, n_local: int) -> np.ndarray:
     # gather BEFORE validating: a process raising unilaterally here would
     # leave its peers blocked in this very collective (the repo-wide
     # collective-failure discipline — every rank must see the bad size and
-    # raise together)
+    # raise together).  That includes process_chunk_index itself (it
+    # raises on non-contiguous/zero device ownership) — ship a -1
+    # sentinel through the gather instead of raising before it.
+    try:
+        chunk = int(placement.process_chunk_index)
+        chunk_err = ""
+    except ValueError as exc:
+        chunk, chunk_err = -1, str(exc)
     pairs = process_allgather_rows(np.asarray(
-        [placement.process_chunk_index, int(n_local), process_index()],
-        np.int64,
+        [chunk, int(n_local), process_index()], np.int64,
     ))
+    if (pairs[:, 0] < 0).any():
+        bad = pairs[pairs[:, 0] < 0, 2].tolist()
+        raise ValueError(
+            f"process(es) {bad} could not place their devices on the mesh "
+            "cell axis"
+            + (f": {chunk_err}" if chunk_err else
+               " (see the failing process's log for the placement error).")
+        )
     if (pairs[:, 1] <= 0).any():
         raise ValueError(
             "every process of a multi-process fit must hold at least one "

@@ -201,7 +201,14 @@ class Placement:
                 "multi-process meshes must give each process a contiguous "
                 "run of the cell axis (use distributed.global_cell_mesh)"
             )
-        return idxs[0] // len(idxs)
+        # rank = position of this run's first device among every process's
+        # first device (NOT idxs[0] // len(idxs), which assumes equal
+        # per-process device counts — unequal ownership would collide
+        # chunk indices and mask the real error downstream)
+        firsts = {}
+        for i, d in enumerate(flat):
+            firsts.setdefault(d.process_index, i)
+        return sorted(firsts.values()).index(idxs[0])
 
     def _from_local(self, arr, spec: P, cell_dim: Optional[int]):
         """Assemble a global array from this process's local shard.
@@ -318,4 +325,17 @@ class Placement:
                     "expected a cell-sharded fit output."
                 )
             prev_stop = stop
+        # overlap alone cannot catch a replicated array when this process
+        # holds ONE addressable shard (it spans all columns without
+        # overlapping anything) — the local width must be exactly this
+        # process's share of the cell axis
+        total = sum(stop - start for start, stop, _ in shards)
+        if total * self.cell_shards != n_cols * self.local_cell_shards:
+            raise ValueError(
+                "local_cells_columns: this process's shards span "
+                f"{total}/{n_cols} columns, expected "
+                f"{self.local_cell_shards}/{self.cell_shards} of the cell "
+                "axis (the array is replicated or was resharded); expected "
+                "a cell-sharded fit output."
+            )
         return np.concatenate([np.asarray(d) for _, _, d in shards], axis=1)

@@ -293,9 +293,16 @@ def _last_recorded_context():
     Attached to the unreachable-device error row so an outage leaves an
     honest pointer at the round's measured artifact instead of a bare 0."""
     import glob
+    import re
+
+    def round_num(p):
+        # numeric round order — lexicographic sorting would put r10 < r2
+        m = re.search(r"BENCH_CONFIGS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
 
     paths = sorted(glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_CONFIGS_r*.json")))
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_CONFIGS_r*.json")), key=round_num)
     for path in reversed(paths):
         try:
             with open(path) as f:

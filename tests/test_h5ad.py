@@ -536,6 +536,45 @@ def test_chunk_cell_sizes_gathers_before_validating(monkeypatch):
         dist.chunk_cell_sizes(FakePlacement(), 48)
 
 
+def test_chunk_cell_sizes_ships_placement_errors_through_gather(monkeypatch):
+    """process_chunk_index itself can raise (non-contiguous / zero device
+    ownership); the failure must ride the allgather as a -1 sentinel so
+    every rank raises together instead of one dying before the collective
+    and the rest blocking in it forever."""
+    from alpine_tpu.parallel import distributed as dist
+
+    class RaisingPlacement:
+        n_processes = 2
+
+        @property
+        def process_chunk_index(self):
+            raise ValueError("devices are not contiguous")
+
+    gathered = []
+
+    def fake_gather(row):
+        gathered.append(np.asarray(row))
+        return np.asarray([[-1, 48, 0], [0, 47, 1]], np.int64)
+
+    monkeypatch.setattr(dist, "process_allgather_rows", fake_gather)
+    with pytest.raises(ValueError, match="not contiguous"):
+        dist.chunk_cell_sizes(RaisingPlacement(), 48)
+    assert len(gathered) == 1 and gathered[0][0] == -1  # gather ran first
+
+    # the healthy peer's view of the same failure: its own placement is
+    # fine, a remote rank shipped the sentinel — it must raise too
+    class OkPlacement:
+        n_processes = 2
+        process_chunk_index = 0
+
+    monkeypatch.setattr(
+        dist, "process_allgather_rows",
+        lambda row: np.asarray([[-1, 48, 0], [0, 47, 1]], np.int64),
+    )
+    with pytest.raises(ValueError, match="could not place"):
+        dist.chunk_cell_sizes(OkPlacement(), 47)
+
+
 def test_process_cell_range_arithmetic():
     """Near-equal contiguous split: ranges partition [0, n), sizes differ
     by at most one, the first n%p processes take the extra cell."""

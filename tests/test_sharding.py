@@ -461,3 +461,71 @@ def test_callback_probe_cache_keys_on_mesh_devices():
     assert len(keys) == 3, keys
     # every key carries the actual platform, never a "mesh" placeholder
     assert all(k[0] == devs[0].platform for k in keys), keys
+
+
+def test_local_cells_columns_width_guard():
+    """A replicated (or fully-resharded) array held as ONE addressable
+    shard passes the overlap check trivially — the guard must also verify
+    the local width is exactly this process's share of the cell axis, or
+    every process would silently keep the global array's first n_local
+    columns as 'its' embedding."""
+    from types import SimpleNamespace
+
+    from alpine_tpu.parallel.mesh import Placement
+
+    def fake_h(col_slices, n_cols):
+        shards = [SimpleNamespace(index=(slice(None), sl),
+                                  data=np.ones((3, (sl.stop or n_cols)
+                                                - (sl.start or 0))))
+                  for sl in col_slices]
+        return SimpleNamespace(shape=(3, n_cols), addressable_shards=shards)
+
+    stub = SimpleNamespace(is_multiprocess=True, cell_shards=4,
+                           local_cell_shards=1)
+    # replicated: one shard spanning all 8 columns on a 1-of-4 process
+    with pytest.raises(ValueError, match="replicated or was resharded"):
+        Placement.local_cells_columns(stub, fake_h([slice(None)], 8))
+    # correct cell-sharded output: this process's 2 of 8 columns
+    out = Placement.local_cells_columns(stub, fake_h([slice(2, 4)], 8))
+    assert out.shape == (3, 2)
+    # two local shards that overlap (replication across local devices)
+    stub2 = SimpleNamespace(is_multiprocess=True, cell_shards=2,
+                            local_cell_shards=2)
+    with pytest.raises(ValueError, match="overlap"):
+        Placement.local_cells_columns(
+            stub2, fake_h([slice(0, 8), slice(0, 8)], 8))
+
+
+def test_process_chunk_index_handles_unequal_device_runs(monkeypatch):
+    """The chunk rank is the position of this process's first device among
+    every process's first device — idxs[0] // len(idxs) silently collides
+    ranks when processes own unequal device counts (p0: 2 devices, p1: 6
+    -> both 0) and the downstream 'not a permutation' error would blame
+    the wrong thing."""
+    from types import SimpleNamespace
+
+    from alpine_tpu.parallel.mesh import Placement
+
+    def fake_placement(owner_by_pos):
+        devs = np.empty(len(owner_by_pos), dtype=object)
+        for i, pid in enumerate(owner_by_pos):
+            devs[i] = SimpleNamespace(process_index=pid)
+        return SimpleNamespace(is_multiprocess=True,
+                               mesh=SimpleNamespace(devices=devs))
+
+    p = fake_placement([0, 0, 1, 1, 1, 1, 1, 1])  # p0: 2 devs, p1: 6
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    assert Placement.process_chunk_index.fget(p) == 0
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert Placement.process_chunk_index.fget(p) == 1
+    # chunk order need not follow process order (custom meshes)
+    q = fake_placement([1, 1, 1, 0])
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    assert Placement.process_chunk_index.fget(q) == 1
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert Placement.process_chunk_index.fget(q) == 0
+    # non-contiguous ownership still raises
+    nc = fake_placement([0, 1, 0, 1])
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    with pytest.raises(ValueError, match="contiguous"):
+        Placement.process_chunk_index.fget(nc)

@@ -249,6 +249,62 @@ def test_worker_exception_surfaces_on_every_worker():
     assert isinstance(errors[0], RuntimeError) and "worker(s) [1]" in str(errors[0])
 
 
+def test_worker_exception_in_replicated_round_surfaces_everywhere():
+    # worker 1's objective raises inside a REPLICATED (round_size=1)
+    # round: without the ok/error flag exchange, worker 0 would append the
+    # trial and advance into the next round's collective while worker 1 is
+    # dead — the exact timeout-free hang the parallel protocol prevents
+    barrier = threading.Barrier(2)
+    shared = np.full(2, np.nan)
+    errors = {}
+
+    def run(widx):
+        def _fn(point):
+            if widx == 1:
+                raise ValueError("boom in replicated round")
+            return _objective(point)
+
+        def _ex(my_loss):
+            shared[widx] = my_loss
+            barrier.wait()
+            row = shared.copy()
+            barrier.wait()
+            return row
+
+        try:
+            fmin_parallel(
+                _fn, SPACE, fn_remote=_remote, exchange_losses=_ex,
+                n_workers=2, worker_index=widx, algo=tpe.suggest,
+                max_evals=10, trials=Trials(),
+                rstate=np.random.default_rng(5),
+                round_size=lambda: 1,
+            )
+        except BaseException as exc:
+            errors[widx] = exc
+            return
+        errors[widx] = None
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=60)
+    assert not any(th.is_alive() for th in threads), "a worker hung"
+    assert isinstance(errors[1], ValueError) and "boom" in str(errors[1])
+    assert (isinstance(errors[0], RuntimeError)
+            and "worker(s) [1]" in str(errors[0])
+            and "replicated" in str(errors[0]))
+
+
+def test_objective_dict_without_status_rejected_clearly():
+    # hyperopt's contract: dict results must carry 'status'; float(dict)
+    # previously raised an unrelated TypeError
+    with pytest.raises(ValueError, match="status"):
+        fmin(lambda point: {"loss": 1.2}, SPACE, algo=tpe.suggest,
+             max_evals=1, trials=Trials(),
+             rstate=np.random.default_rng(0))
+
+
 def test_nan_loss_coerced_identically_on_wire_and_record():
     # a genuinely-NaN objective loss must not be mistaken for the error
     # sentinel, and every worker must append the SAME (inf) record
