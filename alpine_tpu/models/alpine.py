@@ -259,6 +259,24 @@ class ALPINE:
                     hashlib.sha256(blob.encode()).digest()[:6], "big"
                 )
 
+            def ctor_digest():
+                # every ctor setting the lockstep trajectory depends on:
+                # use_als/loss_type/shapes change the compiled psum
+                # schedule (mixed fleets hang), scalar hypers are traced
+                # but desynchronize the replicated W/Bs (silently wrong
+                # results everywhere)
+                blob = repr((
+                    self.n_components, tuple(self.n_covariate_components),
+                    tuple(float(v) for v in np.atleast_1d(self.lam)),
+                    float(self.orth_W), float(self.alpha_W),
+                    float(self.l1_ratio_W), self.loss_type, self.use_als,
+                    self.scale_needed, float(self.eps), self.random_state,
+                    self.matmul_precision, self.component_bucket,
+                ))
+                return int.from_bytes(
+                    hashlib.sha256(blob.encode()).digest()[:6], "big"
+                )
+
             # every fit argument that shapes the COLLECTIVE SEQUENCE must
             # be part of this FIRST collective — a mixed fleet would
             # otherwise misalign the sequence itself (silent hang/garbage)
@@ -278,7 +296,7 @@ class ALPINE:
             # All must die HERE with a clear error.
             dist.assert_same_across_processes(
                 [adata.shape[1], placement.local_cell_shards,
-                 mu.DATA_DTYPES.index(self.data_dtype),
+                 mu.DATA_DTYPES.index(self.data_dtype), ctor_digest(),
                  int(checkpoint_dir is not None),
                  checkpoint_every if checkpoint_dir is not None else -1,
                  -1 if max_iter is None else int(max_iter),
@@ -286,8 +304,9 @@ class ALPINE:
                 + [y.shape[0] for y in Ys]
                 + [label_hash(k) for k in covariate_keys],
                 "per-process fit inputs (gene count, per-process device "
-                "count, data_dtype setting, checkpointing, max_iter, "
-                "batch_size, covariate label sets)",
+                "count, data_dtype setting, model hyperparameters, "
+                "checkpointing, max_iter, batch_size, covariate label "
+                "sets)",
             )
             if self.data_dtype == "auto":
                 # harmonize: local shards may resolve differently (one
@@ -373,6 +392,19 @@ class ALPINE:
             and not self.use_als
             and (self.batch_size < n_sample or sampling_method == "weighted")
         )
+        if mp and self.use_als and self.batch_size < n_sample:
+            # ALS is excluded from the shard-local sampler (no tested
+            # block-cyclic minibatch trajectory there), and the global
+            # sampler (fit_scan) assumes cell padding is a SUFFIX —
+            # multi-process chunks pad interleaved, so it would sample pad
+            # columns and never train the displaced real cells (silently
+            # wrong embeddings).  Process-uniform raise: use_als and
+            # batch_size were asserted equal in the first collective.
+            raise ValueError(
+                "ALS minibatch fits are not supported in multi-process "
+                "mode; use full-batch ALS (batch_size=None) or joint-mode "
+                "minibatch (use_als=False)."
+            )
         # ANY sharded fit needs equal cell shards (device_put / shard_map);
         # zero columns are exactly neutral and the KL pad constant is
         # stripped from the loss (mu.compute_loss_parts kl_pad)
@@ -1396,7 +1428,10 @@ class ALPINE:
                 X_array = np.pad(X_array, ((0, 0), (0, pad)))
             X = placement.put_x_matrix(X_array)
 
-        key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), 1)
+        # NOT fold_in(key, 1): that is bit-identical to split(key)[1] — the
+        # fit key — so the transform H0's bitstream coincided with the
+        # fit's per-iteration sampling keys (see mu.transform_key)
+        key = mu.transform_key(jax.random.PRNGKey(self.random_state))
         if mp:
             # draw the GLOBAL H0 identically on every process (matching the
             # single-device draw at the same global width), keep this

@@ -90,6 +90,21 @@ STORAGE_DTYPES = ("int8", "int16", "bfloat16", "float32")
 DATA_DTYPES = ("auto",) + STORAGE_DTYPES
 
 
+def transform_key(seed_key):
+    """Key for transform / validation-H0 draws, derived so it can never
+    collide with the fit-side stream.  ``fold_in(key, j)`` is bit-identical
+    to ``split(key)[j]`` in this JAX, so the old ``fold_in(key, 1)`` WAS
+    the fit key (``split(key)[1]``) — the validation init's uniform
+    bitstream coincided with the fit's per-iteration sampling keys.  The
+    large salt sits outside every split(...) index range in the repo
+    (splits are ≤ max_iter ≪ 2^30).  Single source of truth: the model's
+    transform and the batched CV transform must draw the SAME H0 stream
+    for the batched-vs-sequential score equivalence to hold."""
+    import jax
+
+    return jax.random.fold_in(seed_key, 0x7472616E)  # "tran"
+
+
 def x_storage_dtype(x_dtype: str):
     """THE storage-name → dtype mapping for X (single source of truth;
     MUConfig.xdt and the model layer's itemsize arithmetic both use it)."""

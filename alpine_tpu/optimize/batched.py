@@ -105,8 +105,10 @@ def prepare_fold_data(
     subset is then exactly representable)."""
     n_folds = len(folds)
     g = X_cells_by_genes.shape[1]
-    X_all = X_cells_by_genes.astype(np.float32)
-    Ys_all = [y.astype(np.float32) for y in Ys_cells_by_labels]
+    # asarray, not astype: astype always copies, and X is usually float32
+    # already — at atlas scale the avoidable copy is GBs of host RSS
+    X_all = np.asarray(X_cells_by_genes, np.float32)
+    Ys_all = [np.asarray(y, np.float32) for y in Ys_cells_by_labels]
     n_labels = tuple(y.shape[1] for y in Ys_all)
     storage_dt = np.dtype(mu.x_storage_dtype(x_dtype))
     compute_dt = np.dtype(mu.x_compute_dtype(storage_dt))
@@ -114,9 +116,15 @@ def prepare_fold_data(
     n_tr = max(len(tr) for tr, _ in folds)
     n_va = max(len(va) for _, va in folds)
 
-    Xtr = np.zeros((n_folds, g, n_tr), np.float32)
-    Xva = np.zeros((n_folds, g, n_va), np.float32)
-    Ystr = [np.zeros((n_folds, nl, n_tr), np.float32) for nl in n_labels]
+    # stage DIRECTLY at the target widths (assignment casts per fold
+    # slice): staging everything float32 and casting at upload would hold
+    # n_folds stacked f32 copies PLUS the narrow copy at peak — ~4-5x the
+    # transient host memory of a narrow-dtype search.  Integer casts
+    # truncate, which is exact here: the caller resolved integer dtypes
+    # from validated counts, so every value is an exact small integer.
+    Xtr = np.zeros((n_folds, g, n_tr), storage_dt)
+    Xva = np.zeros((n_folds, g, n_va), compute_dt)
+    Ystr = [np.zeros((n_folds, nl, n_tr), storage_dt) for nl in n_labels]
     weights = np.zeros((n_folds, n_tr), np.float32) if weighted else None
     for f, (tr, va) in enumerate(folds):
         Xtr[f, :, : len(tr)] = X_all[tr].T
@@ -154,12 +162,12 @@ def prepare_fold_data(
     tr_sizes = np.asarray([len(tr) for tr, _ in folds])[:, None, None]
     return FoldData(
         folds=folds, g=g, n_labels=n_labels, n_tr=n_tr, n_va=n_va,
-        # host-side cast: the narrow upload is also what lands on device
-        # (no transient f32 double-residency); one-hot Ys are exact in any
-        # storage dtype
-        Xtr=put_fold(jnp.asarray(Xtr.astype(storage_dt))),
-        Xva=put_fold(jnp.asarray(Xva.astype(compute_dt))),
-        Ystr=tuple(put_fold(jnp.asarray(y.astype(storage_dt))) for y in Ystr),
+        # already staged at the narrow widths above — the upload is also
+        # what lands on device (no transient f32 double-residency host- or
+        # device-side); one-hot Ys are exact in any storage dtype
+        Xtr=put_fold(jnp.asarray(Xtr)),
+        Xva=put_fold(jnp.asarray(Xva)),
+        Ystr=tuple(put_fold(jnp.asarray(y)) for y in Ystr),
         weights=put_fold(jnp.asarray(weights)) if weighted else None,
         valid_cols=put_fold(jnp.asarray(col < tr_sizes)),
         put_rep=put_rep, put_fold=put_fold, x_dtype=x_dtype,
@@ -261,8 +269,10 @@ def batched_fold_embeddings(
             Ws, Hs, Bss
         )
 
-    # batched validation transform (reference main.py:678-724 per fold)
-    t_key = jax.random.fold_in(key, 1)
+    # batched validation transform (reference main.py:678-724 per fold);
+    # key derivation must not collide with fit_key = split(key)[1] (see
+    # mu.transform_key) and must match the model layer's transform draw
+    t_key = mu.transform_key(key)
     H0v = jnp.maximum(
         jax.random.uniform(t_key, (sum(blocks), fd.n_va), dtype=jnp.float32), eps
     )

@@ -75,8 +75,12 @@ def generate_epoch_indices(
         # np.unique gives a deterministic, collision-free grouping of the
         # string labels (hash() is process-salted and collision-prone)
         _, ids = np.unique(np.asarray(joint_labels), return_inverse=True)
-        p = balanced_sample_probabilities(ids)
-        return rng.choice(n, size=n, replace=True, p=p.astype(np.float64) / p.sum())
+        # renormalize in float64 (divide by the FLOAT64 sum): dividing the
+        # f64 vector by the float32 p.sum() leaves a ~1e-7 residual that
+        # intermittently exceeds np.random.choice's sqrt(eps) tolerance
+        # and raises "probabilities do not sum to 1"
+        p64 = balanced_sample_probabilities(ids).astype(np.float64)
+        return rng.choice(n, size=n, replace=True, p=p64 / p64.sum())
     raise ValueError(
         f"Unknown sampling method: {sampling_method}. Only 'weighted', and 'random' are supported."
     )

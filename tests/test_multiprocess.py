@@ -309,6 +309,28 @@ try:
 except ValueError as e:
     assert "differs across processes" in str(e), e
 
+# ALS + minibatch is rejected multi-process on EVERY rank (the global
+# sampler assumes suffix padding; interleaved per-chunk pads would be
+# sampled while displaced real cells go untrained)
+mals = ALPINE(device=mesh, use_als=True,
+              **{k: v for k, v in kw.items()})
+try:
+    mals.fit(adata_local, ["batch", "condition"], max_iter=2, batch_size=24)
+    raise AssertionError("expected ValueError for mp ALS minibatch")
+except ValueError as e:
+    assert "ALS minibatch" in str(e), e
+
+# mixed ctor hyperparameters (lam here) must die in the first collective:
+# scalar hypers are traced, so a mixed fleet would not crash — the
+# replicated W/Bs would silently desynchronize instead
+mix_lam = ALPINE(device=mesh,
+                 **{**kw, "lam": [1.0, 2.0] if pid == 0 else [1.0, 3.0]})
+try:
+    mix_lam.fit(adata_local, ["batch", "condition"], max_iter=2)
+    raise AssertionError("expected ValueError for mixed lam")
+except ValueError as e:
+    assert "differs across processes" in str(e), e
+
 # coordinator gating helper
 assert dist.is_coordinator() == (pid == 0)
 print(f"WORKER-{pid}-OK", flush=True)

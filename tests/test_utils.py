@@ -158,3 +158,41 @@ def test_find_elbow_returns_none_without_threshold_crossing():
     from alpine_tpu.ops.elbow import find_elbow
 
     assert find_elbow(np.linspace(5.0, 1.0, 50)) is None
+
+
+def test_weighted_epoch_indices_many_classes_normalization():
+    """Regression: the weighted probability vector must be renormalized in
+    float64 (divide by the FLOAT64 sum) — dividing by the float32 p.sum()
+    left a ~1e-7 residual that intermittently exceeded np.random.choice's
+    sqrt(eps) tolerance and raised 'probabilities do not sum to 1' (91
+    joint classes reproduced it deterministically)."""
+    from alpine_tpu.utils.sampling import generate_epoch_indices
+
+    rng = np.random.default_rng(0)
+    labels = [f"class_{i % 91}" for i in range(1000)]
+    idx = generate_epoch_indices(labels, "weighted", rng)
+    assert idx.shape == (1000,)
+    assert idx.min() >= 0 and idx.max() < 1000
+
+
+def test_transform_key_distinct_from_fit_stream():
+    """The transform/validation H0 key must not collide with the fit-side
+    stream: fold_in(key, j) is bit-identical to split(key)[j] in this JAX,
+    so the old fold_in(key, 1) WAS the fit key and the validation init's
+    uniform bitstream coincided with the fit's per-iteration sampling
+    keys."""
+    import jax
+
+    from alpine_tpu.ops import mu
+
+    key = jax.random.PRNGKey(42)
+    init_key, fit_key = jax.random.split(key)
+    # the collision this guards against is real on this install:
+    assert (np.asarray(jax.random.fold_in(key, 1))
+            == np.asarray(fit_key)).all()
+    t = np.asarray(mu.transform_key(key))
+    assert not (t == np.asarray(fit_key)).all()
+    assert not (t == np.asarray(init_key)).all()
+    # and stays clear of the per-iteration keys of any realistic fit
+    iters = np.asarray(jax.random.split(fit_key, 512))
+    assert not (iters == t[None, :]).all(axis=1).any()
