@@ -309,6 +309,14 @@ try:
 except ValueError as e:
     assert "differs across processes" in str(e), e
 
+# full-batch ALS multi-process: block-cyclic updates over the sharded X
+# (interleaved zero pad columns are exact fixed points of every block
+# update) — trajectory must match the single-device ALS fit
+als = ALPINE(device=mesh, use_als=True, **{k: v for k, v in kw.items()})
+als.fit(adata_local, ["batch", "condition"], max_iter=8)
+exp_als = np.load(os.path.join(workdir, "expected_als_losses.npy"))
+np.testing.assert_allclose(als.loss_history.values, exp_als, rtol=1e-4)
+
 # ALS + minibatch is rejected multi-process on EVERY rank (the global
 # sampler assumes suffix padding; interleaved per-chunk pads would be
 # sampled while displaced real cells go untrained)
@@ -358,6 +366,15 @@ def test_two_process_sharded_fit(tmp_path):
     np.save(tmp_path / "expected_losses.npy", single.loss_history.values)
     np.save(tmp_path / "expected_embedding.npy",
             full.obsm["ALPINE_embedding"])
+
+    # full-batch ALS — the only ALS configuration allowed multi-process
+    # (minibatch ALS is rejected); trajectory must match single-device
+    single_als = ALPINE(n_components=6, n_covariate_components=[2, 3],
+                        lam=[1.0, 2.0], random_state=0,
+                        data_dtype="float32", use_als=True, device="cpu")
+    single_als.fit(full, ["batch", "condition"], max_iter=8)
+    np.save(tmp_path / "expected_als_losses.npy",
+            single_als.loss_history.values)
 
     # near-equal-shard dataset (95 cells -> 48/47): workers ingest it by
     # h5ad row range (the out-of-core recipe); expected trajectory comes
