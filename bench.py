@@ -10,8 +10,21 @@ Prints ONE JSON line:
 - vs_baseline: ratio vs a literal torch-CPU transcription of the reference
   update math (/root/reference/alpine/main.py:589-663 + :726-753, including
   its per-iteration W@H loss materialization), since the reference repo
-  publishes no numbers (BASELINE.md).  Override the baseline measurement via
-  env ALPINE_BENCH_BASELINE_IPS to skip the CPU run.
+  publishes no numbers (BASELINE.md).  The ratio is emitted from a CACHED
+  baseline measurement (benchmarks/cpu_baseline_cache.json, keyed by the
+  bench shape) or env ALPINE_BENCH_BASELINE_IPS; the cache is refreshed by
+  a fresh torch-CPU run only AFTER the result line has been printed, so a
+  slow host can never cost the round its artifact (round-3 verdict item 1).
+
+Budget discipline (round-3 verdict item 1 — the driver's round-3 run timed
+out with NOTHING recorded): the parent process watchdogs a single child
+that prints a READY marker after its first successful device op.  Ready
+deadline ALPINE_BENCH_READY_S (default 120 s, covers tunnel init), total
+deadline ALPINE_BENCH_WATCHDOG_S (default 900 s).  Miss either and the
+parent kills the child and prints the honest error row IMMEDIATELY — a
+parseable JSON line is guaranteed within the total budget regardless of
+tunnel state.  Dry-run the dead-backend path with ALPINE_BENCH_FAKE_DEAD=1
+(child hangs before touching the device; error row arrives in ~READY_S).
 
 Data/dtype: the bench data is integer counts (Poisson — the realistic raw
 single-cell input), and the X storage dtype defaults to "auto", resolving
@@ -256,35 +269,49 @@ def bench_reference_torch_cpu(X, Ys):
     return 1.0 / best  # best-of-N: same convention as the TPU measurement
 
 
-def _device_reachable(timeout_s: int = None, attempts: int = 2) -> bool:
-    """Bounded liveness probe of the default jax backend IN A SUBPROCESS.
-    The axon TPU tunnel can go hard-down (even jax.devices() then hangs
-    with no timeout of its own); without this, an outage turns the
-    driver's bench run into an indefinite hang and the round records NO
-    artifact.  A fast explicit failure line beats that.
+# Marker the child prints after its first successful device op; the parent's
+# ready-deadline keys off it.  Replaces round-3's subprocess liveness probe,
+# which paid tunnel init twice and budgeted up to 2x420 s before failing.
+READY_MARK = "ALPINE_BENCH_DEVICE_READY"
 
-    Tunnel INIT latency is itself high-variance (90 s typical when healthy,
-    occasional multi-minute spikes), so the probe retries once and allows
-    a generous window per attempt — a false "down" verdict costs the round
-    its measurement, while a slow true-down detection only delays the
-    error line (the watchdog still bounds the whole run)."""
-    import subprocess
-    import sys
+_BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "cpu_baseline_cache.json")
 
-    if timeout_s is None:
-        timeout_s = int(os.environ.get("ALPINE_BENCH_PROBE_S", 420))
-    probe = ("import jax, numpy as np;"
-             "x = jax.numpy.ones((128, 128));"
-             "np.asarray(x @ x)")
-    for _ in range(max(1, attempts)):
-        try:
-            r = subprocess.run([sys.executable, "-c", probe],
-                               timeout=timeout_s, capture_output=True)
-            if r.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-    return False
+
+def _baseline_cache_key():
+    """The torch-CPU baseline depends only on the problem shape (the
+    reference loop is always joint full-batch f32 regardless of the TPU
+    config being benched)."""
+    return {"n_cells": N_CELLS, "n_genes": N_GENES,
+            "blocks": list(BLOCKS), "n_labels": list(N_LABELS)}
+
+
+def _cached_baseline_ips():
+    """(ips, source) from env override or the shape-keyed cache file;
+    (None, None) if neither matches."""
+    env = os.environ.get("ALPINE_BENCH_BASELINE_IPS")
+    if env:
+        return float(env), "env"
+    try:
+        with open(_BASELINE_CACHE) as f:
+            rec = json.load(f)
+        if rec.get("key") == _baseline_cache_key() and rec.get("ips"):
+            return float(rec["ips"]), "cache"
+    except Exception:
+        pass
+    return None, None
+
+
+def _write_baseline_cache(ips):
+    try:
+        with open(_BASELINE_CACHE, "w") as f:
+            json.dump({"key": _baseline_cache_key(), "ips": round(ips, 4),
+                       "note": "torch-CPU reference-math MU iters/s; "
+                               "refreshed after each successful bench run"},
+                      f, indent=1)
+            f.write("\n")
+    except Exception:
+        pass  # a read-only checkout must not fail the bench
 
 
 def _last_recorded_context():
@@ -320,29 +347,32 @@ def _last_recorded_context():
 
 
 def main():
-    if not _device_reachable():
-        out = {
-            "metric": "mu_iters_per_sec_unmeasured",
-            "value": 0.0,
-            "unit": "iters/s",
-            "vs_baseline": 0.0,
-            "error": "accelerator unreachable (device probe timed out; "
-                     "axon tunnel down?) — benchmark not run",
-        }
-        out.update(_last_recorded_context())
-        print(json.dumps(out))
-        return
+    if os.environ.get("ALPINE_BENCH_FAKE_DEAD"):
+        # dead-backend dry run: hang before touching the device so the
+        # parent's ready-deadline path can be exercised without an outage
+        time.sleep(10 ** 6)
+    # First device op doubles as the liveness probe; the parent's ready
+    # deadline bounds how long a dead tunnel can stall here.
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128))
+    np.asarray(x @ x)  # fetch to host — the only reliable sync on axon
+    print(READY_MARK, flush=True)
+
     rng = np.random.default_rng(0)
     X, Ys = _make_data(rng)
 
     stats = bench_tpu(X, Ys)
     value = stats["best"]
 
-    base_env = os.environ.get("ALPINE_BENCH_BASELINE_IPS")
-    if base_env:
-        baseline = float(base_env)
-    else:
+    # vs_baseline from cache/env so the result line never waits on torch;
+    # first-ever run on a new shape measures once (torch-CPU, ~15 s).
+    baseline, baseline_src = _cached_baseline_ips()
+    if baseline is None:
         baseline = bench_reference_torch_cpu(X, Ys)
+        baseline_src = "measured"
+        _write_baseline_cache(baseline)
 
     als_tag = "_als" if USE_ALS else ""
     if BATCH is not None:
@@ -358,55 +388,114 @@ def main():
         "value": round(value, 3),
         "unit": "iters/s",
         "vs_baseline": round(value / baseline, 3),
+        "baseline_source": baseline_src,
         "median": round(stats["median"], 3),
         "spread_pct": round(stats["spread_pct"], 1),
         "repeats": stats["repeats"],
         "x_dtype": stats["x_dtype"],
-    }))
+    }), flush=True)
+
+    # Baseline refresh happens strictly AFTER the result line: a pathological
+    # torch run can delay the refresh, never the artifact.
+    if baseline_src in ("cache", "measured") and not os.environ.get(
+            "ALPINE_BENCH_SKIP_BASELINE_REFRESH"):
+        try:
+            _write_baseline_cache(bench_reference_torch_cpu(X, Ys))
+        except Exception:
+            pass
 
 
-def _watchdogged_main():
-    """Run main() in a child process under an overall wall-clock cap.
-
-    The start-of-run probe catches a tunnel that is already down, but a
-    tunnel dying MID-measurement leaves the process blocked inside an
-    uninterruptible device fetch — and the driver's round artifact is then
-    an indefinite hang.  The parent re-execs this script as a child (env
-    marker), forwards its JSON line on success, and on timeout/crash emits
-    the same honest error row the unreachable branch uses."""
-    import subprocess
-    import sys
-
-    limit = int(os.environ.get("ALPINE_BENCH_WATCHDOG_S", 2400))
-    env = dict(os.environ, ALPINE_BENCH_CHILD="1")
-    out, code, timed_out = "", 0, False
-    try:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           timeout=limit, env=env,
-                           stdout=subprocess.PIPE, text=True)
-        out, code = r.stdout or "", r.returncode
-    except subprocess.TimeoutExpired as e:
-        timed_out = True
-        if isinstance(e.stdout, bytes):
-            out = e.stdout.decode(errors="replace")
-        else:
-            out = e.stdout or ""
-    json_lines = [l for l in out.splitlines() if l.startswith('{"metric"')]
-    if json_lines:
-        print(json_lines[-1])
-        return
+def _error_row(reason):
     err = {
         "metric": "mu_iters_per_sec_unmeasured",
         "value": 0.0,
         "unit": "iters/s",
         "vs_baseline": 0.0,
-        "error": ("benchmark child timed out mid-run "
-                  f"(>{limit}s; tunnel died during measurement?)"
-                  if timed_out else
-                  f"benchmark child exited {code} without a result line"),
+        "error": reason,
     }
     err.update(_last_recorded_context())
-    print(json.dumps(err))
+    return json.dumps(err)
+
+
+def _watchdogged_main():
+    """Run main() in a child process under staged wall-clock deadlines.
+
+    Round-3 failure autopsy (VERDICT item 1): the probe allowed 2x420 s,
+    the watchdog 2,400 s, and the torch baseline ran before any JSON was
+    printed — all tuned wider than the driver's patience, so the round
+    recorded rc=124 with parsed:null.  The restructure guarantees a
+    parseable line inside a hard budget:
+
+      * child prints READY_MARK after its first device op; if the parent
+        doesn't see it within ALPINE_BENCH_READY_S (default 120 s) the
+        tunnel is declared down and the error row prints immediately;
+      * the whole run is capped at ALPINE_BENCH_WATCHDOG_S (default 900 s
+        — healthy runs finish in ~4-6 min incl. tunnel init + compile);
+      * vs_baseline comes from the committed cache, so no torch-CPU work
+        precedes the result line.
+    """
+    import subprocess
+    import sys
+    import threading
+
+    ready_s = float(os.environ.get("ALPINE_BENCH_READY_S", 120))
+    total_s = float(os.environ.get("ALPINE_BENCH_WATCHDOG_S", 900))
+    env = dict(os.environ, ALPINE_BENCH_CHILD="1")
+    p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                         env=env, stdout=subprocess.PIPE, text=True)
+    lines = []
+    saw_ready = threading.Event()
+    saw_json = threading.Event()
+
+    def _reader():
+        for line in p.stdout:
+            line = line.rstrip("\n")
+            if line.startswith(READY_MARK):
+                saw_ready.set()
+            else:
+                lines.append(line)
+                if line.startswith('{"metric"'):
+                    saw_json.set()
+
+    t = threading.Thread(target=_reader, daemon=True)
+    t.start()
+
+    start = time.monotonic()
+    reason = None
+    while True:
+        elapsed = time.monotonic() - start
+        if saw_json.is_set():
+            # result (or child-side error row) printed — let the child
+            # finish its post-result baseline refresh within the total cap
+            if p.poll() is not None:
+                break
+            if elapsed > total_s:
+                p.kill()
+                break
+        elif p.poll() is not None:
+            t.join(timeout=5)
+            if not saw_json.is_set():
+                reason = (f"benchmark child exited {p.returncode} "
+                          "without a result line")
+            break
+        elif not saw_ready.is_set() and elapsed > ready_s:
+            p.kill()
+            reason = (f"device not ready within {ready_s:.0f}s "
+                      "(axon tunnel down?) — benchmark not run")
+            break
+        elif elapsed > total_s:
+            p.kill()
+            reason = (f"benchmark timed out mid-run (>{total_s:.0f}s; "
+                      "tunnel died during measurement?)")
+            break
+        time.sleep(0.25)
+    t.join(timeout=5)
+
+    json_lines = [l for l in lines if l.startswith('{"metric"')]
+    if json_lines:
+        print(json_lines[-1])
+    else:
+        print(_error_row(reason or "no result line"))
 
 
 if __name__ == "__main__":

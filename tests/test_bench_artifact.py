@@ -44,6 +44,51 @@ def test_last_recorded_context_is_json_serializable(bench):
     json.dumps(bench._last_recorded_context())
 
 
+def test_cached_baseline_roundtrip(bench, monkeypatch, tmp_path):
+    """vs_baseline must come from the committed shape-keyed cache (or env)
+    so no torch-CPU work ever precedes the result line (round-3 verdict
+    item 1); the shipped cache must match the default bench shape."""
+    ips, src = bench._cached_baseline_ips()
+    assert src == "cache" and ips > 0  # shipped cache matches default shape
+    monkeypatch.setenv("ALPINE_BENCH_BASELINE_IPS", "123.5")
+    assert bench._cached_baseline_ips() == (123.5, "env")
+    monkeypatch.delenv("ALPINE_BENCH_BASELINE_IPS")
+    # a shape mismatch must MISS (stale cache never silently reused)
+    monkeypatch.setattr(bench, "N_CELLS", bench.N_CELLS + 1)
+    assert bench._cached_baseline_ips() == (None, None)
+    # refresh writes the new key
+    monkeypatch.setattr(bench, "_BASELINE_CACHE",
+                        str(tmp_path / "cache.json"))
+    bench._write_baseline_cache(7.5)
+    assert bench._cached_baseline_ips() == (7.5, "cache")
+
+
+@pytest.mark.slow
+def test_ready_deadline_emits_error_row_for_dead_backend():
+    """The dead-backend dry run (round-3 verdict item 1 'done' criterion):
+    with the device unreachable, the error row must print within the ready
+    deadline — well under 3 minutes at the default 120 s."""
+    import subprocess
+    import time
+
+    env = dict(os.environ, ALPINE_BENCH_FAKE_DEAD="1",
+               ALPINE_BENCH_READY_S="4")
+    t0 = time.monotonic()
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env, timeout=60, capture_output=True, text=True)
+    took = time.monotonic() - t0
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.startswith('{"metric"')]
+    assert len(lines) == 1, r.stdout
+    row = json.loads(lines[0])
+    assert row["value"] == 0.0
+    assert "not ready" in row["error"]
+    assert row["last_measured_best_iters_per_sec"] > 0
+    assert took < 30  # deadline + kill overhead, nowhere near the 3 min cap
+
+
+@pytest.mark.slow
 def test_watchdog_emits_error_row_when_child_hangs():
     """A tunnel dying MID-measurement must still yield a one-line JSON
     artifact: the parent watchdog kills the child and prints the error row
