@@ -77,6 +77,7 @@ class FoldData:
     put_rep: callable
     put_fold: callable
     x_dtype: str = "float32"    # storage dtype name (mu.x_storage_dtype)
+    tile: int = 0               # >0: folds staged for "tiled" sampling
 
 
 def prepare_fold_data(
@@ -88,6 +89,8 @@ def prepare_fold_data(
     mesh=None,
     device=None,
     x_dtype: str = "float32",
+    tile: int = 0,
+    shuffle_seed: int = 0,
 ) -> FoldData:
     """Build the trial-invariant stacked fold tensors and place them.
     `mesh` shards the fold axis across a 1-D mesh; `device` (a jax.Device)
@@ -102,7 +105,20 @@ def prepare_fold_data(
     projection reads it as a plain float operand).  Integer dtypes assume
     the caller resolved them from validated count data (the optimizer uses
     utils.adata.suggest_data_dtype over the full dataset — every fold
-    subset is then exactly representable)."""
+    subset is then exactly representable).
+
+    `tile > 0` stages the folds for "tiled" minibatch sampling
+    (mu.MUConfig.tile): the common training width is rounded up to a tile
+    multiple (zero pad-columns are exactly neutral — same argument as the
+    fold padding itself) and each fold's training columns get a seeded
+    per-fold shuffle, the batched equivalent of the model layer's global
+    cell pre-shuffle (models/alpine.py cell_perm): stratified fold indices
+    arrive grouped by class, so without it every tile of adjacent columns
+    would be a biased cluster sample.  The training H is never returned
+    from the batched CV fit, so no un-permute is needed; per-fold DISTINCT
+    shuffles also decorrelate the fold fits' shared tile-permutation key."""
+    if tile and weighted:
+        raise ValueError("tiled and weighted sampling are exclusive")
     n_folds = len(folds)
     g = X_cells_by_genes.shape[1]
     # asarray, not astype: astype always copies, and X is usually float32
@@ -115,6 +131,8 @@ def prepare_fold_data(
 
     n_tr = max(len(tr) for tr, _ in folds)
     n_va = max(len(va) for _, va in folds)
+    if tile:
+        n_tr = -(-n_tr // tile) * tile  # tile-aligned cell axis (mu._tiled_setup)
 
     # stage DIRECTLY at the target widths (assignment casts per fold
     # slice): staging everything float32 and casting at upload would hold
@@ -127,6 +145,9 @@ def prepare_fold_data(
     Ystr = [np.zeros((n_folds, nl, n_tr), storage_dt) for nl in n_labels]
     weights = np.zeros((n_folds, n_tr), np.float32) if weighted else None
     for f, (tr, va) in enumerate(folds):
+        if tile:
+            perm = np.random.default_rng(shuffle_seed + f).permutation(len(tr))
+            tr = np.asarray(tr)[perm]
         Xtr[f, :, : len(tr)] = X_all[tr].T
         Xva[f, :, : len(va)] = X_all[va].T
         for i, y in enumerate(Ys_all):
@@ -170,7 +191,7 @@ def prepare_fold_data(
         Ystr=tuple(put_fold(jnp.asarray(y)) for y in Ystr),
         weights=put_fold(jnp.asarray(weights)) if weighted else None,
         valid_cols=put_fold(jnp.asarray(col < tr_sizes)),
-        put_rep=put_rep, put_fold=put_fold, x_dtype=x_dtype,
+        put_rep=put_rep, put_fold=put_fold, x_dtype=x_dtype, tile=tile,
     )
 
 
@@ -197,6 +218,7 @@ def batched_fold_embeddings(
     true_blocks: Tuple[int, ...] = None,
     fold_data: Optional[FoldData] = None,
     x_dtype: str = "float32",
+    tile: int = 0,
 ) -> List[np.ndarray]:
     """Fit one model per fold (batched) and return each fold's validation
     unguided embedding as (n_val_fold, k_unguided) numpy arrays.
@@ -215,9 +237,20 @@ def batched_fold_embeddings(
         fold_data = prepare_fold_data(
             X_cells_by_genes, Ys_cells_by_labels, folds,
             weighted=weighted, mesh=mesh, x_dtype=x_dtype,
+            tile=tile, shuffle_seed=seed,
         )
     fd = fold_data
     n_folds = len(fd.folds)
+    if fd.tile:
+        # same contract as the model layer (models/alpine.py): tiled IS a
+        # minibatch mode — a batch covering any training fold would run
+        # that fold full-batch while claiming the tiled mode
+        min_tr = min(len(tr) for tr, _ in fd.folds)
+        if batch_size is None or batch_size >= min_tr:
+            raise ValueError(
+                "sampling_method='tiled' is a minibatch mode: batch_size "
+                f"must be smaller than every training fold ({min_tr} cells)."
+            )
 
     cfg = mu.MUConfig(
         blocks=blocks,
@@ -228,6 +261,7 @@ def batched_fold_embeddings(
         batch_size=None if (batch_size is None or batch_size >= fd.n_tr)
         else batch_size,
         weighted=weighted,
+        tile=fd.tile,
         max_iter=max_iter,
         precision=precision,
         # storage regime of the (possibly prebuilt) fold tensors, not the

@@ -227,6 +227,7 @@ def test_model_tiled_unshuffles_h_to_caller_cell_order():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_tiled_minibatch_fit(monkeypatch):
     """Tiled sampling on a 1-D mesh rides the shard-local path: per-shard
     tile permutations, every shard padded to a tile multiple, convergence
@@ -338,6 +339,7 @@ def test_tiled_rejects_full_batch():
               sampling_method="tiled", max_iter=3)
 
 
+@pytest.mark.slow
 def test_tiled_fit_transform_cache_matches_uncached():
     """Tiled fits cache the PERMUTED device X; a same-data transform must
     reuse it and return each cell's OWN projection (H0 re-paired, result
@@ -399,15 +401,78 @@ def test_model_tiled_rejected_on_2d_mesh_and_als():
                   sampling_method="tiled", max_iter=3)
 
 
-def test_component_optimizer_rejects_tiled():
-    """The search's CV fold fits are small and (batched-)full-batch shaped;
-    tiled sampling is a single-fit atlas-scale mode.  The optimizer keeps
-    its reference-text rejection rather than half-supporting it."""
+def test_component_optimizer_tiled_validation():
+    """tiled plumbs through the optimizer (round-3 verdict item 3), with
+    the model layer's contract enforced at construction: it is a
+    joint-mode minibatch sampler."""
     from alpine_tpu import ComponentOptimizer
 
     adata = make_synthetic_adata(n_cells=60, n_genes=15)
-    with pytest.raises(ValueError, match="Only 'weighted'"):
+    with pytest.raises(ValueError, match="minibatch mode"):
         ComponentOptimizer(adata, ["batch"], sampling_method="tiled")
+    with pytest.raises(ValueError, match="joint mode"):
+        ComponentOptimizer(adata, ["batch"], sampling_method="tiled",
+                           batch_size=16, use_als=True)
+
+
+def test_prepare_fold_data_tiled_stage():
+    """Tiled fold staging: the common training width is tile-aligned, each
+    fold's training columns are a seeded per-fold shuffle of the fold (same
+    multiset of cells, different order per fold), and pad columns are zero."""
+    from alpine_tpu.optimize.batched import prepare_fold_data
+
+    r = np.random.default_rng(0)
+    n, g, t = 50, 7, 16
+    X = (r.random((n, g)) * 3).round(2).astype(np.float32)
+    Y = np.zeros((n, 2), np.float32)
+    Y[np.arange(n), r.integers(0, 2, n)] = 1.0
+    folds = [(np.arange(0, 30), np.arange(30, 50)),
+             (np.arange(20, 50), np.arange(0, 20))]
+    fd = prepare_fold_data(X, [Y], folds, weighted=False, tile=t,
+                           shuffle_seed=7)
+    assert fd.tile == t and fd.n_tr % t == 0 and fd.n_tr >= 30
+    Xtr = np.asarray(fd.Xtr)
+    for f, (tr, _) in enumerate(folds):
+        cols = {tuple(c) for c in Xtr[f].T[: len(tr)]}
+        want = {tuple(c) for c in X[tr]}
+        assert cols == want  # shuffled, nothing lost
+        assert (Xtr[f][:, len(tr):] == 0).all()  # pad stays zero
+    # per-fold shuffles are DISTINCT (decorrelates the shared tile keys)
+    assert not np.array_equal(Xtr[0][:, :30], X[folds[0][0]].T)
+
+
+@pytest.mark.slow
+def test_component_optimizer_tiled_search_scores_match_random():
+    """On planted-batch data, a tiled minibatch search must score folds
+    statistically indistinguishably from the reference 'random' sampler:
+    the first TPE suggestions are identical across the two searches (same
+    rng, rng-only startup), so scores pair per-trial and only the sampling
+    trajectory differs."""
+    from alpine_tpu import ComponentOptimizer
+
+    # >2 tiles of 128 per training fold so the tile permutation is real
+    adata = make_synthetic_adata(n_cells=600, n_genes=18,
+                                 covariates=(("batch", 2),), seed=3)
+    scores = {}
+    for method in ("random", "tiled"):
+        co = ComponentOptimizer(
+            adata, ["batch"], max_iter=8, device="cpu", random_state=0,
+            batch_size=128, sampling_method=method,
+        )
+        co.search_hyperparams(
+            n_total_components_range=(8, 12), lam_range=(1.0, 100.0),
+            n_splits=2, max_evals=2,
+        )
+        hist = co.get_train_history().sort_values("n_total_components")
+        scores[method] = hist["score"].values
+        if method == "tiled":
+            # the batched CV fold tensors really staged the tiled layout
+            assert co._fold_cache[1].tile > 0
+    assert np.isfinite(scores["random"]).all()
+    assert np.isfinite(scores["tiled"]).all()
+    # paired per-trial comparison: same hyperparams, different sampling
+    # trajectories — scores agree to sampling noise, not to machine eps
+    assert np.allclose(scores["random"], scores["tiled"], atol=0.1)
 
 
 def test_unknown_sampling_method_message_unchanged():
