@@ -116,6 +116,7 @@ def test_is_anndata_real_branch(real_anndata_module):
     assert is_anndata(adata_mod.AnnData(np.zeros((3, 4), np.float32)))
 
 
+@pytest.mark.slow
 def test_fit_transform_export_through_real_anndata(real_anndata_module):
     """Full model path against real-AnnData semantics: X property,
     categorical obs (dtype kind 'O'), NaN covariate values, obsm/varm
@@ -153,6 +154,7 @@ def test_fit_transform_export_through_real_anndata(real_anndata_module):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_optimizer_through_real_anndata(real_anndata_module):
     """ComponentOptimizer's copy()/view-subset CV flow over the double."""
     from alpine_tpu import ComponentOptimizer

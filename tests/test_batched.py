@@ -36,6 +36,7 @@ def test_batched_fold_embeddings_shapes_and_determinism():
         np.testing.assert_array_equal(e1, e2)
 
 
+@pytest.mark.slow
 def test_batched_weighted_and_minibatch():
     adata, Ys, folds = _setup()
     kw = dict(COMMON)

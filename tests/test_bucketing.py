@@ -127,6 +127,7 @@ def test_alpine_component_bucket_end_to_end():
     assert fresh.obsm["ALPINE_embedding"].shape == (40, 7)
 
 
+@pytest.mark.slow
 def test_optimizer_shape_bucket_caps_compiles():
     """A search whose trials draw different component splits must reuse one
     bucketed program per distinct bucket tuple instead of compiling per
@@ -196,6 +197,7 @@ def test_alpine_component_bucket_tuple():
                device="cpu", component_bucket=(2, 8))
 
 
+@pytest.mark.slow
 def test_optimizer_auto_bucket_bounds_shapes():
     """auto bucketing: distinct compiled shapes across a sweep stay far
     below the trial count (shared guided level kills the combinatorics)."""

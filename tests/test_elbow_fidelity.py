@@ -92,6 +92,7 @@ def test_find_elbow_matches_kneed_on_corpus():
     assert not mismatches, mismatches
 
 
+@pytest.mark.slow
 def test_find_elbow_matches_kneed_on_real_fit_curves():
     """Actual warm-up loss histories (the exact input the reference feeds
     KneeLocator), several hyperparameter regimes."""

@@ -18,6 +18,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # see pyproject: excluded from the default gate
+
 RUN = os.environ.get("ALPINE_RUN_EXAMPLE_TESTS", "") not in ("", "0", "false")
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

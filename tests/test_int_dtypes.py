@@ -91,6 +91,7 @@ def test_int8_matches_bfloat16_exactly():
     _assert_same_fit(_fit("int8"), _fit("bfloat16"))
 
 
+@pytest.mark.slow
 def test_int8_matches_bfloat16_minibatch():
     a = _fit("int8", batch_size=48)
     b = _fit("bfloat16", batch_size=48)
@@ -216,6 +217,7 @@ def test_int8_transform_same_and_new_data():
     assert np.isfinite(frac.obsm["ALPINE_embedding"]).all()
 
 
+@pytest.mark.slow
 def test_int16_weighted_sampling_matches_float32():
     a = _fit("int16", sampling_method="weighted", batch_size=60)
     b = _fit("float32", sampling_method="weighted", batch_size=60)
@@ -427,6 +429,7 @@ def test_optimizer_auto_dtype_threading():
     assert fd.x_dtype == "int8"
 
 
+@pytest.mark.slow
 def test_optimizer_search_runs_with_auto_int8():
     """A short end-to-end search on count data under the auto default (the
     batched fold path must accept integer-stored X)."""

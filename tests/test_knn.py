@@ -118,6 +118,7 @@ def test_knn_graph_device_path_matches_host(with_duplicates):
         np.testing.assert_allclose(A_dev, A_host, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_exact_knn_fuzz_vs_sklearn():
     """Randomized shapes/scales/duplicates vs sklearn: neighbor SETS equal
     wherever the true distance gap at the k-boundary is resolvable in f32,

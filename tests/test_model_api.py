@@ -105,6 +105,7 @@ def test_fit_with_nan_covariates():
     assert np.isfinite(model.loss_history.values).all()
 
 
+@pytest.mark.slow
 def test_minibatch_and_weighted_fit(synthetic_adata):
     model = _model()
     model.fit(synthetic_adata, ["batch", "condition"], max_iter=8, batch_size=32)
@@ -254,6 +255,7 @@ def test_transform_errors(synthetic_adata):
         model.get_normalized_expression(fresh, library_size=-1.0)
 
 
+@pytest.mark.slow
 def test_multi_restart_fit(synthetic_adata):
     """n_restarts vmaps independent initializations and keeps the best;
     restart 0 reuses the default key derivation, so on the same (XLA)

@@ -23,6 +23,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # see pyproject: excluded from the default gate
+
 from .conftest import make_synthetic_adata
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

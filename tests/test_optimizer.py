@@ -181,6 +181,7 @@ def test_component_optimizer_search(small_adata, tmp_path):
     assert hasattr(model, "matrices")
 
 
+@pytest.mark.slow
 def test_component_optimizer_auto_max_iter(small_adata):
     from alpine_tpu import ComponentOptimizer
 

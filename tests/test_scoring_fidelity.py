@@ -138,6 +138,7 @@ def test_lam_regime_decision_agrees_with_reference_stack():
         assert abs(ours[name] - ref[name]) < 0.2, (name, ours[name], ref[name])
 
 
+@pytest.mark.slow
 def test_optimizer_cv_decision_agrees_with_reference_stack(monkeypatch):
     """The literal optimizer objective (calc_score: stratified CV, fold
     fits, transform, cluster, ARI+homogeneity) makes the same call with the

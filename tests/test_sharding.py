@@ -196,6 +196,7 @@ def test_sharded_minibatch_fit(sampling):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_weighted_sharded_fit_on_batch_sorted_data():
     """Batch-SORTED data (the real atlas layout) on a mesh with weighted
     sampling: the model layer's global shuffle must keep shards balanced
@@ -255,6 +256,7 @@ def test_als_mode_on_mesh_matches_single_device():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("use_als", [False, True])
+@pytest.mark.slow
 def test_ragged_cell_count_full_batch_mesh(use_als):
     """Full-batch fits on a mesh with cells % devices != 0 (found by
     fuzzing: only the pallas/minibatch paths padded) must run AND match
@@ -281,6 +283,7 @@ def test_ragged_cell_count_full_batch_mesh(use_als):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_mesh_models_pickle_roundtrip():
     """Estimators holding a Mesh device must pickle (device descriptors)
     and stay usable after load."""
@@ -309,6 +312,7 @@ def test_mesh_models_pickle_roundtrip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_ragged_mesh_checkpointed_fit(tmp_path):
     """Chunked fits (checkpointing / verbose progress chunks) on a mesh
     with ragged cell counts: chunk 1 returns H sliced to n_cells, and the
@@ -380,6 +384,7 @@ def test_sharded_verbose_progress_reports_absolute_iterations():
     assert set(seen) == set(range(max_iter))
 
 
+@pytest.mark.slow
 def test_comm_audit_cell_count_invariance():
     """The compiled sharded fit's all-reduce payload must not grow with the
     cell count (communication is O(genes*K + K^2)/iter), and must contain

@@ -100,6 +100,7 @@ def test_sparse_int8_mode():
     assert np.isfinite(m.loss_history.values).all()
 
 
+@pytest.mark.slow
 def test_sparse_optimizer_search():
     from alpine_tpu import ComponentOptimizer
 
