@@ -169,7 +169,7 @@ class ALPINE:
             # FitCheckpointer would raise this anyway — but only after the
             # atlas-scale upload and a possible 200-iteration warm-up fit
             raise ValueError("checkpoint backend must be 'npz' or 'orbax'")
-        if sampling_method == "weighted" and not covariate_keys:
+        if sampling_method in ("weighted", "weighted_fast") and not covariate_keys:
             raise ValueError(
                 "weighted sampling requires at least one covariate "
                 "(balancing is over the joint covariate labels)."
@@ -182,19 +182,34 @@ class ALPINE:
         # the recipe; tests/test_multiprocess.py the 2-process proof)
         mp = placement.is_multiprocess
         if sampling_method == "tiled" and (
-            mp or self.use_als
+            self.use_als
             or (placement.is_sharded and len(placement.mesh.axis_names) != 1)
         ):
             # tiled sampling is joint-mode only (ALS's block-cyclic batch
             # updates have no tiled trajectory defined or tested) and rides
-            # the shard-local minibatch path on meshes; configurations that
-            # path cannot take (multi-process, 2-D meshes) would fall back
-            # to global GSPMD gathers — exactly the all-to-all traffic the
-            # sharded sampling design forbids (tests/test_sharding.py)
+            # the shard-local minibatch path on meshes; a 2-D mesh cannot
+            # take that path and would fall back to global GSPMD gathers —
+            # exactly the all-to-all traffic the sharded sampling design
+            # forbids (tests/test_sharding.py).  Multi-process 1-D meshes
+            # ARE supported: each process applies a seeded LOCAL shuffle to
+            # its own chunk (below) and the per-shard tile permutations
+            # need no global exchange.
             raise ValueError(
-                "tiled sampling requires joint mode on a single process "
-                "(one device or a 1-D cell mesh); use "
-                "sampling_method='random'."
+                "tiled sampling requires joint mode on a 1-D cell mesh "
+                "(or one device); use sampling_method='random'."
+            )
+        if sampling_method == "weighted_fast" and (
+            self.use_als or batch_size is not None
+        ):
+            # the counts strategy (mu.joint_weighted_counts_update) is a
+            # FULL-EPOCH reformulation: per-batch counts would cost one
+            # full X pass per batch, and ALS's block-cyclic updates have
+            # no counts form — reject instead of silently running slower
+            # or falling back to a different trajectory
+            raise ValueError(
+                "sampling_method='weighted_fast' supports full-epoch joint "
+                "mode only (batch_size=None, use_als=False); minibatch or "
+                "ALS weighted fits use sampling_method='weighted'."
             )
         if sampling_method == "tiled" and batch_size is None:
             # without a batch size the fit would silently run as a plain
@@ -206,7 +221,7 @@ class ALPINE:
                 "sampling_method='random'."
             )
         if mp:
-            if sampling_method == "weighted":
+            if sampling_method in ("weighted", "weighted_fast"):
                 # balanced draws need a global view of the joint labels
                 # (the single-process path pre-shuffles the WHOLE dataset)
                 raise ValueError(
@@ -390,7 +405,8 @@ class ALPINE:
             and placement.is_sharded
             and len(placement.mesh.axis_names) == 1
             and not self.use_als
-            and (self.batch_size < n_sample or sampling_method == "weighted")
+            and (self.batch_size < n_sample
+                 or sampling_method in ("weighted", "weighted_fast"))
         )
         if mp and self.use_als and self.batch_size < n_sample:
             # ALS is excluded from the shard-local sampler (no tested
@@ -447,7 +463,29 @@ class ALPINE:
         # cluster sample; after the shuffle, tiles are exchangeable random
         # subsamples.
         cell_perm = None
-        if (shard_local_mb and sampling_method == "weighted") or tiled_mb:
+        wf_tables = None  # (start, sizes) for the grouped balanced sampler
+        if sampling_method == "weighted_fast" and not shard_local_mb:
+            # group-sort the cells (stable) so the grouped balanced sampler
+            # (mu.grouped_balanced_counts) draws with two uniform vectors
+            # instead of a per-cell inverse-CDF (~100x less sampling time
+            # at atlas scale); the sort is a cell_perm like any other —
+            # undone on extraction, carried by the transform X-cache
+            order, start, sizes = sampling.balanced_group_tables(
+                sampling.joint_label_ids(Ys))
+            cell_perm = order
+            wf_tables = (start, sizes)
+        elif tiled_mb and mp:
+            # multi-process tiled: a GLOBAL shuffle would need an
+            # all-process cell exchange, but tiles only need to be
+            # exchangeable random subsamples OF THE SHARD they are drawn
+            # from (shard-local sampling is stratified by shard anyway) —
+            # a seeded LOCAL shuffle of this process's own chunk achieves
+            # that with no exchange.  Seed folds in the chunk index so
+            # equal-size chunks don't share one permutation pattern.
+            cell_perm = np.random.default_rng(
+                (self.random_state, placement.process_chunk_index)
+            ).permutation(n_local)
+        elif (shard_local_mb and sampling_method in ("weighted", "weighted_fast")) or tiled_mb:
             cell_perm = np.random.default_rng(self.random_state).permutation(
                 n_sample
             )
@@ -486,7 +524,13 @@ class ALPINE:
         # recomputes per epoch on the host, sampling.py:18-33); the
         # covariate requirement was validated up front
         weights = None
-        if sampling_method == "weighted":
+        if wf_tables is not None:
+            # grouped sampler tables (the cell axis was group-sorted above)
+            weights = (
+                placement.put_replicated(jnp.asarray(wf_tables[0])),
+                placement.put_replicated(jnp.asarray(wf_tables[1])),
+            )
+        elif sampling_method in ("weighted", "weighted_fast"):
             ids = sampling.joint_label_ids(Ys)
             w_host = sampling.balanced_sample_probabilities(ids)
             if shard_local_mb:
@@ -747,7 +791,7 @@ class ALPINE:
             chunked_progress = (
                 verbose and pbar is None and n_restarts == 1
                 and self.batch_size >= n_sample
-                and sampling_method != "weighted"
+                and sampling_method not in ("weighted", "weighted_fast")
             )
             with timer.phase("fit"):
                 if checkpoint_dir is not None:
@@ -1124,7 +1168,7 @@ class ALPINE:
         n_global = n_sample if global_cells is None else global_cells
         if self.batch_size is not None and self.batch_size < n_global:
             return 0  # minibatch mode uses the XLA path
-        if self.use_als or self.sampling_method == "weighted":
+        if self.use_als or self.sampling_method in ("weighted", "weighted_fast"):
             return 0
         pad = pallas_kernels.pad_target(
             self.n_features, n_sample,
@@ -1162,7 +1206,8 @@ class ALPINE:
             loss_kl=(self.loss_type == "kl-divergence"),
             use_als=self.use_als,
             batch_size=None if self.batch_size >= n_sample else self.batch_size,
-            weighted=(self.sampling_method == "weighted"),
+            weighted=(self.sampling_method in ("weighted", "weighted_fast")),
+            weighted_counts=(self.sampling_method == "weighted_fast"),
             tile=(mu.DEFAULT_TILE if self.sampling_method == "tiled" else 0),
             max_iter=n_iter,
             precision=self.matmul_precision,
@@ -1444,6 +1489,11 @@ class ALPINE:
                 )[:, off:off + n_sample],
                 self.eps,
             )
+            if cache_perm is not None:
+                # mp-tiled fits cache the LOCALLY-permuted device X: keep
+                # the caller-order H0-column ↔ cell pairing on it, exactly
+                # like the single-process branch below
+                H0 = H0[:, cache_perm]
             if pad:
                 H0 = jnp.pad(H0, ((0, 0), (0, pad)))
         else:
@@ -1604,7 +1654,8 @@ class ALPINE:
         # "tiled" is a TPU-native extension (tile-granular permutation after
         # a seeded global shuffle; see mu.MUConfig.tile); the unknown-method
         # message keeps the reference text (main.py:430-434)
-        if sampling_method not in ("random", "weighted", "tiled"):
+        if sampling_method not in ("random", "weighted", "weighted_fast",
+                                   "tiled"):
             raise ValueError(
                 f"Unknown sampling method: {sampling_method}. Only 'weighted', and 'random' are supported."
             )

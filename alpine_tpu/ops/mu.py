@@ -208,6 +208,15 @@ class MUConfig:
     use_als: bool = False
     batch_size: Optional[int] = None  # None => full batch
     weighted: bool = False  # weighted (balanced, with-replacement) sampling
+    # TPU-native fast strategy for FULL-EPOCH weighted sampling
+    # (sampling_method="weighted_fast"): the epoch's n with-replacement
+    # draws become a multinomial count vector and the drawn-multiset
+    # statistics are computed as count-scaled full-batch contractions on
+    # the UNGATHERED X — zero gathers, so the epoch runs at full-batch
+    # bandwidth instead of the chip's random-gather rate (per-round rate
+    # recorded in BENCH_CONFIGS; see joint_weighted_counts_update for the
+    # exact algebraic equivalence).  Joint mode only; requires weighted.
+    weighted_counts: bool = False
     # Tile width for "tiled" minibatch sampling (0 = reference per-cell
     # sampling).  Per-cell minibatch gathers are bound by random-gather
     # bandwidth (~15 GB/s measured, benchmarks/gather_floor.py); permuting
@@ -430,6 +439,134 @@ def joint_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b, r=_ident):
     return W, Bs, H_b, (WtX, WtW)
 
 
+def joint_weighted_counts_update(cfg: MUConfig, hyper, W, Bs, H, X, Ys, c,
+                                 r=_ident):
+    """One weighted (balanced with-replacement) FULL-EPOCH joint MU step,
+    computed as count-scaled full-batch statistics — zero gathers.
+
+    Exact-arithmetic equivalence to the gathered epoch (reference
+    sampling.py:18-33 draws + main.py:589-663 update on the drawn batch):
+    let D be the drawn multiset, c_i = #times cell i was drawn.  Every
+    cell-axis contraction over D is a count-weighted sum over the ORIGINAL
+    columns:
+
+        H_D H_Dᵀ      = H diag(c) Hᵀ          = (c ⊙ H) Hᵀ
+        X_D H_Dᵀ      = X diag(c) Hᵀ          = X (c ⊙ H)ᵀ
+        ratio_D H_Dᵀ  = ratio diag(c) Hᵀ       (ratio = Y ⊘ clamp(BH))
+        rowsum(H_D)   = rowsum(c ⊙ H)
+
+    and the H update is PER-COLUMN — column i's numerator/denominator
+    depend only on h_i, y_i and the (already updated) W/Bs, so duplicate
+    draws receive identical multiplicative factors and undrawn columns
+    (c_i = 0) keep their H: a where-mask.  The gathered and counts
+    trajectories therefore differ only by float summation order (and, for
+    narrow x-compute dtypes, the rounding of c ⊙ H to the compute width);
+    tests/test_weighted_counts.py pins the match against the gathered path
+    driven by the SAME draw.
+
+    Performance: the gathered epoch moves X column-by-column through the
+    chip's random-gather engine (benchmarks/gather_floor.py: ~2-3% of
+    streaming bandwidth); this form reads X exactly twice at streaming
+    rate (X(c⊙H)ᵀ and WᵀX) — the same passes as a full-batch XLA
+    iteration.  Under `r` = psum (the shard-local sharded path) each shard
+    scales by its local counts and the small accumulators psum as usual.
+    """
+    dot = partial(_dot, precision=cfg.precision)
+    lam, orth_w, alpha_w, l1_ratio, eps = hyper
+    Hc = H * c[None, :]
+
+    # --- W update (main.py:592-612 on the drawn batch) ---
+    HHt = r(dot(Hc, H.T))  # H diag(c) Hᵀ
+    num = 2.0 * r(_x_ht(cfg, X, Hc))
+    den = (
+        2.0 * dot(W, HHt)
+        + (1.0 - l1_ratio) * alpha_w * W
+        + orth_w * (jnp.sum(W, axis=1, keepdims=True) - W)
+        + l1_ratio * alpha_w
+    )
+    W = W * (num / _clamp(den, eps))
+
+    # --- B updates (main.py:614-628); pre-update H, count-scaled sums ---
+    newBs = []
+    for i in range(cfg.n_cov):
+        o, k = cfg.offsets[i], cfg.blocks[i]
+        Hi, Hci = H[o:o + k], Hc[o:o + k]
+        Yi = Ys[i].astype(jnp.float32)
+        B = Bs[i]
+        if cfg.loss_kl:
+            ratio = Yi / _clamp(dot(B, Hi), eps)  # per-column: unscaled BH
+            bnum = lam[i] * r(dot(ratio, Hci.T))
+            bden = lam[i] * jnp.broadcast_to(
+                r(jnp.sum(Hci, axis=1))[None, :], B.shape)
+        else:
+            bnum = 2.0 * r(dot(Yi, Hci.T))
+            bden = 2.0 * dot(B, HHt[o:o + k, o:o + k])
+        newBs.append(B * (bnum / _clamp(bden, eps)))
+    Bs = tuple(newBs)
+
+    # --- H update (main.py:630-663): the standard per-column full-batch
+    # update, applied only to drawn columns ---
+    WtX = _dot_x(cfg, W.T, X)
+    WtW = dot(W.T, W)
+    num = 2.0 * WtX
+    den = 2.0 * dot(WtW, H)
+    for i in range(cfg.n_cov):
+        o, k = cfg.offsets[i], cfg.blocks[i]
+        gnum, gden = _guided_h_terms(cfg, i, Bs[i], H[o:o + k], Ys[i], lam[i], eps)
+        num = num.at[o:o + k].add(gnum)
+        den = den.at[o:o + k].add(gden)
+    H = jnp.where(c[None, :] > 0, H * (num / _clamp(den, eps)), H)
+
+    return W, Bs, H, (WtX, WtW)
+
+
+def multinomial_counts(it_key, n: int, weights, n_padded: int):
+    """The epoch's with-replacement draw as a count vector: SAME draw as
+    the gathered weighted path (jax.random.choice over the identical key),
+    counted by scatter-add.  Pad columns (index >= n) are never drawn and
+    keep count 0.
+
+    jax.random.choice(p=...) costs ~11 ms at n=100k on a v5e (its inverse-
+    CDF searchsorted over the n-entry cumulative table is gather-bound), so
+    this path is the exactness anchor (same-key trajectory tests vs the
+    gathered implementation); production weighted_fast fits use
+    grouped_balanced_counts below."""
+    idx = jax.random.choice(it_key, n, shape=(n,), replace=True, p=weights)
+    return jnp.zeros((n_padded,), jnp.float32).at[idx].add(1.0)
+
+
+def grouped_balanced_counts(it_key, n: int, tables, n_padded: int):
+    """Balanced with-replacement epoch draw as counts, exploiting the
+    balanced-weight structure: every joint-label GROUP carries equal
+    probability mass (balanced_sample_probabilities gives w_i = 1/(J m_g)
+    for cell i in a group of size m_g), so a draw factorizes into
+    group ~ Uniform{J} then cell | group ~ Uniform{group} — two cheap
+    uniform vectors instead of an inverse-CDF search over n cells (~100x
+    less per-iteration sampling time at the bench shape).
+
+    Requires the cell axis SORTED by joint group: `tables` = (start, m),
+    int32 device vectors of per-group start offsets and sizes in that
+    order (the model layer's weighted_fast cell_perm provides the sort;
+    utils.sampling.balanced_group_tables builds the tables).  The drawn
+    distribution is the IDEALIZED balanced one — exactly equal group
+    masses, where the gathered path's float-normalized per-cell weights
+    carry ~1e-7 rounding — and the draw stream differs from
+    jax.random.choice, so trajectories diverge from sampling_method=
+    'weighted' at the draw level while remaining distributionally the
+    reference semantic (sampling.py:18-33).  Pad columns are never drawn."""
+    start, m = tables
+    J = start.shape[0]
+    k1, k2 = jax.random.split(it_key)
+    u1 = jax.random.uniform(k1, (n,))
+    u2 = jax.random.uniform(k2, (n,))
+    gid = jnp.minimum((u1 * J).astype(jnp.int32), J - 1)
+    m_g = jnp.take(m, gid)
+    pos = jnp.minimum((u2 * m_g.astype(jnp.float32)).astype(jnp.int32),
+                      m_g - 1)
+    cell = jnp.take(start, gid) + pos
+    return jnp.zeros((n_padded,), jnp.float32).at[cell].add(1.0)
+
+
 def als_batch_update(cfg: MUConfig, hyper, W, Bs, H_b, X_b, Ys_b):
     """One block-cyclic ("ALS mode") MU step on a batch
     (reference main.py:523-588): for each block in order, update W[idx],
@@ -643,6 +780,12 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     bs = cfg.eff_batch_size
     nb = cfg.num_batches
     tiled = cfg.tile > 0 and not cfg.full_batch
+    counts_mode = cfg.weighted and cfg.weighted_counts
+    if counts_mode and (cfg.use_als or nb != 1):
+        raise ValueError(
+            "weighted_counts is a full-epoch joint-mode strategy "
+            "(batch_size covering all cells, use_als=False)"
+        )
     if tiled:
         tsetup = _tiled_setup(cfg, X, Ys, bs)
 
@@ -651,6 +794,20 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
         W, H, Bs = carry
         if cfg.full_batch:
             W, Bs, H, aux = update(cfg, hyper, W, Bs, H, X, Ys)
+        elif counts_mode:
+            # the epoch's n draws as a count vector; the update runs at
+            # full-batch bandwidth on the ungathered X (equivalence:
+            # joint_weighted_counts_update docstring), and its WtX/WtW are
+            # valid for the full-X loss exactly like the full-batch branch.
+            # `weights` as a (start, m) tuple selects the grouped sampler
+            # (group-sorted cell axis, the production weighted_fast path);
+            # a plain probability vector keeps choice-identical draws.
+            if isinstance(weights, (tuple, list)):
+                c = grouped_balanced_counts(it_key, n, weights, X.shape[1])
+            else:
+                c = multinomial_counts(it_key, n, weights, X.shape[1])
+            W, Bs, H, aux = joint_weighted_counts_update(
+                cfg, hyper, W, Bs, H, X, Ys, c)
         elif tiled:
             # permute TILES: identical epoch/batch structure, but gathers
             # move (genes, tile) slabs — with tile == 1 and no cell pad
@@ -902,6 +1059,11 @@ def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
     shard_map, sm_kwargs = _get_shard_map()
     from jax.sharding import PartitionSpec as P
 
+    if cfg.weighted_counts and not (cfg.weighted and cfg.num_batches == 1):
+        raise ValueError(
+            "weighted_counts is a full-epoch weighted strategy "
+            "(batch_size covering all cells)"
+        )
     axis = mesh.axis_names[-1]
     n_shards = mesh.shape[axis]
     cells = P(None, axis)
@@ -940,6 +1102,15 @@ def _build_sharded_minibatch_fit(cfg: MUConfig, mesh):
                     cfg, hyper, (W, H, Bs), it_key, tsetup,
                     partial(joint_batch_update, r=psum),
                 )
+            elif cfg.weighted and cfg.weighted_counts:
+                # shard-local full-epoch weighted draw as counts: each
+                # shard draws n_loc cells from its renormalized weights
+                # (same stratified-by-shard semantics as the gathered
+                # branch below) and scales its local contractions; the
+                # small accumulators psum exactly like full-batch
+                c = multinomial_counts(it_key, n_loc, p_loc, n_loc)
+                W, Bs, H, _ = joint_weighted_counts_update(
+                    cfg, hyper, W, Bs, H, X_loc, Ys_loc, c, r=psum)
             else:
                 if cfg.weighted:
                     idx = jax.random.choice(

@@ -62,6 +62,21 @@ def balanced_sample_probabilities(joint_ids: np.ndarray) -> np.ndarray:
     return w.astype(np.float32)
 
 
+def balanced_group_tables(joint_ids: np.ndarray):
+    """(order, start, sizes) for the grouped balanced sampler
+    (ops.mu.grouped_balanced_counts): `order` sorts cells by joint group
+    (stable — within-group caller order preserved), after which group g
+    occupies columns [start[g], start[g] + sizes[g]).  The model layer
+    applies `order` as its weighted_fast cell_perm and ships
+    (start, sizes) to the device."""
+    ids = np.asarray(joint_ids)
+    order = np.argsort(ids, kind="stable")
+    _, sizes = np.unique(ids, return_counts=True)
+    start = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    return (order.astype(np.int64), start.astype(np.int32),
+            sizes.astype(np.int32))
+
+
 def generate_epoch_indices(
     joint_labels, sampling_method: str, rng: np.random.Generator
 ) -> np.ndarray:

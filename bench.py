@@ -68,6 +68,11 @@ USE_ALS = bool(int(os.environ.get("ALPINE_BENCH_ALS", "0")))
 # ALPINE_BENCH_SAMPLING=weighted benches balanced with-replacement draws
 # (reference sampling.py:18-33).  Both recorded per round in
 # BENCH_CONFIGS_r{N}.json (round-2 verdict item 5).
+# ALPINE_BENCH_SAMPLING=weighted_fast benches the TPU-native counts
+# strategy for the same balanced draws (mu.joint_weighted_counts_update:
+# the epoch's with-replacement draw becomes a multinomial count vector
+# and the statistics are count-scaled full-batch contractions — zero
+# gathers; same draw stream as "weighted").
 # ALPINE_BENCH_SAMPLING=tiled benches the TPU-native tile-permutation
 # sampler (mu.MUConfig.tile): same epoch structure as 'random', gathers at
 # 128-column tile granularity instead of random-gather bandwidth.
@@ -126,8 +131,11 @@ def bench_tpu(X, Ys):
     key = jax.random.PRNGKey(0)
     hyper = (jnp.asarray([1.0, 1.0], jnp.float32), jnp.float32(0.0),
              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1e-6))
-    weighted = SAMPLING == "weighted"
+    weighted = SAMPLING in ("weighted", "weighted_fast")
     tiled = SAMPLING == "tiled"
+    if SAMPLING == "weighted_fast" and BATCH is not None:
+        raise SystemExit("weighted_fast is a full-epoch mode: unset "
+                         "ALPINE_BENCH_BATCH")
     tile = mu.DEFAULT_TILE if tiled else 0
     if tiled and BATCH is None:
         # without a batch size the fit is full-batch and the tile field is
@@ -145,6 +153,23 @@ def bench_tpu(X, Ys):
         if cpad:
             X = np.pad(X, ((0, 0), (0, cpad)))
             Ys = [np.pad(y, ((0, 0), (0, cpad))) for y in Ys]
+    weights = None
+    if weighted:
+        from alpine_tpu.utils import sampling as smp
+
+        ids = smp.joint_label_ids(Ys)
+        if SAMPLING == "weighted_fast":
+            # grouped balanced sampler: sort the cell axis by joint group
+            # (the model layer's weighted_fast cell_perm) and ship the
+            # (start, sizes) tables instead of a probability vector
+            order, start, sizes = smp.balanced_group_tables(ids)
+            X = X[:, order]
+            Ys = [y[:, order] for y in Ys]
+            weights = (jnp.asarray(start), jnp.asarray(sizes))
+        else:
+            w = smp.balanced_sample_probabilities(ids)
+            weights = jnp.asarray(w)
+
     # stage data on device ONCE — host->device transfer is not the benched op
     Xd = jnp.asarray(X.astype(x_dtype))
     Ysd = tuple(jnp.asarray(y) for y in Ys)
@@ -162,18 +187,13 @@ def bench_tpu(X, Ys):
                        cast_itemsize=mu.x_cast_itemsize(x_dtype))
                    else "xla")
 
-    weights = None
-    if weighted:
-        from alpine_tpu.utils import sampling as smp
-
-        w = smp.balanced_sample_probabilities(smp.joint_label_ids(Ys))
-        weights = jnp.asarray(w)
-
     def run(n_iter):
         cfg = mu.MUConfig(
             blocks=BLOCKS, n_labels=N_LABELS, n_cells=N_CELLS,
             loss_kl=True, use_als=USE_ALS, batch_size=BATCH,
-            weighted=weighted, tile=tile, max_iter=n_iter,
+            weighted=weighted,
+            weighted_counts=(SAMPLING == "weighted_fast"),
+            tile=tile, max_iter=n_iter,
             precision=precision, backend=backend, x_dtype=x_dtype,
         )
         W0, H0, Bs0 = mu.init_matrices(cfg, N_GENES, key, 1e-6)
@@ -379,6 +399,8 @@ def main():
         als_tag += f"_bs{BATCH}"
     if SAMPLING == "weighted":
         als_tag += "_weighted"
+    elif SAMPLING == "weighted_fast":
+        als_tag += "_weighted_fast"
     elif SAMPLING == "tiled":
         als_tag += "_tiled"
     if BLOCKS != (5, 5, 30):

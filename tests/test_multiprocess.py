@@ -330,6 +330,56 @@ try:
 except ValueError as e:
     assert "ALS minibatch" in str(e), e
 
+# multi-process TILED minibatch (round-4: the lifted support-matrix cell):
+# per-chunk seeded LOCAL shuffles + per-shard tile permutations — no
+# global exchange.  Loss must decrease, and the H column returned for a
+# marked outlier cell must be the right one in CALLER order (pairing
+# survives the local shuffle + interleaved pads).
+td = full[np.arange(lo, hi)].copy()
+tX = np.asarray(td.X).copy()
+marked = 5
+tX[marked] += 50.0
+td.X = tX
+tl = ALPINE(device=mesh, **kw)
+tl.fit(td, ["batch", "condition"], max_iter=6, batch_size=24,
+       sampling_method="tiled")
+Lt = tl.loss_history["total loss"].to_numpy()
+assert np.isfinite(Lt).all() and Lt[-1] < Lt[0], Lt
+emb_t = np.concatenate([td.obsm[k] for k in
+                        ("batch", "condition", "ALPINE_embedding")], axis=1)
+assert emb_t.shape[0] == n_local
+assert np.linalg.norm(emb_t, axis=1).argmax() == marked
+
+# ...and the mp joint-minibatch paths train EVERY real cell: an untrained
+# cell would keep its H0 column bit-identical across different max_iter
+# runs (the ALS-minibatch failure mode this matrix rejects).  Checked for
+# both the random shard-local sampler and the tiled one.
+for smeth in ("random", "tiled"):
+    skw = dict(batch_size=24, sampling_method=smeth) if smeth == "tiled" \
+        else dict(batch_size=24)
+    a3 = full[np.arange(lo, hi)].copy()
+    a6 = full[np.arange(lo, hi)].copy()
+    f3 = ALPINE(device=mesh, **kw)
+    f3.fit(a3, ["batch", "condition"], max_iter=3, **skw)
+    f6 = ALPINE(device=mesh, **kw)
+    f6.fit(a6, ["batch", "condition"], max_iter=6, **skw)
+    h3 = np.concatenate([f3.matrices["Hs"][j] for j in range(3)], axis=0)
+    h6 = np.concatenate([f6.matrices["Hs"][j] for j in range(3)], axis=0)
+    changed = (h3 != h6).any(axis=0)
+    assert changed.all(), (smeth, int((~changed).sum()), "untrained cells")
+
+# weighted variants stay rejected multi-process on EVERY rank (balanced
+# shard-local draws need the global pre-shuffle, which needs a global
+# host-side cell exchange)
+for smeth in ("weighted", "weighted_fast"):
+    mw = ALPINE(device=mesh, **kw)
+    try:
+        mw.fit(adata_local, ["batch", "condition"], max_iter=2,
+               sampling_method=smeth)
+        raise AssertionError("expected ValueError for mp " + smeth)
+    except ValueError as e:
+        assert "not supported in multi-process" in str(e), e
+
 # mixed ctor hyperparameters (lam here) must die in the first collective:
 # scalar hypers are traced, so a mixed fleet would not crash — the
 # replicated W/Bs would silently desynchronize instead

@@ -147,6 +147,7 @@ def test_pallas_fit_scan_matches_xla(n_cov, loss_kl):
     ((1, 2, 9), (1, 1), False),    # single-label covariates
 ], ids=["min-kl", "min-frob", "3cov-kl", "3cov-frob", "tall-y", "tail1",
         "single-label"])
+@pytest.mark.slow
 def test_pallas_fit_scan_odd_block_structures(blocks, n_labels, loss_kl):
     """The combined-covariate dots (block-embedded Bg, packed stats rows)
     must reproduce the XLA trajectory for edge block structures: k_i=1

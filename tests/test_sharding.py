@@ -144,6 +144,7 @@ def test_sharded_minibatch_update_matches_unsharded():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("sampling", ["random", "weighted"])
+@pytest.mark.slow
 def test_sharded_minibatch_fit(sampling):
     """Minibatch fits on a mesh use shard-local sampling (SURVEY §7
     hard-part 3): they must run (including non-divisible cell counts),

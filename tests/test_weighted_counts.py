@@ -1,0 +1,253 @@
+"""weighted_fast (counts-based weighted sampling, mu.MUConfig.weighted_counts).
+
+The TPU-native fast strategy for full-epoch weighted fits: the epoch's n
+with-replacement draws become a multinomial count vector and the drawn-
+multiset statistics are count-scaled full-batch contractions on the
+ungathered X (mu.joint_weighted_counts_update holds the algebra).  The
+correctness anchor is EXACT-ARITHMETIC equivalence to the gathered
+weighted path driven by the SAME draw — so the tests compare the two
+implementations directly (same key, same weights) and to a float64
+gathered oracle step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from dataclasses import replace
+
+from alpine_tpu import ALPINE
+from alpine_tpu.ops import mu
+
+from .conftest import make_synthetic_adata
+from .oracle import oracle_joint_step, _cat_h, _cat_w
+
+BLOCKS = (3, 4, 6)
+N_LABELS = (2, 3)
+G = 25
+EPS = 1e-6
+
+
+def _problem(seed=0, n=40):
+    r = np.random.default_rng(seed)
+    X = (r.random((G, n)).astype(np.float32) * 3).round(3)
+    Ys = []
+    for nl in N_LABELS:
+        y = np.zeros((nl, n), np.float32)
+        y[r.integers(0, nl, n), np.arange(n)] = 1.0
+        Ys.append(y)
+    Ws = [r.random((G, k)).astype(np.float32) + 0.1 for k in BLOCKS]
+    Hs = [r.random((k, n)).astype(np.float32) + 0.1 for k in BLOCKS]
+    Bs = [r.random((nl, k)).astype(np.float32) + 0.1
+          for nl, k in zip(N_LABELS, BLOCKS)]
+    w = np.abs(r.random(n).astype(np.float32)) + 0.05
+    w /= w.sum()
+    return X, Ys, Ws, Hs, Bs, w
+
+
+def _hyper(lam=(1.0, 2.0), orth=0.2, alpha=0.1, l1=0.5):
+    return (jnp.asarray(lam, jnp.float32), jnp.float32(orth),
+            jnp.float32(alpha), jnp.float32(l1), jnp.float32(EPS))
+
+
+def _fit(cfg, X, Ys, Ws, Hs, Bs, w, seed=11):
+    key = jax.random.PRNGKey(seed)
+    return mu.fit_scan(cfg, jnp.asarray(_cat_w(Ws)), jnp.asarray(_cat_h(Hs)),
+                       tuple(jnp.asarray(b) for b in Bs), jnp.asarray(X),
+                       tuple(jnp.asarray(y) for y in Ys), _hyper(), key,
+                       jnp.asarray(w))
+
+
+def test_multinomial_counts_match_bincount():
+    """The count vector is EXACTLY the bincount of the gathered path's
+    choice draw over the same key (same draw, different bookkeeping)."""
+    n, npad = 57, 64
+    r = np.random.default_rng(3)
+    w = r.random(n).astype(np.float32)
+    w /= w.sum()
+    key = jax.random.PRNGKey(5)
+    c = np.asarray(mu.multinomial_counts(key, n, jnp.asarray(w), npad))
+    idx = np.asarray(jax.random.choice(key, n, shape=(n,), replace=True,
+                                       p=jnp.asarray(w)))
+    np.testing.assert_array_equal(c, np.bincount(idx, minlength=npad))
+    assert c[n:].sum() == 0 and c.sum() == n
+
+
+@pytest.mark.parametrize("loss_kl", [True, False])
+def test_counts_trajectory_matches_gathered(loss_kl):
+    """Same key, same weights: the counts fit and the gathered fit follow
+    the same draw sequence, so trajectories agree to float summation order
+    (the only difference between the two formulations)."""
+    n, iters = 53, 4
+    X, Ys, Ws, Hs, Bs, w = _problem(seed=7, n=n)
+    base = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=n,
+                       loss_kl=loss_kl, weighted=True, max_iter=iters)
+    Wg, Hg, Bsg, Lg = _fit(base, X, Ys, Ws, Hs, Bs, w)
+    Wc, Hc, Bsc, Lc = _fit(replace(base, weighted_counts=True),
+                           X, Ys, Ws, Hs, Bs, w)
+    np.testing.assert_allclose(np.asarray(Wg), np.asarray(Wc),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Hg), np.asarray(Hc),
+                               rtol=2e-4, atol=1e-6)
+    for bg, bc in zip(Bsg, Bsc):
+        np.testing.assert_allclose(np.asarray(bg), np.asarray(bc),
+                                   rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Lg), np.asarray(Lc),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_counts_step_matches_float64_gathered_oracle():
+    """One counts step vs the float64 oracle run on the GATHERED multiset
+    of the same draw — the reference's own update applied to the drawn
+    batch (main.py:589-663), at f64-vs-f32 tolerance."""
+    n = 41
+    X, Ys, Ws, Hs, Bs, w = _problem(seed=2, n=n)
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=n,
+                      loss_kl=True, weighted=True, weighted_counts=True,
+                      max_iter=1)
+    key = jax.random.PRNGKey(9)
+    Wn, Hn, Bsn, _ = _fit(cfg, X, Ys, Ws, Hs, Bs, w, seed=9)
+
+    it_key = jax.random.split(key, 1)[0]
+    idx = np.asarray(jax.random.choice(it_key, n, shape=(n,), replace=True,
+                                       p=jnp.asarray(w)))
+    X_b = X[:, idx].astype(np.float64)
+    Ys_b = [y[:, idx].astype(np.float64) for y in Ys]
+    Hs_b = [h[:, idx].astype(np.float64) for h in Hs]
+    oWs, oHs_b, oBs = oracle_joint_step(
+        [wm.astype(np.float64) for wm in Ws], Hs_b,
+        [b.astype(np.float64) for b in Bs], X_b, Ys_b,
+        [1.0, 2.0], 0.2, 0.1, 0.5, EPS, True)
+    # scatter the updated drawn columns back (duplicates: identical values)
+    oHs = [h.astype(np.float64).copy() for h in Hs]
+    for j in range(len(oHs)):
+        oHs[j][:, idx] = oHs_b[j]
+
+    np.testing.assert_allclose(np.asarray(Wn), _cat_w(oWs),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Hn), _cat_h(oHs),
+                               rtol=5e-4, atol=1e-5)
+    for bj, bo in zip(Bsn, oBs):
+        np.testing.assert_allclose(np.asarray(bj), bo, rtol=5e-4, atol=1e-5)
+
+
+def test_undrawn_columns_keep_h():
+    """Cells with count 0 must keep their H exactly (the reference never
+    updates columns outside the drawn batch)."""
+    n = 40
+    X, Ys, Ws, Hs, Bs, w = _problem(seed=4, n=n)
+    # concentrate all probability on the first 10 cells
+    w = np.zeros(n, np.float32)
+    w[:10] = 0.1
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=n,
+                      loss_kl=True, weighted=True, weighted_counts=True,
+                      max_iter=3)
+    _, Hn, _, _ = _fit(cfg, X, Ys, Ws, Hs, Bs, w)
+    np.testing.assert_array_equal(np.asarray(Hn)[:, 10:], _cat_h(Hs)[:, 10:])
+
+
+@pytest.mark.slow
+def test_grouped_balanced_counts_distribution():
+    """The grouped sampler draws the idealized balanced distribution:
+    group masses exactly equal, uniform within group.  Check empirical
+    per-cell means over many epochs against n * w_balanced, and that
+    every draw lands in real (non-pad) columns with total n."""
+    from alpine_tpu.utils import sampling as smp
+
+    r = np.random.default_rng(0)
+    n, npad = 300, 320
+    ids = r.integers(0, 4, n)
+    ids[:5] = 4  # one rare group (5 cells in 300)
+    order, start, sizes = smp.balanced_group_tables(ids)
+    tables = (jnp.asarray(start), jnp.asarray(sizes))
+    key = jax.random.PRNGKey(0)
+    total = np.zeros(npad)
+    reps = 400
+    for i in range(reps):
+        c = np.asarray(mu.grouped_balanced_counts(
+            jax.random.fold_in(key, i), n, tables, npad))
+        assert c.sum() == n and (c[n:] == 0).all()
+        total += c
+    mean = total / reps
+    w = smp.balanced_sample_probabilities(ids)[order]
+    # standard error of a count mean ~ sqrt(n*w/reps); allow 5 sigma
+    se = np.sqrt(n * w / reps)
+    assert (np.abs(mean[:n] - n * w) < 5 * se + 0.2).all()
+
+
+def test_model_weighted_fast_fit_runs_and_converges():
+    """Model-level: sampling_method='weighted_fast' (grouped sampler +
+    counts update) fits end-to-end, is seed-deterministic, restores the
+    caller's cell order through the group-sort, and lands at a final loss
+    comparable to the gathered 'weighted' fit (different draw stream —
+    same distribution, so the optima agree to sampling noise)."""
+    adata = make_synthetic_adata(n_cells=120, n_genes=20, seed=6)
+
+    def run(method, data):
+        m = ALPINE(n_components=6, n_covariate_components=[2, 3],
+                   lam=[1.0, 1.0], device="cpu", random_state=0)
+        m.fit(data, ["batch", "condition"], max_iter=25,
+              sampling_method=method, verbose=False)
+        return m
+
+    m1, m2 = run("weighted_fast", adata), run("weighted_fast", adata)
+    np.testing.assert_array_equal(m1.matrices["Hs"][-1], m2.matrices["Hs"][-1])
+    L = m1.loss_history["total loss"].values
+    assert np.isfinite(L).all() and L[-1] < L[0]
+    mw = run("weighted", adata)
+    Lw = mw.loss_history["total loss"].values
+    assert abs(L[-1] - Lw[-1]) / Lw[-1] < 0.05
+
+    # mark one cell with an extreme profile: its returned H column (in
+    # CALLER order) must be the outlier — proves the group-sort cell_perm
+    # is undone correctly on extraction
+    marked = 17
+    marked_adata = adata.copy()
+    X = np.asarray(marked_adata.X).copy()
+    X[marked] += 40.0
+    marked_adata.X = X
+    mm = run("weighted_fast", marked_adata)
+    norms = np.linalg.norm(np.concatenate(mm.matrices["Hs"], axis=0), axis=0)
+    assert norms.argmax() == marked
+
+
+@pytest.mark.slow
+def test_sharded_weighted_fast_matches_sharded_weighted():
+    """On a 1-D mesh both variants draw the same per-shard streams; the
+    counts formulation must reproduce the gathered shard-local fit."""
+    from alpine_tpu.parallel.mesh import make_cell_mesh
+
+    mesh = make_cell_mesh(4)
+    adata = make_synthetic_adata(n_cells=96, n_genes=18, seed=8)
+    outs = {}
+    for method in ("weighted", "weighted_fast"):
+        m = ALPINE(n_components=5, n_covariate_components=[2, 2],
+                   lam=[1.0, 1.0], device=mesh, random_state=1)
+        m.fit(adata, ["batch", "condition"], max_iter=5,
+              sampling_method=method, verbose=False)
+        outs[method] = (m.matrices["Hs"][-1],
+                        m.loss_history["total loss"].values)
+    np.testing.assert_allclose(outs["weighted"][0], outs["weighted_fast"][0],
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(outs["weighted"][1], outs["weighted_fast"][1],
+                               rtol=5e-5)
+
+
+def test_weighted_fast_validation():
+    adata = make_synthetic_adata(n_cells=40, n_genes=12, seed=1)
+    m = ALPINE(n_components=4, n_covariate_components=[2, 2],
+               lam=[1.0, 1.0], device="cpu", random_state=0)
+    with pytest.raises(ValueError, match="full-epoch joint"):
+        m.fit(adata, ["batch", "condition"], max_iter=3, batch_size=16,
+              sampling_method="weighted_fast")
+    m_als = ALPINE(n_components=4, n_covariate_components=[2, 2],
+                   lam=[1.0, 1.0], device="cpu", random_state=0,
+                   use_als=True)
+    with pytest.raises(ValueError, match="full-epoch joint"):
+        m_als.fit(adata, ["batch", "condition"], max_iter=3,
+                  sampling_method="weighted_fast")
+    # weighted_fast balances over covariates like weighted
+    m2 = ALPINE(n_components=4, n_covariate_components=[],
+                lam=[], device="cpu", random_state=0)
+    with pytest.raises(ValueError, match="requires at least one covariate"):
+        m2.fit(adata, [], max_iter=3, sampling_method="weighted_fast")
