@@ -145,11 +145,17 @@ def main():
         "implied_minibatch_iters_per_sec": implied,
         "note": ("random per-cell sampling is the reference semantic "
                  "(sampling.py:6-16); the gather engine is element-rate-"
-                 "bound (Gelems/s ~constant across dtypes), so narrow "
-                 "storage raises the byte-floor proportionally — per-dtype "
-                 "implied rates above use each dtype's own measured rate, "
-                 "all at a few %% of streaming bandwidth: the gather "
-                 "engine, not the kernels, bounds minibatch mode"),
+                 "bound (Gelems/s ~constant across dtypes, so narrow "
+                 "storage cuts bytes but NOT gather time — per-dtype "
+                 "implied rates land within ~15%% of each other, which is "
+                 "why the int8 and f32 minibatch bench rows are close).  "
+                 "The implied rates are CONSERVATIVE lower bounds: the "
+                 "fit's compiled gathers run ~4-5x this isolated jnp.take "
+                 "probe (fusion with their consumers; bench rows ~99 it/s "
+                 "vs ~20 implied) — but even that effective rate is <3%% "
+                 "of streaming bandwidth, so the gather engine, not the "
+                 "kernels, is what bounds minibatch mode; tiled sampling "
+                 "exists precisely to sidestep it"),
     }))
 
 
