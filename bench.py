@@ -418,11 +418,16 @@ def main():
     }), flush=True)
 
     # Baseline refresh happens strictly AFTER the result line: a pathological
-    # torch run can delay the refresh, never the artifact.
+    # torch run can delay the refresh, never the artifact.  Best-of refresh:
+    # host contention can only make the torch loop look slower than the
+    # machine's capability (observed 0.10 vs 0.29 it/s under a concurrent
+    # test-suite run), so a slower fresh measurement never overwrites a
+    # faster cached one — the same best-of-N convention as the TPU side.
     if baseline_src in ("cache", "measured") and not os.environ.get(
             "ALPINE_BENCH_SKIP_BASELINE_REFRESH"):
         try:
-            _write_baseline_cache(bench_reference_torch_cpu(X, Ys))
+            fresh = bench_reference_torch_cpu(X, Ys)
+            _write_baseline_cache(max(fresh, baseline))
         except Exception:
             pass
 
