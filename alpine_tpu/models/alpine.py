@@ -1168,12 +1168,22 @@ class ALPINE:
         n_global = n_sample if global_cells is None else global_cells
         if self.batch_size is not None and self.batch_size < n_global:
             return 0  # minibatch mode uses the XLA path
-        if self.use_als or self.sampling_method in ("weighted", "weighted_fast"):
+        eff_devices = self._mesh_devices() if n_devices is None else n_devices
+        counts_mode = False
+        if self.use_als or self.sampling_method == "weighted":
             return 0
+        if self.sampling_method == "weighted_fast":
+            # the counts-mode fused kernel runs single-device only (the
+            # sharded weighted_fast path is the shard-local XLA sampler);
+            # batch_size was validated None for weighted_fast
+            if eff_devices > 1 or not self.n_covariate_components:
+                return 0
+            counts_mode = True
         pad = pallas_kernels.pad_target(
             self.n_features, n_sample,
-            self._mesh_devices() if n_devices is None else n_devices,
+            eff_devices,
             itemsize, K, n_labels, cast_itemsize=cast,
+            counts_mode=counts_mode,
         )
         return 0 if pad is None else pad
 
@@ -1215,14 +1225,22 @@ class ALPINE:
             progress=(getattr(self, "verbose", False)
                       and self._callbacks_supported()),
         )
+        # counts-mode weighted_fast rides the fused kernel too (in-kernel
+        # count-scaled stats + masked H update) — single device only; the
+        # sharded weighted_fast path is the shard-local XLA sampler
+        counts_fused = (
+            cfg.weighted_counts and cfg.batch_size is None
+            and cfg.n_cov > 0 and self._mesh_devices() == 1
+        )
         if (
-            cfg.full_batch
+            (cfg.full_batch or counts_fused)
             and not cfg.use_als
             and self._use_tpu_kernels()
             and pallas_kernels.h_update_supported(
                 self.n_features, mu.x_storage_itemsize(self._storage_dtype),
                 cfg.K, cfg.n_labels,
-                cast_itemsize=mu.x_cast_itemsize(self._storage_dtype))
+                cast_itemsize=mu.x_cast_itemsize(self._storage_dtype),
+                counts_mode=counts_fused)
         ):
             cfg = replace(cfg, backend="pallas")
         return cfg

@@ -760,9 +760,16 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     to a tile multiple (zero columns are exactly neutral); the effective
     batch size rounds UP to a whole number of tiles."""
     if cfg.use_pallas:
-        if cfg.use_als or not cfg.full_batch:
-            raise ValueError("pallas backend requires full-batch joint mode")
-        return _fit_scan_pallas(cfg, W0, H0, Bs0, X, Ys, hyper)
+        counts_ok = (cfg.weighted and cfg.weighted_counts
+                     and cfg.num_batches == 1 and cfg.n_cov > 0
+                     and isinstance(weights, (tuple, list)))
+        if cfg.use_als or not (cfg.full_batch or counts_ok):
+            raise ValueError(
+                "pallas backend requires full-batch joint mode (or "
+                "full-epoch weighted_fast with grouped tables)"
+            )
+        return _fit_scan_pallas(cfg, W0, H0, Bs0, X, Ys, hyper,
+                                key=key, weights=weights)
 
     update = als_batch_update if cfg.use_als else joint_batch_update
     normX2 = _norm_x2(cfg, X)
@@ -858,22 +865,26 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     return W, H, Bs, losses
 
 
-def _b_stats(cfg: MUConfig, hyper, Bs_cur, H_cur, Ys):
+def _b_stats(cfg: MUConfig, hyper, Bs_cur, H_cur, Ys, scale=None):
     """B-update statistics over the CURRENT H (reference main.py:617-626):
-    KL -> ((Y⊘clamp(BH))Hᵀ, rowsum(H_i)); Frobenius -> (YHᵀ, unused)."""
+    KL -> ((Y⊘clamp(BH))Hᵀ, rowsum(H_i)); Frobenius -> (YHᵀ, unused).
+    `scale` (weighted_fast counts mode): per-cell draw counts — every
+    contraction AGAINST H is count-scaled while the per-column B@H stays
+    unscaled (see joint_weighted_counts_update)."""
     dot = partial(_dot, precision=cfg.precision)
     lam, _, _, _, eps = hyper
     bnums, bdens = [], []
     for i in range(cfg.n_cov):
         o, k = cfg.offsets[i], cfg.blocks[i]
         Hi = H_cur[o:o + k]
+        His = Hi if scale is None else Hi * scale[None, :]
         Yi = Ys[i].astype(jnp.float32)
         if cfg.loss_kl:
             ratio = Yi / _clamp(dot(Bs_cur[i], Hi), eps)
-            bnums.append(dot(ratio, Hi.T))
-            bdens.append(jnp.sum(Hi, axis=1))
+            bnums.append(dot(ratio, His.T))
+            bdens.append(jnp.sum(His, axis=1))
         else:
-            bnums.append(dot(Yi, Hi.T))
+            bnums.append(dot(Yi, His.T))
             bdens.append(jnp.zeros((cfg.blocks[i],), jnp.float32))
     return tuple(bnums), tuple(bdens)
 
@@ -923,7 +934,8 @@ def _strip_kl_pad_bias(cfg: MUConfig, preds, total_pad: int, eps):
     )
 
 
-def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
+def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper,
+                     key=None, weights=None):
     """Full-batch joint MU via fused Pallas kernels: each iteration reads X
     exactly ONCE, and (with covariates) every per-iteration pass over H —
     guided terms, prediction losses, and the NEXT iteration's B-update
@@ -973,45 +985,84 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper):
         # (e.g. sharded shards); H must match X's padded width
         H0 = jnp.pad(H0, ((0, 0), (0, X.shape[1] - H0.shape[1])))
 
-    XHt0 = _x_ht(cfg, X, H0)
-    HHt0 = dot(H0, H0.T)
-
-    bnums0, bdens0 = _b_stats(cfg, hyper, Bs0, H0, Ys) if cfg.n_cov else ((), ())
+    counts_mode = cfg.weighted and cfg.weighted_counts
+    if counts_mode:
+        # weighted_fast on the fused kernel: the epoch's balanced draw is
+        # a count vector (grouped_balanced_counts over a group-sorted cell
+        # axis); all H-sided statistics become count-scaled contractions
+        # (joint_weighted_counts_update holds the algebra) and the H
+        # update masks undrawn columns — both inside the kernel, so the
+        # one-X-read-per-iteration structure is unchanged.  The pipelined
+        # stats feed the NEXT iteration's W/B updates, so each kernel call
+        # gets (this draw, next draw); the next draw depends only on its
+        # key, precomputed here.
+        keys = jax.random.split(key, cfg.max_iter + 1)
+        c0 = grouped_balanced_counts(keys[0], n, weights, X.shape[1])
+        Hc0 = H0 * c0[None, :]
+        XHt0 = _x_ht(cfg, X, Hc0)
+        HHt0 = dot(Hc0, H0.T)
+        bnums0, bdens0 = _b_stats(cfg, hyper, Bs0, H0, Ys, scale=c0)
+    else:
+        XHt0 = _x_ht(cfg, X, H0)
+        HHt0 = dot(H0, H0.T)
+        bnums0, bdens0 = (_b_stats(cfg, hyper, Bs0, H0, Ys) if cfg.n_cov
+                          else ((), ()))
+        c0 = jnp.zeros((0,), jnp.float32)  # unused carry placeholder
     total_pad = X.shape[1] - n
 
-    def iteration(carry, it):
-        W, H, Bs, XHt, HHt, bnums, bdens = carry
+    def iteration(carry, xs):
+        it, key_next = xs
+        W, H, Bs, XHt, HHt, bnums, bdens, c_cur = carry
 
         W = _update_w(cfg, hyper, W, XHt, HHt)
         WtW = dot(W.T, W)
 
-        if cfg.n_cov:
+        c_next = c0
+        if counts_mode:
+            c_next = grouped_balanced_counts(key_next, n, weights,
+                                             X.shape[1])
+            Bs = _update_bs(cfg, hyper, Bs, bnums, bdens, HHt)
+            H, XHt, HHt, HHtU, lossdot, preds, bnums, bdens = \
+                pk.fused_iteration(
+                    X, W, H, WtW, Ys, Bs, lam, eps,
+                    jnp.stack([c_cur, c_next]),
+                    blocks=cfg.blocks, loss_kl=cfg.loss_kl,
+                    precision=cfg.precision, interpret=interpret,
+                )
+            preds = _strip_kl_pad_bias(cfg, preds, total_pad, eps)
+        elif cfg.n_cov:
             Bs = _update_bs(cfg, hyper, Bs, bnums, bdens, HHt)
             H, XHt, HHt, lossdot, preds, bnums, bdens = pk.fused_iteration(
                 X, W, H, WtW, Ys, Bs, lam, eps,
                 blocks=cfg.blocks, loss_kl=cfg.loss_kl,
                 precision=cfg.precision, interpret=interpret,
             )
+            HHtU = HHt
             preds = _strip_kl_pad_bias(cfg, preds, total_pad, eps)
         else:
             H, XHt, HHt, lossdot = pk.fused_h_update(
                 X, W, H, WtW, eps, precision=cfg.precision,
                 interpret=interpret
             )
+            HHtU = HHt
             preds = ()
 
-        recon = normX2 - 2.0 * lossdot + jnp.sum(WtW * HHt)
+        # the reconstruction loss needs the UNSCALED H@Hᵀ (HHt doubles as
+        # the — count-scaled, in weighted mode — W-update statistic)
+        recon = normX2 - 2.0 * lossdot + jnp.sum(WtW * HHtU)
         total = recon
         for i in range(cfg.n_cov):
             total = total + lam[i] * preds[i]
         loss = jnp.stack([total, recon] + list(preds))
         _maybe_report(cfg, loss, it)
 
-        return (W, H, Bs, XHt, HHt, bnums, bdens), loss
+        return (W, H, Bs, XHt, HHt, bnums, bdens, c_next), loss
 
+    iter_keys = (keys[1:] if counts_mode
+                 else jnp.zeros((cfg.max_iter, 2), jnp.uint32))
     (W, H, Bs, *_), losses = lax.scan(
-        iteration, (W0, H0, Bs0, XHt0, HHt0, bnums0, bdens0),
-        jnp.arange(cfg.max_iter),
+        iteration, (W0, H0, Bs0, XHt0, HHt0, bnums0, bdens0, c0),
+        (jnp.arange(cfg.max_iter), iter_keys),
     )
     if cfg.trim_h and H.shape[1] != n:
         # covers both the in-function covariate pad AND caller-pre-padded X

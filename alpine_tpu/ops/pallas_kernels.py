@@ -129,7 +129,8 @@ def _cast_itemsize_for_dtype(dt) -> int:
 
 def working_set_bytes(n_genes: int, K: int, tile: int, itemsize: int = 4,
                       n_labels: Tuple[int, ...] = (),
-                      cast_itemsize: Optional[int] = None) -> int:
+                      cast_itemsize: Optional[int] = None,
+                      counts_mode: bool = False) -> int:
     """Conservative VMEM bytes for one fused-iteration grid step at a given
     cell-tile width.  Covers the WHOLE working set — not just the X tile
     (the round-2 gate's gap: large genes x K shapes passed the X-only check
@@ -165,6 +166,13 @@ def working_set_bytes(n_genes: int, K: int, tile: int, itemsize: int = 4,
         + (2 * itemsize + y_cast) * labels
         + 10 * K * 4 + 2 * K * cast_itemsize
     )
+    if counts_mode:
+        # weighted_fast: the streamed (2, tile) counts block (double-
+        # buffered), one extra (K, K) accumulator output (counted twice
+        # like the others), and ~3 extra K-row f32 temporaries (the lifted
+        # mask, the lifted scale, the scaled Hs)
+        fixed += 4 * 2 * K * K
+        per_tile += tile * (2 * 2 * 4 + 3 * K * 4)
     return fixed + per_tile
 
 
@@ -177,7 +185,8 @@ def _vmem_limit_for(ws_bytes: int) -> int:
 
 def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
               n_labels: Tuple[int, ...] = (),
-              cast_itemsize: Optional[int] = None) -> Optional[int]:
+              cast_itemsize: Optional[int] = None,
+              counts_mode: bool = False) -> Optional[int]:
     """Width-independent largest usable cell-tile (a lane multiple >= 128).
 
     Two caps: the X-tile byte budget (throughput-swept heuristic — beyond
@@ -202,7 +211,8 @@ def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
     budget = int(_VMEM_HARD_CAP / _WS_MARGIN)
     while tile >= _LANE:
         if working_set_bytes(n_genes, K, tile, itemsize,
-                             n_labels, cast_itemsize) <= budget:
+                             n_labels, cast_itemsize,
+                             counts_mode=counts_mode) <= budget:
             return tile
         tile -= _LANE
     return None
@@ -211,12 +221,14 @@ def _max_tile(n_genes: int, itemsize: int = 4, K: Optional[int] = None,
 def _choose_tile_n(n_genes: int, n_cells: int, itemsize: int = 4,
                    K: Optional[int] = None,
                    n_labels: Tuple[int, ...] = (),
-                   cast_itemsize: Optional[int] = None) -> Optional[int]:
+                   cast_itemsize: Optional[int] = None,
+                   counts_mode: bool = False) -> Optional[int]:
     """Tile actually used by a kernel whose input width is n_cells: the
     width-independent max tile, capped at the (lane-rounded) array width so
     tiny problems don't allocate huge blocks.  (A smaller tile only shrinks
     the working set, so the cap preserves the VMEM guarantee.)"""
-    tile = _max_tile(n_genes, itemsize, K, n_labels, cast_itemsize)
+    tile = _max_tile(n_genes, itemsize, K, n_labels, cast_itemsize,
+                     counts_mode=counts_mode)
     if tile is None:
         return None
     return min(tile, max(_LANE, (n_cells + _LANE - 1) // _LANE * _LANE))
@@ -225,7 +237,8 @@ def _choose_tile_n(n_genes: int, n_cells: int, itemsize: int = 4,
 def pad_target(n_genes: int, n_cells: int, n_devices: int = 1,
                itemsize: int = 4, K: Optional[int] = None,
                n_labels: Tuple[int, ...] = (),
-               cast_itemsize: Optional[int] = None) -> Optional[int]:
+               cast_itemsize: Optional[int] = None,
+               counts_mode: bool = False) -> Optional[int]:
     """Zero-columns of cell-axis padding so that each of n_devices equal
     shards of the padded width W satisfies (W/n_devices) % tile == 0 for the
     tile _choose_tile_n picks AT THAT WIDTH.  Proof sketch: with
@@ -238,7 +251,8 @@ def pad_target(n_genes: int, n_cells: int, n_devices: int = 1,
     disagree on divisibility.  Pass the SAME K/n_labels the kernel will
     run with — they participate in the tile choice (and the same
     cast_itemsize: see _cast_itemsize_for's consistency rule)."""
-    t = _max_tile(n_genes, itemsize, K, n_labels, cast_itemsize)
+    t = _max_tile(n_genes, itemsize, K, n_labels, cast_itemsize,
+                  counts_mode=counts_mode)
     if t is None:
         return None
     per_shard = -(-n_cells // n_devices)
@@ -249,7 +263,8 @@ def pad_target(n_genes: int, n_cells: int, n_devices: int = 1,
 def h_update_supported(n_genes: int, itemsize: int = 4,
                        K: Optional[int] = None,
                        n_labels: Tuple[int, ...] = (),
-                       cast_itemsize: Optional[int] = None) -> bool:
+                       cast_itemsize: Optional[int] = None,
+                       counts_mode: bool = False) -> bool:
     """Whether the fused kernels fit their whole working set in the scoped
     VMEM limit at SOME lane-multiple tile.  `itemsize` is the STORAGE
     width — narrow dtypes (bf16/int16: 2, int8: 1) fit 2-4x more genes, so
@@ -261,8 +276,8 @@ def h_update_supported(n_genes: int, itemsize: int = 4,
     gate must reject every shape the kernel itself cannot compile, and
     accept every shape it can."""
     return pltpu is not None and _max_tile(n_genes, itemsize, K,
-                                           n_labels,
-                                           cast_itemsize) is not None
+                                           n_labels, cast_itemsize,
+                                           counts_mode=counts_mode) is not None
 
 
 def _mask_cols(x, i, tile_n, n_valid):
@@ -409,7 +424,7 @@ def fused_h_update(
     return Hn, HXt.T, HHt_ld[:K], HHt_ld[K, 0]
 
 
-def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
+def _iter_kernel(blocks, n_labels, loss_kl, precision, counts_mode, *refs):
     """Whole-iteration kernel (cell axis pre-padded to a tile multiple, so
     no edge masking): H update with in-kernel guided terms, PLUS
     per-covariate prediction-loss partials and the B-update statistics for
@@ -447,8 +462,22 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
     eps_ref, lam_ref = refs[0], refs[1]
     X_ref, W_ref, H_ref, WtW_ref = refs[2:6]
     n_in = 6 + (2 if n_cov else 0)
+    C_ref = None
+    if counts_mode:
+        # (2, tile) float32: row 0 = this epoch's draw counts (H-update
+        # mask), row 1 = the NEXT epoch's draw counts (the accumulated
+        # stats feed the next iteration's W/B updates, which in weighted
+        # mode are count-scaled contractions — mu.joint_weighted_counts_
+        # update holds the algebra; the next draw is precomputable from
+        # its key, so the pipelined structure is unchanged)
+        C_ref = refs[n_in]
+        n_in += 1
     out = refs[n_in:]
-    Hn_ref, HXt_ref, HHt_ref, stats_ref = out
+    if counts_mode:
+        Hn_ref, HXt_ref, HHt_ref, HHtU_ref, stats_ref = out
+    else:
+        Hn_ref, HXt_ref, HHt_ref, stats_ref = out
+        HHtU_ref = None
 
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
@@ -509,6 +538,22 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
             den = den + jnp.concatenate([gden, zero_tail], axis=0)
 
     Hn = Hm * (num / jnp.maximum(den, eps))
+    K_total = Hm.shape[0]
+    Hs = None  # count-scaled H for the accumulated statistics
+    if counts_mode:
+        # undrawn columns (count 0) keep their H — the reference never
+        # updates columns outside the drawn batch.  The (1, tile) count
+        # rows are lifted to (K, tile) via rank-1 MXU dots: a direct
+        # sublane-broadcast of a (1, n) mask is unimplemented in Mosaic
+        # (see the relayout pitfalls above), but ones(K,1) @ row(1,t) is
+        # an ordinary dot.
+        ones_col = jnp.ones((K_total, 1), jnp.float32)
+        lift = lambda row: jax.lax.dot_general(
+            ones_col, row, (((1,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+        m = lift((C_ref[0:1, :] > 0).astype(jnp.float32))
+        Hn = Hm + (Hn - Hm) * m
+        Hs = Hn * lift(C_ref[1:2, :])
     Hn_ref[:] = Hn
 
     @pl.when(i == 0)
@@ -516,18 +561,30 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
         HXt_ref[:] = jnp.zeros_like(HXt_ref)
         HHt_ref[:] = jnp.zeros_like(HHt_ref)
         stats_ref[:] = jnp.zeros_like(stats_ref)
+        if counts_mode:
+            HHtU_ref[:] = jnp.zeros_like(HHtU_ref)
 
     # (K, genes) orientation: K on the sublane axis instead of 128 padded
-    # output lanes — see _h_kernel's note (the caller transposes once)
+    # output lanes — see _h_kernel's note (the caller transposes once).
+    # In counts mode every contraction AGAINST the new H uses the count-
+    # scaled Hs (= c_next ⊙ Hn): X diag(c) Hᵀ, H diag(c) Hᵀ, rowsum(c⊙H),
+    # ratio diag(c) Hᵀ — while per-column terms (B@Hn, the losses) stay
+    # unscaled; HHtU carries the UNSCALED H@Hᵀ the reconstruction loss
+    # needs.
+    H_stat = Hs if counts_mode else Hn
     HXt_ref[:] += jax.lax.dot_general(
-        Hn.astype(xdt), Xm, (((1,), (1,)), ((), ())),
+        H_stat.astype(xdt), Xm, (((1,), (1,)), ((), ())),
         precision=xprec, preferred_element_type=jnp.float32,
     )
     HHt_ref[:] += jax.lax.dot_general(
-        Hn, Hn, (((1,), (1,)), ((), ())), precision=prec,
+        H_stat, Hn, (((1,), (1,)), ((), ())), precision=prec,
         preferred_element_type=jnp.float32
     )
-    K_total = Hn.shape[0]
+    if counts_mode:
+        HHtU_ref[:] += jax.lax.dot_general(
+            Hn, Hn, (((1,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32
+        )
     ld_row = jnp.broadcast_to(
         jnp.reshape(jnp.sum(WtX * Hn), (1, 1)), (1, K_total))
 
@@ -540,7 +597,7 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
     # relayouts.
     stat_rows = []
     if n_cov:
-        rowsum_Hn = jnp.sum(Hn, axis=1)[None, :]  # (1, K), shared Bden row
+        rowsum_Hn = jnp.sum(H_stat, axis=1)[None, :]  # (1, K), shared Bden row
         yhat = jnp.dot(Bg, Hn[:Kg], precision=prec,
                        preferred_element_type=jnp.float32)  # (Σlabels, tile)
         if loss_kl:
@@ -550,9 +607,10 @@ def _iter_kernel(blocks, n_labels, loss_kl, precision, *refs):
         else:
             d = Yf - yhat
             Q, E = Yf, d * d
-        # all covariates' Bnum rows: contract the tile axis once
+        # all covariates' Bnum rows: contract the tile axis once (against
+        # the count-scaled H in counts mode — ratio diag(c) Hᵀ)
         bnum_all = jax.lax.dot_general(
-            Q, Hn, (((1,), (1,)), ((), ())), precision=prec,
+            Q, H_stat, (((1,), (1,)), ((), ())), precision=prec,
             preferred_element_type=jnp.float32)              # (Σlabels, K)
         row = 0
         for c in range(n_cov):
@@ -580,6 +638,7 @@ def fused_iteration(
     Bs: Tuple[Array, ...],
     lam: Array,
     eps: Array,
+    counts: Optional[Array] = None,
     *,
     blocks: Tuple[int, ...],
     loss_kl: bool,
@@ -591,13 +650,24 @@ def fused_iteration(
     zero-padded to a multiple of the tile width (see mu._fit_scan_pallas).
 
     Returns (Hn, XHt, HHt, lossdot, preds(tuple), Bnums(tuple), Bdens(tuple))
-    where Bdens are the KL rowsum statistics (ignored for Frobenius)."""
+    where Bdens are the KL rowsum statistics (ignored for Frobenius).
+
+    `counts` (weighted_fast, mu.MUConfig.weighted_counts): a (2, n)
+    float32 array — row 0 this epoch's multinomial draw counts (undrawn
+    columns keep their H), row 1 the NEXT epoch's counts (the accumulated
+    XHt/HHt/B statistics are count-scaled contractions; the pipelined
+    structure is unchanged because the next draw depends only on its
+    key).  The return gains an extra element after HHt: the UNSCALED
+    H@Hᵀ the reconstruction loss needs (HHt itself is the scaled W-update
+    statistic)."""
     g, n = X.shape
     K = H.shape[0]
     n_cov = len(Ys)
     n_labels = tuple(y.shape[0] for y in Ys)
+    counts_mode = counts is not None
     tile_n = _choose_tile_n(g, n, X.dtype.itemsize, K, n_labels,
-                            cast_itemsize=_cast_itemsize_for_dtype(X.dtype))
+                            cast_itemsize=_cast_itemsize_for_dtype(X.dtype),
+                            counts_mode=counts_mode)
     if tile_n is None:
         raise ValueError(
             f"n_genes={g}, K={K} working set exceeds the VMEM limit for "
@@ -638,6 +708,12 @@ def fused_iteration(
         args.append(y_all)
         in_specs.append(pl.BlockSpec((L, Kg), full))
         args.append(b_emb)
+    if counts_mode:
+        if not n_cov:
+            raise ValueError("counts mode requires covariates (weighted "
+                             "sampling balances over them)")
+        in_specs.append(pl.BlockSpec((2, tile_n), by_cells))
+        args.append(counts.astype(jnp.float32))
 
     out_shape = [
         jax.ShapeDtypeStruct((K, n), jnp.float32),
@@ -649,13 +725,17 @@ def fused_iteration(
         pl.BlockSpec((K, g), full),
         pl.BlockSpec((K, K), full),
     ]
+    if counts_mode:  # the unscaled H@Hᵀ for the reconstruction loss
+        out_shape.append(jax.ShapeDtypeStruct((K, K), jnp.float32))
+        out_specs.append(pl.BlockSpec((K, K), full))
     # +1: the loss-dot partial rides the last stats row (a (1,1) SMEM
     # scalar output measurably stalled the pipeline — see _iter_kernel)
     stat_rows = sum(n_labels) + 2 * n_cov + 1
     out_shape.append(jax.ShapeDtypeStruct((stat_rows, K), jnp.float32))
     out_specs.append(pl.BlockSpec((stat_rows, K), full))
 
-    kernel = functools.partial(_iter_kernel, blocks, n_labels, loss_kl, precision)
+    kernel = functools.partial(_iter_kernel, blocks, n_labels, loss_kl,
+                               precision, counts_mode)
     kwargs = {}
     if not interpret and pltpu is not None:
         # v5e has ~128MB of VMEM; the default 16MB scoped limit throttles
@@ -665,7 +745,8 @@ def fused_iteration(
             vmem_limit_bytes=_vmem_limit_for(
                 working_set_bytes(g, K, tile_n, X.dtype.itemsize, n_labels,
                                   cast_itemsize=_cast_itemsize_for_dtype(
-                                      X.dtype)))
+                                      X.dtype),
+                                  counts_mode=counts_mode))
         )
     results = pl.pallas_call(
         kernel,
@@ -676,7 +757,10 @@ def fused_iteration(
         interpret=interpret,
         **kwargs,
     )(*args)
-    Hn, HXt, HHt, stats = results
+    if counts_mode:
+        Hn, HXt, HHt, HHtU, stats = results
+    else:
+        Hn, HXt, HHt, stats = results
     preds, bnums, bdens = [], [], []
     row = 0
     offsets = _block_offsets(blocks)
@@ -688,6 +772,9 @@ def fused_iteration(
         row += nl + 2
     ld = stats[row, 0]
     # (K, genes) -> (genes, K): a tiny XLA transpose outside the kernel
+    if counts_mode:
+        return (Hn, HXt.T, HHt, HHtU, ld, tuple(preds), tuple(bnums),
+                tuple(bdens))
     return Hn, HXt.T, HHt, ld, tuple(preds), tuple(bnums), tuple(bdens)
 
 

@@ -19,7 +19,8 @@ Prints ONE JSON line:
 Budget discipline (round-3 verdict item 1 — the driver's round-3 run timed
 out with NOTHING recorded): the parent process watchdogs a single child
 that prints a READY marker after its first successful device op.  Ready
-deadline ALPINE_BENCH_READY_S (default 120 s, covers tunnel init), total
+deadline ALPINE_BENCH_READY_S (default 150 s, covers tunnel init — a
+120 s window was observed to false-negative once in back-to-back runs), total
 deadline ALPINE_BENCH_WATCHDOG_S (default 900 s).  Miss either and the
 parent kills the child and prints the honest error row IMMEDIATELY — a
 parseable JSON line is guaranteed within the total budget regardless of
@@ -178,13 +179,18 @@ def bench_tpu(X, Ys):
 
     backend = os.environ.get("ALPINE_BENCH_BACKEND")
     if backend is None:
+        # weighted_fast rides the counts-mode fused kernel (gathered
+        # "weighted" stays XLA); everything else matches the model layer's
+        # backend choice
+        fused_ok = (not USE_ALS and BATCH is None
+                    and (not weighted or SAMPLING == "weighted_fast"))
         backend = ("pallas"
-                   if not USE_ALS and BATCH is None and not weighted
-                   and jax.default_backend() == "tpu"
+                   if fused_ok and jax.default_backend() == "tpu"
                    and pk.h_update_supported(
                        N_GENES, mu.x_storage_itemsize(x_dtype),
                        sum(BLOCKS), N_LABELS,
-                       cast_itemsize=mu.x_cast_itemsize(x_dtype))
+                       cast_itemsize=mu.x_cast_itemsize(x_dtype),
+                       counts_mode=(SAMPLING == "weighted_fast"))
                    else "xla")
 
     def run(n_iter):
@@ -465,7 +471,7 @@ def _watchdogged_main():
     import sys
     import threading
 
-    ready_s = float(os.environ.get("ALPINE_BENCH_READY_S", 120))
+    ready_s = float(os.environ.get("ALPINE_BENCH_READY_S", 150))
     total_s = float(os.environ.get("ALPINE_BENCH_WATCHDOG_S", 900))
     env = dict(os.environ, ALPINE_BENCH_CHILD="1")
     p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],

@@ -100,6 +100,58 @@ def test_compiled_pallas_matches_xla_on_tpu():
     assert payload["max_rel"] < 1e-5, payload
 
 
+_COUNTS_SCRIPT = r"""
+import json
+import numpy as np, jax, jax.numpy as jnp
+from alpine_tpu.ops import mu
+from alpine_tpu.utils import sampling as smp
+
+if jax.default_backend() != "tpu":
+    print(json.dumps({"skip": "no tpu backend"}))
+    raise SystemExit(0)
+
+BLOCKS=(3,4,6); N_LABELS=(2,3); G, N = 64, 2944  # +pad -> 3072
+r = np.random.default_rng(0)
+X = r.random((G, N)).astype(np.float32)
+Ys = []
+for nl in N_LABELS:
+    y = np.zeros((nl, N), np.float32)
+    y[r.integers(0, nl, N), np.arange(N)] = 1.0
+    Ys.append(y)
+ids = smp.joint_label_ids(Ys)
+order, start, sizes = smp.balanced_group_tables(ids)
+X = X[:, order]; Ys = [y[:, order] for y in Ys]
+pad = 3072 - N
+Xp = jnp.asarray(np.pad(X, ((0,0),(0,pad))))
+Ysp = tuple(jnp.asarray(np.pad(y, ((0,0),(0,pad)))) for y in Ys)
+tables = (jnp.asarray(start), jnp.asarray(sizes))
+key = jax.random.PRNGKey(0)
+hyper = (jnp.asarray([2.0, 1.0], jnp.float32), jnp.float32(0.2),
+         jnp.float32(0.3), jnp.float32(0.4), jnp.float32(1e-6))
+
+out = {}
+for backend in ("xla", "pallas"):
+    cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=N,
+                      loss_kl=True, weighted=True, weighted_counts=True,
+                      max_iter=10, backend=backend)
+    W0, H0, Bs0 = mu.init_matrices(cfg, G, key, 1e-6)
+    H0 = jnp.pad(H0, ((0,0),(0,pad)))
+    _, _, _, L = mu.fit_scan(cfg, W0, H0, Bs0, Xp, Ysp, hyper, key, tables)
+    out[backend] = np.asarray(jax.device_get(L))[:, 0].tolist()
+
+rel = max(abs(a-b)/abs(b) for a, b in zip(out["pallas"], out["xla"]))
+print(json.dumps({"max_rel": rel}))
+"""
+
+
+def test_compiled_counts_pallas_matches_xla_on_tpu():
+    """weighted_fast's counts-mode fused kernel (in-kernel count-scaled
+    stats + masked H update) vs the XLA counts path, same grouped draws,
+    compiled on the real chip."""
+    payload = _run_on_tpu(_COUNTS_SCRIPT)
+    assert payload["max_rel"] < 1e-5, payload
+
+
 def test_compiled_pallas_int8_matches_float32_on_tpu():
     """Integer X storage dequantized in VMEM: counts <= 127 are exact in the
     int8->bf16 path, so the trajectory tracks float32 at bf16 tolerance."""

@@ -233,6 +233,52 @@ def test_sharded_weighted_fast_matches_sharded_weighted():
                                rtol=5e-5)
 
 
+@pytest.mark.parametrize("loss_kl", [True, False])
+def test_counts_pallas_matches_counts_xla(loss_kl):
+    """The counts-mode fused kernel (in-kernel count-scaled stats + masked
+    H update, fed this-draw/next-draw count rows) must reproduce the XLA
+    counts path driven by the same keys and grouped tables — including a
+    zero-padded cell axis (pads draw count 0 and keep H exactly 0)."""
+    from alpine_tpu.utils import sampling as smp
+
+    n, iters, pad = 48, 4, 80  # pad to 128 = the kernel's minimum lane tile
+    X, Ys, Ws, Hs, Bs, _ = _problem(seed=13, n=n)
+    ids = np.asarray(smp.joint_label_ids(Ys))
+    order, start, sizes = smp.balanced_group_tables(ids)
+    Xs = X[:, order]
+    Yss = [y[:, order] for y in Ys]
+    Hss = [h[:, order] for h in Hs]
+    tables = (jnp.asarray(start), jnp.asarray(sizes))
+
+    Xp = np.pad(Xs, ((0, 0), (0, pad)))
+    Ysp = [np.pad(y, ((0, 0), (0, pad))) for y in Yss]
+    Hsp = [np.pad(h, ((0, 0), (0, pad))) for h in Hss]
+
+    outs = {}
+    for backend in ("xla", "pallas_interpret"):
+        cfg = mu.MUConfig(blocks=BLOCKS, n_labels=N_LABELS, n_cells=n,
+                          loss_kl=loss_kl, weighted=True,
+                          weighted_counts=True, max_iter=iters,
+                          backend=backend, trim_h=False)
+        key = jax.random.PRNGKey(21)
+        outs[backend] = mu.fit_scan(
+            cfg, jnp.asarray(_cat_w(Ws)), jnp.asarray(_cat_h(Hsp)),
+            tuple(jnp.asarray(b) for b in Bs), jnp.asarray(Xp),
+            tuple(jnp.asarray(y) for y in Ysp), _hyper(), key, tables)
+    (Wx, Hx, Bsx, Lx), (Wp, Hp, Bsp, Lp) = outs["xla"], outs["pallas_interpret"]
+    np.testing.assert_allclose(np.asarray(Wx), np.asarray(Wp),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Hx), np.asarray(Hp),
+                               rtol=2e-4, atol=1e-6)
+    for bx, bp in zip(Bsx, Bsp):
+        np.testing.assert_allclose(np.asarray(bx), np.asarray(bp),
+                                   rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Lx), np.asarray(Lp),
+                               rtol=2e-4, atol=1e-6)
+    # pad columns never drawn, exactly zero on both paths
+    np.testing.assert_array_equal(np.asarray(Hp)[:, n:], 0.0)
+
+
 def test_weighted_fast_validation():
     adata = make_synthetic_adata(n_cells=40, n_genes=12, seed=1)
     m = ALPINE(n_components=4, n_covariate_components=[2, 2],
