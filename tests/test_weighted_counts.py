@@ -175,6 +175,7 @@ def test_grouped_balanced_counts_distribution():
     assert (np.abs(mean[:n] - n * w) < 5 * se + 0.2).all()
 
 
+@pytest.mark.slow
 def test_model_weighted_fast_fit_runs_and_converges():
     """Model-level: sampling_method='weighted_fast' (grouped sampler +
     counts update) fits end-to-end, is seed-deterministic, restores the
