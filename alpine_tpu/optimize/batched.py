@@ -211,6 +211,7 @@ def batched_fold_embeddings(
     batch_size,
     weighted: bool,
     max_iter: int,
+    weighted_counts: bool = False,
     scale: bool,
     seed: int,
     precision: str = "highest",
@@ -261,6 +262,11 @@ def batched_fold_embeddings(
         batch_size=None if (batch_size is None or batch_size >= fd.n_tr)
         else batch_size,
         weighted=weighted,
+        # choice-identical per-fold counts (mu.multinomial_counts): fold
+        # scores match the gathered 'weighted' path to float noise, with
+        # no per-epoch gathers (the grouped-table sampler is not used
+        # here — per-fold joint-group counts can differ, breaking vmap)
+        weighted_counts=weighted_counts,
         tile=fd.tile,
         max_iter=max_iter,
         precision=precision,

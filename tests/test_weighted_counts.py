@@ -280,6 +280,36 @@ def test_counts_pallas_matches_counts_xla(loss_kl):
     np.testing.assert_array_equal(np.asarray(Hp)[:, n:], 0.0)
 
 
+@pytest.mark.slow
+def test_optimizer_weighted_fast_scores_match_weighted():
+    """ComponentOptimizer(sampling_method='weighted_fast'): the batched CV
+    path draws choice-IDENTICAL per-fold counts (mu.multinomial_counts over
+    the same keys as the gathered path), so per-trial fold scores must
+    match a 'weighted' search to float noise; construction mirrors the
+    model's validation."""
+    from alpine_tpu import ComponentOptimizer
+
+    adata = make_synthetic_adata(n_cells=150, n_genes=16, seed=5)
+    with pytest.raises(ValueError, match="full-epoch"):
+        ComponentOptimizer(adata, ["batch"], sampling_method="weighted_fast",
+                           batch_size=32)
+    with pytest.raises(ValueError, match="joint mode"):
+        ComponentOptimizer(adata, ["batch"], sampling_method="weighted_fast",
+                           use_als=True)
+    scores = {}
+    for method in ("weighted", "weighted_fast"):
+        co = ComponentOptimizer(adata, ["batch"], max_iter=8, device="cpu",
+                                random_state=0, sampling_method=method)
+        co.search_hyperparams(
+            n_total_components_range=(8, 12), lam_range=(1.0, 100.0),
+            n_splits=2, max_evals=2,
+        )
+        hist = co.get_train_history().sort_values("n_total_components")
+        scores[method] = hist["score"].values
+    np.testing.assert_allclose(scores["weighted"], scores["weighted_fast"],
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_weighted_fast_validation():
     adata = make_synthetic_adata(n_cells=40, n_genes=12, seed=1)
     m = ALPINE(n_components=4, n_covariate_components=[2, 2],
