@@ -1174,9 +1174,13 @@ class ALPINE:
             return 0
         if self.sampling_method == "weighted_fast":
             # the counts-mode fused kernel runs single-device only (the
-            # sharded weighted_fast path is the shard-local XLA sampler);
+            # sharded weighted_fast path is the shard-local XLA sampler;
+            # a Mesh of ONE device still routes through fit_scan_sharded);
             # batch_size was validated None for weighted_fast
-            if eff_devices > 1 or not self.n_covariate_components:
+            from jax.sharding import Mesh as _Mesh
+
+            if (eff_devices > 1 or not self.n_covariate_components
+                    or isinstance(self.device, _Mesh)):
                 return 0
             counts_mode = True
         pad = pallas_kernels.pad_target(
@@ -1228,9 +1232,15 @@ class ALPINE:
         # counts-mode weighted_fast rides the fused kernel too (in-kernel
         # count-scaled stats + masked H update) — single device only; the
         # sharded weighted_fast path is the shard-local XLA sampler
+        from jax.sharding import Mesh as _Mesh
+
         counts_fused = (
             cfg.weighted_counts and cfg.batch_size is None
             and cfg.n_cov > 0 and self._mesh_devices() == 1
+            # a Mesh — even of one device — routes pallas fits into
+            # fit_scan_sharded, which has no counts mode; mesh
+            # weighted_fast rides the shard-local XLA sampler
+            and not isinstance(self.device, _Mesh)
         )
         if (
             (cfg.full_batch or counts_fused)

@@ -965,9 +965,15 @@ def _fit_scan_pallas(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper,
     n = cfg.n_cells
     g = X.shape[0]
     if cfg.n_cov:
+        # counts_mode must flow into the pad arithmetic: the counts-mode
+        # working-set surcharge can step the kernel's tile DOWN, and the
+        # pad-computing caller and the kernel must derive the SAME tile
+        # (pad_target's consistency rule; review finding r4)
         n_pad = pk.pad_target(g, X.shape[1], 1, jnp.dtype(cfg.xdt).itemsize,
                               cfg.K, cfg.n_labels,
-                              cast_itemsize=x_cast_itemsize(cfg.x_dtype))
+                              cast_itemsize=x_cast_itemsize(cfg.x_dtype),
+                              counts_mode=(cfg.weighted
+                                           and cfg.weighted_counts))
         if n_pad is None:
             raise ValueError(
                 f"n_genes={g}, K={cfg.K} working set exceeds the VMEM limit "

@@ -191,7 +191,7 @@ class ComponentOptimizer:
         if sampling_method not in self._VALID_SAMPLING:
             raise ValueError(
                 f"Unknown sampling method: {sampling_method}. Only 'weighted', "
-                "'random', and 'tiled' are supported."
+                "'random', 'weighted_fast', and 'tiled' are supported."
             )
         if sampling_method == "weighted_fast":
             # mirror the model layer's contract: full-epoch joint mode.

@@ -460,7 +460,7 @@ def _watchdogged_main():
     parseable line inside a hard budget:
 
       * child prints READY_MARK after its first device op; if the parent
-        doesn't see it within ALPINE_BENCH_READY_S (default 120 s) the
+        doesn't see it within ALPINE_BENCH_READY_S (default 150 s) the
         tunnel is declared down and the error row prints immediately;
       * the whole run is capped at ALPINE_BENCH_WATCHDOG_S (default 900 s
         — healthy runs finish in ~4-6 min incl. tunnel init + compile);

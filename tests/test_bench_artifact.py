@@ -67,7 +67,7 @@ def test_cached_baseline_roundtrip(bench, monkeypatch, tmp_path):
 def test_ready_deadline_emits_error_row_for_dead_backend():
     """The dead-backend dry run (round-3 verdict item 1 'done' criterion):
     with the device unreachable, the error row must print within the ready
-    deadline — well under 3 minutes at the default 120 s."""
+    deadline — well under 3 minutes at the default 150 s."""
     import subprocess
     import time
 

@@ -280,6 +280,74 @@ def test_counts_pallas_matches_counts_xla(loss_kl):
     np.testing.assert_array_equal(np.asarray(Hp)[:, n:], 0.0)
 
 
+def test_counts_mode_pad_and_tile_agree():
+    """Regression (round-4 review finding 1): the counts-mode working-set
+    surcharge can step the kernel tile DOWN, so the pad computed for a
+    weighted_fast fit must use counts_mode too — at g=1000, K=192, int8
+    the two tile choices genuinely differ, and the crash was the padded
+    width not dividing by the kernel's tile."""
+    from alpine_tpu.ops import pallas_kernels as pk
+
+    g, K, n, itemsize, labels = 1000, 192, 20000, 1, (2, 3)
+    t_plain = pk._choose_tile_n(g, n, itemsize, K, labels, cast_itemsize=2)
+    t_counts = pk._choose_tile_n(g, n, itemsize, K, labels, cast_itemsize=2,
+                                 counts_mode=True)
+    assert t_counts < t_plain  # the shape that triggered the crash
+    pad = pk.pad_target(g, n, 1, itemsize, K, labels, cast_itemsize=2,
+                        counts_mode=True)
+    assert (n + pad) % t_counts == 0
+
+
+def test_counts_fused_gating_excludes_meshes(monkeypatch):
+    """Regression (round-4 review finding 2): a Mesh — even of ONE device
+    — routes pallas fits into fit_scan_sharded, which has no counts mode;
+    the backend must stay 'xla' there while a plain TPU device gets the
+    counts-mode fused kernel."""
+    import jax
+    from jax.sharding import Mesh
+
+    from alpine_tpu.models import alpine as alpine_mod
+
+    monkeypatch.setattr(alpine_mod.ALPINE, "_use_tpu_kernels",
+                        lambda self: True)
+    adata = make_synthetic_adata(n_cells=40, n_genes=12, seed=1)
+    Ys = [np.zeros((2, 40), np.float32), np.zeros((3, 40), np.float32)]
+
+    def cfg_for(device):
+        m = ALPINE(n_components=4, n_covariate_components=[2, 2],
+                   lam=[1.0, 1.0], device=device, random_state=0)
+        m.sampling_method = "weighted_fast"
+        m.batch_size = 40
+        m.verbose = False
+        m.n_features = 12
+        return m._make_cfg_base(Ys, 40, 3)
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("cells",))
+    assert cfg_for(mesh1).backend == "xla"
+    assert cfg_for(jax.devices()[0]).backend == "pallas"
+
+
+def test_2d_mesh_weighted_fast_matches_single_device():
+    """The 2-D-mesh weighted_fast cell of the support matrix (GSPMD
+    counts): the grouped sampler + counts update compile over the mesh as
+    the semantically identical program, so the trajectory must match the
+    single-device fit."""
+    from alpine_tpu.parallel.mesh import make_gene_cell_mesh
+
+    adata = make_synthetic_adata(n_cells=64, n_genes=16, seed=9)
+    outs = {}
+    for device in ("cpu", make_gene_cell_mesh(2, 4)):
+        m = ALPINE(n_components=4, n_covariate_components=[2, 2],
+                   lam=[1.0, 1.0], device=device, random_state=0)
+        m.fit(adata, ["batch", "condition"], max_iter=4,
+              sampling_method="weighted_fast", verbose=False)
+        outs[str(device)[:3]] = (m.matrices["Hs"][-1],
+                                 m.loss_history["total loss"].values)
+    (h1, l1), (h2, l2) = outs.values()
+    np.testing.assert_allclose(h1, h2, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(l1, l2, rtol=5e-5)
+
+
 @pytest.mark.slow
 def test_optimizer_weighted_fast_scores_match_weighted():
     """ComponentOptimizer(sampling_method='weighted_fast'): the batched CV
