@@ -24,7 +24,7 @@ RUN = os.environ.get("ALPINE_RUN_EXAMPLE_TESTS", "") not in ("", "0", "false")
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 EXAMPLES = ["quickstart", "sparse_counts_int8", "hyperparameter_search",
-            "atlas_sharded"]
+            "atlas_sharded", "fast_sampling"]
 
 
 @pytest.mark.skipif(not RUN, reason="set ALPINE_RUN_EXAMPLE_TESTS=1")
