@@ -486,23 +486,11 @@ def joint_weighted_counts_update(cfg: MUConfig, hyper, W, Bs, H, X, Ys, c,
     )
     W = W * (num / _clamp(den, eps))
 
-    # --- B updates (main.py:614-628); pre-update H, count-scaled sums ---
-    newBs = []
-    for i in range(cfg.n_cov):
-        o, k = cfg.offsets[i], cfg.blocks[i]
-        Hi, Hci = H[o:o + k], Hc[o:o + k]
-        Yi = Ys[i].astype(jnp.float32)
-        B = Bs[i]
-        if cfg.loss_kl:
-            ratio = Yi / _clamp(dot(B, Hi), eps)  # per-column: unscaled BH
-            bnum = lam[i] * r(dot(ratio, Hci.T))
-            bden = lam[i] * jnp.broadcast_to(
-                r(jnp.sum(Hci, axis=1))[None, :], B.shape)
-        else:
-            bnum = 2.0 * r(dot(Yi, Hci.T))
-            bden = 2.0 * dot(B, HHt[o:o + k, o:o + k])
-        newBs.append(B * (bnum / _clamp(bden, eps)))
-    Bs = tuple(newBs)
+    # --- B updates (main.py:614-628); pre-update H, count-scaled sums
+    # via the shared statistic/update helpers (per-column B@H unscaled,
+    # contractions against H scaled — _b_stats' scale contract) ---
+    bnums, bdens = _b_stats(cfg, hyper, Bs, H, Ys, scale=c, r=r)
+    Bs = _update_bs(cfg, hyper, Bs, bnums, bdens, HHt)
 
     # --- H update (main.py:630-663): the standard per-column full-batch
     # update, applied only to drawn columns ---
@@ -865,12 +853,13 @@ def fit_scan(cfg: MUConfig, W0, H0, Bs0, X, Ys, hyper, key, weights):
     return W, H, Bs, losses
 
 
-def _b_stats(cfg: MUConfig, hyper, Bs_cur, H_cur, Ys, scale=None):
+def _b_stats(cfg: MUConfig, hyper, Bs_cur, H_cur, Ys, scale=None, r=_ident):
     """B-update statistics over the CURRENT H (reference main.py:617-626):
     KL -> ((Y⊘clamp(BH))Hᵀ, rowsum(H_i)); Frobenius -> (YHᵀ, unused).
     `scale` (weighted_fast counts mode): per-cell draw counts — every
     contraction AGAINST H is count-scaled while the per-column B@H stays
-    unscaled (see joint_weighted_counts_update)."""
+    unscaled (see joint_weighted_counts_update).  `r` reduces cell-axis
+    contractions across shards (identity on one device)."""
     dot = partial(_dot, precision=cfg.precision)
     lam, _, _, _, eps = hyper
     bnums, bdens = [], []
@@ -881,10 +870,10 @@ def _b_stats(cfg: MUConfig, hyper, Bs_cur, H_cur, Ys, scale=None):
         Yi = Ys[i].astype(jnp.float32)
         if cfg.loss_kl:
             ratio = Yi / _clamp(dot(Bs_cur[i], Hi), eps)
-            bnums.append(dot(ratio, His.T))
-            bdens.append(jnp.sum(His, axis=1))
+            bnums.append(r(dot(ratio, His.T)))
+            bdens.append(r(jnp.sum(His, axis=1)))
         else:
-            bnums.append(dot(Yi, His.T))
+            bnums.append(r(dot(Yi, His.T)))
             bdens.append(jnp.zeros((cfg.blocks[i],), jnp.float32))
     return tuple(bnums), tuple(bdens)
 
