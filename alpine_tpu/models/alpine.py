@@ -42,6 +42,7 @@ from typing import Dict, List, Optional, Union
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 import numpy as np
 import pandas as pd
 
@@ -1056,8 +1057,6 @@ class ALPINE:
         if on_device:
             # math lives in ops/mu (repo invariant); pinned to the model's
             # device so an explicit device="cpu" is never silently ignored
-            from jax.sharding import Mesh
-
             dev = self.device
             target = dev.devices.flat[0] if isinstance(dev, Mesh) else (
                 dev if hasattr(dev, "platform") else None)
@@ -1121,8 +1120,6 @@ class ALPINE:
     _callback_probe_cache: Dict = {}
 
     def _mesh_devices(self) -> int:
-        from jax.sharding import Mesh
-
         return self.device.devices.size if isinstance(self.device, Mesh) else 1
 
     @property
@@ -1177,10 +1174,8 @@ class ALPINE:
             # sharded weighted_fast path is the shard-local XLA sampler;
             # a Mesh of ONE device still routes through fit_scan_sharded);
             # batch_size was validated None for weighted_fast
-            from jax.sharding import Mesh as _Mesh
-
             if (eff_devices > 1 or not self.n_covariate_components
-                    or isinstance(self.device, _Mesh)):
+                    or isinstance(self.device, Mesh)):
                 return 0
             counts_mode = True
         pad = pallas_kernels.pad_target(
@@ -1194,8 +1189,6 @@ class ALPINE:
     def _use_tpu_kernels(self) -> bool:
         """Fused Pallas kernels apply on a TPU device or a 1-D TPU mesh
         (per-shard kernels + psums of the small accumulators)."""
-        from jax.sharding import Mesh
-
         if env_flag("ALPINE_TPU_DISABLE_PALLAS"):
             return False
         dev = self.device
@@ -1232,15 +1225,13 @@ class ALPINE:
         # counts-mode weighted_fast rides the fused kernel too (in-kernel
         # count-scaled stats + masked H update) — single device only; the
         # sharded weighted_fast path is the shard-local XLA sampler
-        from jax.sharding import Mesh as _Mesh
-
         counts_fused = (
             cfg.weighted_counts and cfg.batch_size is None
             and cfg.n_cov > 0 and self._mesh_devices() == 1
             # a Mesh — even of one device — routes pallas fits into
             # fit_scan_sharded, which has no counts mode; mesh
             # weighted_fast rides the shard-local XLA sampler
-            and not isinstance(self.device, _Mesh)
+            and not isinstance(self.device, Mesh)
         )
         if (
             (cfg.full_batch or counts_fused)
