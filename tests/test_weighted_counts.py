@@ -378,6 +378,40 @@ def test_optimizer_weighted_fast_scores_match_weighted():
                                rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_weighted_fast_feature_interactions(tmp_path):
+    """weighted_fast composes with the other fit features: component
+    bucketing keeps phantom components exactly neutral under the counts
+    mask/scale; chunked (checkpointed) fits are deterministic (same seed →
+    identical trajectory; like every stochastic mode, the chunk key
+    schedule intentionally differs from the unchunked fit); multi-restart
+    fits run."""
+    adata = make_synthetic_adata(n_cells=60, n_genes=15, seed=0)
+    kw = dict(n_components=5, n_covariate_components=[2, 2], lam=[1.0, 1.0],
+              device="cpu", random_state=0)
+
+    mb = ALPINE(component_bucket=8, **kw)
+    mb.fit(adata, ["batch", "condition"], max_iter=4,
+           sampling_method="weighted_fast")
+    # stored matrices are true-sized (phantoms sliced off) and finite
+    assert mb.matrices["Hs"][-1].shape[0] == 5
+    assert all(np.isfinite(h).all() for h in mb.matrices["Hs"])
+
+    runs = []
+    for i in range(2):
+        m = ALPINE(**kw)
+        m.fit(adata, ["batch", "condition"], max_iter=6,
+              sampling_method="weighted_fast",
+              checkpoint_dir=str(tmp_path / f"ck{i}"), checkpoint_every=2)
+        runs.append(m.loss_history.values)
+    np.testing.assert_array_equal(runs[0], runs[1])
+
+    mr = ALPINE(**kw)
+    mr.fit(adata, ["batch", "condition"], max_iter=4,
+           sampling_method="weighted_fast", n_restarts=3)
+    assert np.isfinite(mr.loss_history.values).all()
+
+
 def test_weighted_fast_validation():
     adata = make_synthetic_adata(n_cells=40, n_genes=12, seed=1)
     m = ALPINE(n_components=4, n_covariate_components=[2, 2],
