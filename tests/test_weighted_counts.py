@@ -378,6 +378,40 @@ def test_optimizer_weighted_fast_scores_match_weighted():
                                rtol=1e-3, atol=1e-5)
 
 
+def test_weighted_fast_transform_cache_matches_uncached():
+    """weighted_fast fits cache the GROUP-SORTED device X; a same-data
+    transform must reuse it and return each cell's OWN projection (H0
+    re-paired on the permuted X, result un-permuted) — same contract as
+    the tiled cache test.  Hit/miss agree at convergence; a wrong
+    un-permute misassigns whole cells."""
+    adata = make_synthetic_adata(n_cells=200, n_genes=24, seed=3)
+    m = ALPINE(n_components=6, n_covariate_components=[2, 3],
+               lam=[1.0, 2.0], device="cpu", random_state=0)
+    m.fit(adata, ["batch", "condition"], max_iter=10,
+          sampling_method="weighted_fast")
+    assert m._x_cache is not None and m._x_cache[4] is not None
+
+    ad_hit = adata.copy()
+    m.transform(ad_hit, n_iter=400)
+    m.free_device_cache()
+    ad_miss = adata.copy()
+    m.transform(ad_miss, n_iter=400)
+    hit = ad_hit.obsm["ALPINE_embedding"]
+    miss = ad_miss.obsm["ALPINE_embedding"]
+
+    def row_corr(a, b):
+        a = a - a.mean(1, keepdims=True)
+        b = b - b.mean(1, keepdims=True)
+        denom = (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+                 + 1e-12)
+        return (a * b).sum(1) / denom
+
+    aligned = row_corr(hit, miss)
+    assert aligned.mean() > 0.9, aligned.mean()
+    perm = np.random.default_rng(1).permutation(hit.shape[0])
+    assert row_corr(hit, miss[perm]).mean() < 0.5
+
+
 @pytest.mark.slow
 def test_weighted_fast_feature_interactions(tmp_path):
     """weighted_fast composes with the other fit features: component
