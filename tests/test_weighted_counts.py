@@ -96,6 +96,50 @@ def test_counts_trajectory_matches_gathered(loss_kl):
                                rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("trial", [0, 1, 2])
+def test_fuzz_counts_matches_gathered(trial):
+    """Randomized configs (block structures, covariate counts, hypers,
+    loss type, cell counts): the counts fit must track the gathered fit
+    driven by the same key across the whole config space — the fuzz-level
+    pin that the count-scaling algebra covers every term."""
+    r = np.random.default_rng(100 + trial)
+    n_cov = int(r.integers(1, 4))
+    blocks = tuple(int(b) for b in r.integers(2, 7, n_cov + 1))
+    n_labels = tuple(int(l) for l in r.integers(2, 5, n_cov))
+    g, n = int(r.integers(10, 30)), int(r.integers(20, 70))
+    loss_kl = bool(r.integers(0, 2))
+    X = (r.random((g, n)).astype(np.float32) * 3).round(3)
+    Ys = []
+    for nl in n_labels:
+        y = np.zeros((nl, n), np.float32)
+        y[r.integers(0, nl, n), np.arange(n)] = 1.0
+        Ys.append(y)
+    K = sum(blocks)
+    W0 = r.random((g, K)).astype(np.float32) + 0.1
+    H0 = r.random((K, n)).astype(np.float32) + 0.1
+    Bs0 = [r.random((nl, k)).astype(np.float32) + 0.1
+           for nl, k in zip(n_labels, blocks)]
+    w = r.random(n).astype(np.float32) + 0.05
+    w /= w.sum()
+    hyper = (jnp.asarray(r.random(n_cov).astype(np.float32) * 3),
+             jnp.float32(r.random() * 0.5), jnp.float32(r.random()),
+             jnp.float32(r.random()), jnp.float32(EPS))
+    outs = {}
+    for counts in (False, True):
+        cfg = mu.MUConfig(blocks=blocks, n_labels=n_labels, n_cells=n,
+                          loss_kl=loss_kl, weighted=True,
+                          weighted_counts=counts, max_iter=3)
+        outs[counts] = mu.fit_scan(
+            cfg, jnp.asarray(W0), jnp.asarray(H0),
+            tuple(jnp.asarray(b) for b in Bs0), jnp.asarray(X),
+            tuple(jnp.asarray(y) for y in Ys), hyper,
+            jax.random.PRNGKey(trial), jnp.asarray(w))
+    (Wg, Hg, Bsg, Lg), (Wc, Hc, Bsc, Lc) = outs[False], outs[True]
+    for a, b in [(Wg, Wc), (Hg, Hc), (Lg, Lc)] + list(zip(Bsg, Bsc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+
+
 def test_counts_step_matches_float64_gathered_oracle():
     """One counts step vs the float64 oracle run on the GATHERED multiset
     of the same draw — the reference's own update applied to the drawn
