@@ -96,7 +96,9 @@ def test_counts_trajectory_matches_gathered(loss_kl):
                                rtol=2e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("trial", [0, 1, 2])
+@pytest.mark.parametrize("trial", [0,
+                                   pytest.param(1, marks=pytest.mark.slow),
+                                   pytest.param(2, marks=pytest.mark.slow)])
 def test_fuzz_counts_matches_gathered(trial):
     """Randomized configs (block structures, covariate counts, hypers,
     loss type, cell counts): the counts fit must track the gathered fit
