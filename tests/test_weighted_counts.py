@@ -280,7 +280,8 @@ def test_sharded_weighted_fast_matches_sharded_weighted():
                                rtol=5e-5)
 
 
-@pytest.mark.parametrize("loss_kl", [True, False])
+@pytest.mark.parametrize("loss_kl", [True,
+                                     pytest.param(False, marks=pytest.mark.slow)])
 def test_counts_pallas_matches_counts_xla(loss_kl):
     """The counts-mode fused kernel (in-kernel count-scaled stats + masked
     H update, fed this-draw/next-draw count rows) must reproduce the XLA
@@ -373,6 +374,7 @@ def test_counts_fused_gating_excludes_meshes(monkeypatch):
     assert cfg_for(jax.devices()[0]).backend == "pallas"
 
 
+@pytest.mark.slow
 def test_2d_mesh_weighted_fast_matches_single_device():
     """The 2-D-mesh weighted_fast cell of the support matrix (GSPMD
     counts): the grouped sampler + counts update compile over the mesh as
