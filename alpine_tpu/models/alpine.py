@@ -61,7 +61,6 @@ from alpine_tpu.utils.adata import (
     dense_x, is_anndata, is_sparse_x, suggest_data_dtype, x_min,
 )
 from alpine_tpu.utils.encoder import FeatureEncoders
-from alpine_tpu.utils.single_cell import normalize_total
 
 Float32Array = np.ndarray
 
@@ -199,14 +198,15 @@ class ALPINE:
                 "tiled sampling requires joint mode on a 1-D cell mesh "
                 "(or one device); use sampling_method='random'."
             )
-        if sampling_method == "weighted_fast" and (
-            self.use_als or batch_size is not None
-        ):
+        if sampling_method == "weighted_fast" and self.use_als:
             # the counts strategy (mu.joint_weighted_counts_update) is a
             # FULL-EPOCH reformulation: per-batch counts would cost one
             # full X pass per batch, and ALS's block-cyclic updates have
             # no counts form — reject instead of silently running slower
-            # or falling back to a different trajectory
+            # or falling back to a different trajectory.  (A sub-covering
+            # batch_size is rejected below once the cell count is known; a
+            # covering one is normalized to full-epoch like everywhere
+            # else in the stack.)
             raise ValueError(
                 "sampling_method='weighted_fast' supports full-epoch joint "
                 "mode only (batch_size=None, use_als=False); minibatch or "
@@ -221,18 +221,23 @@ class ALPINE:
                 "batch_size (< n_cells); full-batch fits use "
                 "sampling_method='random'."
             )
-        if mp:
-            if sampling_method in ("weighted", "weighted_fast"):
-                # balanced draws need a global view of the joint labels
-                # (the single-process path pre-shuffles the WHOLE dataset)
-                raise ValueError(
-                    "weighted sampling is not supported in multi-process "
-                    "fits; use sampling_method='random'."
-                )
-            # checkpointing IS supported multi-process: each rank snapshots
-            # the replicated W/Bs/losses plus its OWN H columns (the global
-            # H is never addressable from one process), under a per-rank
-            # config tag; resume is collectively validated (run_checkpointed)
+        if mp and sampling_method == "weighted":
+            # the gathered draw needs a seeded GLOBAL pre-shuffle, which
+            # needs a host-side cell exchange across processes.
+            # weighted_fast has no such need: its counts never gather, so
+            # the exact global balanced draw is replicated from the shared
+            # key and each process scatter-adds only its own cells' counts
+            # (zero communication) — supported multi-process.
+            raise ValueError(
+                "sampling_method='weighted' is not supported in "
+                "multi-process fits; use 'weighted_fast' (the exact "
+                "balanced counts strategy — supported multi-process) "
+                "or 'random'."
+            )
+        # mp checkpointing IS supported: each rank snapshots the replicated
+        # W/Bs/losses plus its OWN H columns (the global H is never
+        # addressable from one process), under a per-rank config tag;
+        # resume is collectively validated (run_checkpointed)
 
         # all fallible preprocessing runs on LOCALS first — a failed re-fit
         # must never leave a previously fitted estimator half-mutated
@@ -441,6 +446,17 @@ class ALPINE:
                 f"({batch_size}) must be < n_cells ({n_sample}); full-batch "
                 f"fits use sampling_method='random'."
             )
+        if (sampling_method == "weighted_fast" and batch_size is not None
+                and batch_size < n_sample):
+            # a COVERING batch_size is full-epoch everywhere else in the
+            # stack (_make_cfg normalizes it to None), so accept it here
+            # too; only a genuinely sub-covering batch has no counts form
+            raise ValueError(
+                f"sampling_method='weighted_fast' supports full-epoch joint "
+                f"mode only: batch_size ({batch_size}) must be None or >= "
+                f"n_cells ({n_sample}); minibatch weighted fits use "
+                f"sampling_method='weighted'."
+            )
         tiled_mb = sampling_method == "tiled"
         if tiled_mb:
             unit = mu.DEFAULT_TILE * (pad_devices
@@ -465,7 +481,42 @@ class ALPINE:
         # subsamples.
         cell_perm = None
         wf_tables = None  # (start, sizes) for the grouped balanced sampler
-        if sampling_method == "weighted_fast" and not shard_local_mb:
+        wf_window = None  # shard-local weighted_fast: window-sampler layout
+        mp_h0_cols = None  # mp weighted_fast: global sorted H0 column/cell
+        if sampling_method == "weighted_fast" and mp:
+            # multi-process exact balanced draw (round-4 verdict item 1):
+            # each process GROUP-SORTS its own chunk (a local cell_perm);
+            # the global group layout — which, under the stable sort, is
+            # exactly the single-process group-sort of the chunk-
+            # concatenated dataset — is agreed through one small host
+            # allgather of (code, count) pairs.  Every device then draws
+            # the SAME global (group, position) stream from the shared key
+            # and scatter-adds only the draws in its own window
+            # (mu.grouped_balanced_counts window form): fixed shapes, zero
+            # communication, and the trajectory MATCHES the single-process
+            # weighted_fast fit (same key) up to psum summation order.
+            from alpine_tpu.parallel import distributed as dist
+
+            codes = sampling.joint_label_codes(Ys)
+            cell_perm = np.argsort(codes, kind="stable")
+            g_codes, m_gp = dist.allgather_group_layout(placement, codes)
+            m_g = m_gp.sum(axis=0)
+            sampling.check_group_sizes(m_g)
+            chunk = placement.process_chunk_index
+            base_off = m_gp[:chunk].sum(axis=0)
+            local_sizes = m_gp[chunk]
+            local_start = np.concatenate([[0],
+                                          np.cumsum(local_sizes)[:-1]])
+            # this chunk's cells at their notional global group-sorted
+            # positions: the single-process fit pairs sorted position q
+            # with H0 column q, so the mp H0 slice must gather exactly
+            # those columns for the trajectories to coincide
+            gid_sorted = np.searchsorted(g_codes, codes[cell_perm])
+            g_start = np.concatenate([[0], np.cumsum(m_g)[:-1]])
+            mp_h0_cols = (g_start[gid_sorted] + base_off[gid_sorted]
+                          + np.arange(n_local) - local_start[gid_sorted])
+            wf_window = (local_start, local_sizes, base_off, m_g)
+        elif sampling_method == "weighted_fast":
             # group-sort the cells (stable) so the grouped balanced sampler
             # (mu.grouped_balanced_counts) draws with two uniform vectors
             # instead of a per-cell inverse-CDF (~100x less sampling time
@@ -474,7 +525,17 @@ class ALPINE:
             order, start, sizes = sampling.balanced_group_tables(
                 sampling.joint_label_ids(Ys))
             cell_perm = order
-            wf_tables = (start, sizes)
+            if shard_local_mb:
+                # single-host 1-D mesh: the global group sort makes every
+                # shard a contiguous window of the sorted order — same
+                # replicated exact sampler as mp, windows derived from the
+                # global tables (base offsets 0), H0 needs no gather (the
+                # sort IS the perm, columns pair positionally)
+                wf_window = (start.astype(np.int64), sizes.astype(np.int64),
+                             np.zeros(len(sizes), np.int64),
+                             sizes.astype(np.int64))
+            else:
+                wf_tables = (start, sizes)
         elif tiled_mb and mp:
             # multi-process tiled: a GLOBAL shuffle would need an
             # all-process cell exchange, but tiles only need to be
@@ -486,7 +547,7 @@ class ALPINE:
             cell_perm = np.random.default_rng(
                 (self.random_state, placement.process_chunk_index)
             ).permutation(n_local)
-        elif (shard_local_mb and sampling_method in ("weighted", "weighted_fast")) or tiled_mb:
+        elif (shard_local_mb and sampling_method == "weighted") or tiled_mb:
             cell_perm = np.random.default_rng(self.random_state).permutation(
                 n_sample
             )
@@ -531,6 +592,24 @@ class ALPINE:
                 placement.put_replicated(jnp.asarray(wf_tables[0])),
                 placement.put_replicated(jnp.asarray(wf_tables[1])),
             )
+        elif wf_window is not None:
+            # sharded weighted_fast: the replicated exact sampler's
+            # (m_global, per-device window tables) pair — each device's
+            # window covers its own padded cell shard (pad tails hold no
+            # groups, so they are never drawn)
+            local_start, local_sizes, base_off, m_g = wf_window
+            if mp:
+                n_windows = placement.local_cell_shards
+                width = (n_local + pad) // n_windows
+            else:
+                n_windows = placement.cell_shards
+                width = (n_sample + pad) // n_windows
+            shard_tab = sampling.window_group_tables(
+                local_start, local_sizes, base_off, n_windows, width)
+            weights = (
+                placement.put_replicated(jnp.asarray(m_g, jnp.int32)),
+                placement.put_shard_rows(jnp.asarray(shard_tab)),
+            )
         elif sampling_method in ("weighted", "weighted_fast"):
             ids = sampling.joint_label_ids(Ys)
             w_host = sampling.balanced_sample_probabilities(ids)
@@ -562,8 +641,16 @@ class ALPINE:
                 # every process draws the IDENTICAL global H0 (same seed,
                 # same global shape — so the trajectory matches the
                 # single-process fit), then keeps only its chunk's columns
-                off = int(mp_locals[: placement.process_chunk_index].sum())
-                H0 = H0[:, off:off + n_local]
+                if mp_h0_cols is not None:
+                    # weighted_fast: the single-process fit pairs GLOBAL
+                    # GROUP-SORTED position q with H0 column q; gather this
+                    # chunk's cells' sorted positions so the trajectories
+                    # coincide (contiguous chunk columns would pair
+                    # different H0 values with the same cells)
+                    H0 = H0[:, jnp.asarray(mp_h0_cols)]
+                else:
+                    off = int(mp_locals[: placement.process_chunk_index].sum())
+                    H0 = H0[:, off:off + n_local]
             if pad:
                 # match the pre-padded X (zero columns are exactly neutral)
                 H0 = jnp.pad(H0, ((0, 0), (0, pad)))
@@ -1029,18 +1116,29 @@ class ALPINE:
         return None
 
     def get_normalized_expression(self, adata, library_size: Optional[float] = None,
-                                  on_device: bool = False) -> None:
+                                  on_device: bool = False,
+                                  cell_block_size: Optional[int] = None,
+                                  out: Optional[np.ndarray] = None) -> None:
         """Batch-corrected expression from the unguided block only
         (reference main.py:275-301).
 
-        ``on_device=True`` runs the (genes×k)@(k×cells) reconstruction on
-        the accelerator and fetches the result — at atlas scale the host
-        matmul dominates this call (~10+ s at 100k×2k), so this is the
-        fast path on directly-attached accelerators.  Off by default: over
-        a slow host↔device link (e.g. a tunneled chip) fetching the full
-        (cells×genes) matrix can cost more than the host matmul saves, and
-        the host path is bit-reproducible numpy.  Device/host results agree
-        to float32 reduction order (~1e-6 relative)."""
+        BLOCKWISE at any scale (round-5): the (cells × genes) result is
+        reconstructed and normalized ``cell_block_size`` cells at a time
+        directly into the output array, so peak transient host memory is
+        one slab — never a second full copy (the reference materializes
+        the product plus normalize_total's copy, main.py:292-298; at
+        500k×2k that is 3×4 GB).  Values are block-independent up to BLAS
+        kernel-selection ulps (~1e-7 relative): the per-cell math is
+        identical, the per-cell totals come from the same C-contiguous f32
+        row sums, and the scaling multiplies the same f32 factors.
+
+        ``on_device=True`` runs each slab's (genes×k)@(k×block) matmul on
+        the accelerator (fast when directly attached; over a tunneled
+        chip the fetch usually costs more than the host matmul saves).
+        ``out`` — preallocated (cells × genes) float32 array to fill and
+        store (e.g. an ``np.memmap`` for out-of-core export at atlas
+        scale); default allocates in memory.  ``cell_block_size`` defaults
+        to ~256 MB slabs."""
         if not hasattr(self, "matrices"):
             raise RuntimeError("Model is not trained yet. Please fit the model first.")
         elif not is_anndata(adata):
@@ -1054,20 +1152,43 @@ class ALPINE:
 
         W: Float32Array = self.matrices["Ws"][-1]
         H: Float32Array = np.asarray(adata.obsm["ALPINE_embedding"]).T
-        if on_device:
-            # math lives in ops/mu (repo invariant); pinned to the model's
-            # device so an explicit device="cpu" is never silently ignored
-            dev = self.device
-            target = dev.devices.flat[0] if isinstance(dev, Mesh) else (
-                dev if hasattr(dev, "platform") else None)
-            X_normalized = mu.reconstruct_expression(
-                W, H, device=target, precision=self.matmul_precision)
-        else:
-            X_normalized = np.dot(W, H).astype(np.float32).T
+        n_cells, g = H.shape[1], W.shape[0]
+        if cell_block_size is None:
+            # ~256 MB f32 slabs: large enough to stream, small vs the result
+            cell_block_size = max(1, min(n_cells, (64 << 20) // max(g, 1)))
+        if not isinstance(cell_block_size, int) or cell_block_size <= 0:
+            raise ValueError("cell_block_size must be a positive integer.")
+        if out is None:
+            out = np.empty((n_cells, g), np.float32)
+        elif out.shape != (n_cells, g) or out.dtype != np.float32:
+            raise ValueError(
+                f"out must be a float32 array of shape {(n_cells, g)}, got "
+                f"{out.dtype} {out.shape}."
+            )
 
-        adata.layers["normalized_expression"] = normalize_total(
-            X_normalized, target_sum=library_size
-        )
+        # pass 1: reconstruct slabs into `out` + per-cell totals (math in
+        # ops/mu — repo invariant; pinned to the model's device so an
+        # explicit device="cpu" is never silently ignored)
+        dev = self.device
+        target = dev.devices.flat[0] if isinstance(dev, Mesh) else (
+            dev if hasattr(dev, "platform") else None)
+        counts = np.empty(n_cells, np.float32)
+        mu.reconstruct_expression_blocks(
+            W, H, out, counts, cell_block_size, device=target,
+            precision=self.matmul_precision, on_device=on_device)
+
+        # pass 2: scale rows in place (normalize_total semantics,
+        # reference main.py:297-298 / utils.single_cell.normalize_total)
+        if library_size is None:
+            nz = counts[counts > 0]
+            library_size = float(np.median(nz)) if nz.size else 1.0
+        safe = np.where(counts == 0, np.float32(1.0), counts)
+        fac = (library_size / safe).astype(np.float32)
+        for lo in range(0, n_cells, cell_block_size):
+            hi = min(lo + cell_block_size, n_cells)
+            out[lo:hi] *= fac[lo:hi, None]
+
+        adata.layers["normalized_expression"] = out
 
     def store_embeddings(self, adata) -> None:
         """Write obsm/varm keys (reference main.py:303-320): unguided block to
@@ -1171,9 +1292,10 @@ class ALPINE:
             return 0
         if self.sampling_method == "weighted_fast":
             # the counts-mode fused kernel runs single-device only (the
-            # sharded weighted_fast path is the shard-local XLA sampler;
-            # a Mesh of ONE device still routes through fit_scan_sharded);
-            # batch_size was validated None for weighted_fast
+            # sharded weighted_fast path is the replicated-draw XLA
+            # sampler; a Mesh of ONE device still routes through
+            # fit_scan_sharded); batch_size was validated covering (full-
+            # epoch) for weighted_fast
             if (eff_devices > 1 or not self.n_covariate_components
                     or isinstance(self.device, Mesh)):
                 return 0
@@ -1224,13 +1346,13 @@ class ALPINE:
         )
         # counts-mode weighted_fast rides the fused kernel too (in-kernel
         # count-scaled stats + masked H update) — single device only; the
-        # sharded weighted_fast path is the shard-local XLA sampler
+        # sharded weighted_fast path is the replicated-draw XLA sampler
         counts_fused = (
             cfg.weighted_counts and cfg.batch_size is None
             and cfg.n_cov > 0 and self._mesh_devices() == 1
             # a Mesh — even of one device — routes pallas fits into
             # fit_scan_sharded, which has no counts mode; mesh
-            # weighted_fast rides the shard-local XLA sampler
+            # weighted_fast rides the replicated-draw XLA sampler
             and not isinstance(self.device, Mesh)
         )
         if (

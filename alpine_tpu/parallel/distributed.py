@@ -218,6 +218,48 @@ def chunk_cell_sizes(placement, n_local: int) -> np.ndarray:
     return sizes
 
 
+def allgather_group_layout(placement, local_codes: np.ndarray):
+    """Agree on the GLOBAL joint-label group layout for multi-process
+    weighted_fast without exchanging cells: every process contributes its
+    local (code, count) pairs (canonical mixed-radix codes from
+    utils.sampling.joint_label_codes) and receives
+
+        g_codes (J,) int64  — the globally present group codes, sorted
+                              (= the single-process group order), and
+        m_gp (n_chunks, J) int64 — per-CHUNK group counts, ordered by
+                              position along the mesh cell axis.
+
+    From these each process derives, locally: global group sizes
+    (m_gp.sum(0)), its own within-group offsets (prefix sums over earlier
+    chunks), and the H0 column of each of its cells in the notional
+    global group-sorted order — everything the replicated exact sampler
+    (ops.mu.grouped_balanced_counts window form) needs.
+
+    Codes/counts travel as float64 (exact below 2^53; joint_label_codes
+    guards the code range, and cell counts are far below).  Collective:
+    every process must call this with its own shard's codes."""
+    uniq, counts = np.unique(np.asarray(local_codes, np.int64),
+                             return_counts=True)
+    j_max = int(process_allgather_rows(
+        np.asarray([len(uniq)], np.int64)).max())
+    row = np.full(1 + 2 * j_max, -1.0, np.float64)
+    row[0] = float(placement.process_chunk_index)
+    row[1:1 + len(uniq)] = uniq
+    row[1 + j_max:1 + j_max + len(counts)] = counts
+    rows = process_allgather_rows(row)
+    codes_all = rows[:, 1:1 + j_max]
+    g_codes = np.unique(codes_all[codes_all >= 0].astype(np.int64))
+    m_gp = np.zeros((placement.n_processes, len(g_codes)), np.int64)
+    for r in rows:
+        chunk = int(r[0])
+        codes = r[1:1 + j_max]
+        cnts = r[1 + j_max:1 + 2 * j_max]
+        mask = codes >= 0
+        m_gp[chunk, np.searchsorted(g_codes, codes[mask].astype(np.int64))] \
+            = cnts[mask].astype(np.int64)
+    return g_codes, m_gp
+
+
 def assert_same_across_processes(values, what: str) -> None:
     """Raise if a small per-process host value differs between processes —
     catching inconsistent preprocessing BEFORE an expensive fit instead of

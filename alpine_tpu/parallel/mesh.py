@@ -292,6 +292,18 @@ class Placement:
                                     cell_dim=0)
         return jax.device_put(arr, self._sharding(P(self.mesh.axis_names[-1])))
 
+    def put_shard_rows(self, arr):
+        """(n_shards, ...) per-device rows sharded on dim 0 — row d lands
+        on cell-axis device d (inside shard_map each device sees its own
+        (1, ...) block).  Multi-process: `arr` is THIS process's
+        local-device rows.  Used for the weighted_fast window tables."""
+        if self.mesh is None:
+            return jax.device_put(arr, self.target)
+        spec = P(self.mesh.axis_names[-1], *([None] * (arr.ndim - 1)))
+        if self.is_multiprocess:
+            return self._from_local(arr, spec, cell_dim=0)
+        return jax.device_put(arr, self._sharding(spec))
+
     def put_replicated(self, arr):
         """Bs, scalars — replicated (every process passes the full array)."""
         if self.mesh is None:

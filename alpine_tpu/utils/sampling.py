@@ -62,6 +62,78 @@ def balanced_sample_probabilities(joint_ids: np.ndarray) -> np.ndarray:
     return w.astype(np.float32)
 
 
+def joint_label_codes(Ys: Sequence[np.ndarray]) -> np.ndarray:
+    """Per-cell GLOBALLY CANONICAL joint-label codes: mixed-radix int over
+    the per-covariate one-hot argmaxes, first covariate most significant —
+    exactly the lexicographic order ``np.unique(codes, axis=0)`` sorts by,
+    so sorting cells by this code reproduces joint_label_ids' group order.
+
+    Unlike joint_label_ids (whose ids depend on which groups are PRESENT in
+    the local data), the code of a label tuple is the same on every process
+    — multi-process weighted_fast uses it to agree on a global group
+    enumeration without exchanging cells.  Codes are transported across
+    processes as float64, so the radix product must stay below 2^53."""
+    if not Ys:
+        raise ValueError("joint_label_codes requires at least one dummy matrix")
+    radices = [int(Y.shape[0]) for Y in Ys]
+    prod = 1
+    for r in radices:
+        prod *= max(r, 1)
+    if prod >= 2 ** 53:
+        raise ValueError(
+            "multi-process weighted_fast needs a canonical joint-label code, "
+            f"but the joint label space ({'x'.join(map(str, radices))} = "
+            f"{prod}) exceeds 2^53; use sampling_method='random' or fewer/"
+            "coarser covariates."
+        )
+    code = np.zeros(Ys[0].shape[1], dtype=np.int64)
+    for Y in Ys:
+        code = code * int(Y.shape[0]) + np.argmax(Y, axis=0).astype(np.int64)
+    return code
+
+
+def check_group_sizes(sizes: np.ndarray) -> None:
+    """The grouped balanced sampler draws within-group positions as
+    floor(float32_uniform * m_g); above 2^24 cells per group float32
+    granularity makes some positions unreachable and silently biases the
+    draw.  Single guard shared by balanced_group_tables and the
+    multi-process layout builder."""
+    if len(sizes) and int(np.max(sizes)) >= 2 ** 24:
+        raise ValueError(
+            f"weighted_fast supports joint-label groups up to 2^24 cells "
+            f"(largest group here: {int(np.max(sizes))}); use "
+            "sampling_method='weighted' for larger groups."
+        )
+
+
+def window_group_tables(start_span: np.ndarray, sizes_span: np.ndarray,
+                        base_off: np.ndarray, n_windows: int,
+                        width: int) -> np.ndarray:
+    """Per-window [start_loc, off, m_loc] tables for the grouped balanced
+    sampler's window form (ops.mu.grouped_balanced_counts, 4-tuple tables):
+    subdivide one contiguous group-sorted SPAN of cells — the whole padded
+    dataset on a single-host mesh, or one process's padded chunk
+    multi-process — into ``n_windows`` contiguous windows of ``width``
+    columns (device shards; the span tail may be zero-padding, which no
+    group covers).
+
+    ``start_span[g]``/``sizes_span[g]`` are group g's start column and cell
+    count within the span; ``base_off[g]`` is the span's own within-group
+    global offset (0 for a whole-dataset span; for a multi-process chunk,
+    the group's total count in earlier chunks).  Returns int32
+    (n_windows, 3, J): window w covers span columns [w·width, (w+1)·width)
+    and holds group g's global within-group positions [off, off + m_loc)
+    at local columns [start_loc, start_loc + m_loc)."""
+    start = np.asarray(start_span, np.int64)[None, :]
+    size = np.asarray(sizes_span, np.int64)[None, :]
+    base = np.asarray(base_off, np.int64)[None, :]
+    w = np.arange(int(n_windows), dtype=np.int64)[:, None] * int(width)
+    lo = np.clip(w, start, start + size)
+    hi = np.clip(w + int(width), start, start + size)
+    return np.stack([lo - w, base + (lo - start), hi - lo],
+                    axis=1).astype(np.int32)
+
+
 def balanced_group_tables(joint_ids: np.ndarray):
     """(order, start, sizes) for the grouped balanced sampler
     (ops.mu.grouped_balanced_counts): `order` sorts cells by joint group
@@ -72,6 +144,7 @@ def balanced_group_tables(joint_ids: np.ndarray):
     ids = np.asarray(joint_ids)
     order = np.argsort(ids, kind="stable")
     _, sizes = np.unique(ids, return_counts=True)
+    check_group_sizes(sizes)
     start = np.concatenate([[0], np.cumsum(sizes)[:-1]])
     return (order.astype(np.int64), start.astype(np.int32),
             sizes.astype(np.int32))

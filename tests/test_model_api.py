@@ -166,6 +166,46 @@ def test_get_normalized_expression(synthetic_adata):
     )
 
 
+def test_get_normalized_expression_blockwise(synthetic_adata, tmp_path):
+    """The blockwise path (round-5: bounded host memory at atlas scale) is
+    value-equal across block sizes to BLAS kernel-selection ulps (the
+    per-cell math is block-independent; gemm micro-kernels vary with slab
+    width by ~1 ulp), with the library-size median computed from identical
+    row sums, and supports a preallocated / memory-mapped `out` for
+    out-of-core export."""
+    model = _model()
+    model.fit(synthetic_adata, ["batch", "condition"], max_iter=10)
+    model.transform(synthetic_adata, n_iter=10)
+    n, g = synthetic_adata.shape
+
+    outs = {}
+    for bs in (None, 7, n, 10 * n):
+        ad = synthetic_adata.copy()
+        ad.obsm["ALPINE_embedding"] = synthetic_adata.obsm["ALPINE_embedding"]
+        model.get_normalized_expression(ad, cell_block_size=bs)
+        outs[bs] = ad.layers["normalized_expression"]
+    # covering blocks (one slab = the unblocked computation) are bitwise
+    np.testing.assert_array_equal(outs[n], outs[10 * n])
+    for bs in (7, n, 10 * n):
+        np.testing.assert_allclose(outs[None], outs[bs], rtol=1e-6,
+                                   atol=2e-6)
+
+    # out-of-core export: fill a memmap without an in-memory full copy
+    mm = np.memmap(tmp_path / "expr.f32", dtype=np.float32, mode="w+",
+                   shape=(n, g))
+    model.get_normalized_expression(synthetic_adata, cell_block_size=9,
+                                    out=mm)
+    np.testing.assert_allclose(np.asarray(mm), outs[None], rtol=1e-6,
+                               atol=2e-6)
+    assert synthetic_adata.layers["normalized_expression"] is mm
+
+    with pytest.raises(ValueError, match="out must be"):
+        model.get_normalized_expression(
+            synthetic_adata, out=np.empty((n, g + 1), np.float32))
+    with pytest.raises(ValueError, match="cell_block_size"):
+        model.get_normalized_expression(synthetic_adata, cell_block_size=0)
+
+
 # ------------------------------------------------------------------ errors
 
 

@@ -368,17 +368,41 @@ for smeth in ("random", "tiled"):
     changed = (h3 != h6).any(axis=0)
     assert changed.all(), (smeth, int((~changed).sum()), "untrained cells")
 
-# weighted variants stay rejected multi-process on EVERY rank (balanced
-# shard-local draws need the global pre-shuffle, which needs a global
-# host-side cell exchange)
-for smeth in ("weighted", "weighted_fast"):
-    mw = ALPINE(device=mesh, **kw)
-    try:
-        mw.fit(adata_local, ["batch", "condition"], max_iter=2,
-               sampling_method=smeth)
-        raise AssertionError("expected ValueError for mp " + smeth)
-    except ValueError as e:
-        assert "not supported in multi-process" in str(e), e
+# gathered 'weighted' stays rejected multi-process on EVERY rank (its
+# global pre-shuffle needs a host-side cell exchange)
+mw = ALPINE(device=mesh, **kw)
+try:
+    mw.fit(adata_local, ["batch", "condition"], max_iter=2,
+           sampling_method="weighted")
+    raise AssertionError("expected ValueError for mp weighted")
+except ValueError as e:
+    assert "not supported in multi-process" in str(e), e
+
+# weighted_fast IS supported multi-process (round-5: the replicated exact
+# balanced draw — every process draws the same global stream from the
+# shared key and scatter-adds only its own cells) and must MATCH the
+# single-process weighted_fast trajectory on the same key: losses exactly
+# the same sequence (to psum summation order) and each rank's local
+# embeddings equal to the single-process fit's rows
+wf = ALPINE(device=mesh, **kw)
+wf_local = full[np.arange(lo, hi)].copy()
+wf.fit(wf_local, ["batch", "condition"], max_iter=10,
+       sampling_method="weighted_fast")
+exp_wf_losses = np.load(os.path.join(workdir, "expected_wf_losses.npy"))
+exp_wf_emb = np.load(os.path.join(workdir, "expected_wf_embedding.npy"))
+np.testing.assert_allclose(wf.loss_history.values, exp_wf_losses, rtol=1e-4)
+np.testing.assert_allclose(wf_local.obsm["ALPINE_embedding"],
+                           exp_wf_emb[lo:hi], rtol=5e-3, atol=1e-5)
+
+# ... including NEAR-EQUAL chunks (48/47 via the h5ad row-range recipe):
+# ragged per-chunk group layouts + interleaved pads must still realize the
+# single-process draw
+wfu = ALPINE(device=mesh, **kw)
+wfu_local = read_h5ad(h5, obs_range=(lo2, hi2))
+wfu.fit(wfu_local, ["batch", "condition"], max_iter=10,
+        sampling_method="weighted_fast")
+exp_wfu = np.load(os.path.join(workdir, "expected_wf_unequal_losses.npy"))
+np.testing.assert_allclose(wfu.loss_history.values, exp_wfu, rtol=1e-4)
 
 # mixed ctor hyperparameters (lam here) must die in the first collective:
 # scalar hypers are traced, so a mixed fleet would not crash — the
@@ -443,6 +467,27 @@ def test_two_process_sharded_fit(tmp_path):
             single95.loss_history.values)
     np.save(tmp_path / "expected_unequal_embedding.npy",
             full95.obsm["ALPINE_embedding"])
+
+    # single-process weighted_fast expectations (the mp replicated exact
+    # sampler must reproduce these trajectories bit-for-draw)
+    full_wf = make_synthetic_adata(n_cells=96, n_genes=32, seed=2)
+    single_wf = ALPINE(n_components=6, n_covariate_components=[2, 3],
+                       lam=[1.0, 2.0], random_state=0, data_dtype="float32",
+                       device="cpu")
+    single_wf.fit(full_wf, ["batch", "condition"], max_iter=10,
+                  sampling_method="weighted_fast")
+    np.save(tmp_path / "expected_wf_losses.npy",
+            single_wf.loss_history.values)
+    np.save(tmp_path / "expected_wf_embedding.npy",
+            full_wf.obsm["ALPINE_embedding"])
+    single95_wf = ALPINE(n_components=6, n_covariate_components=[2, 3],
+                         lam=[1.0, 2.0], random_state=0,
+                         data_dtype="float32", device="cpu")
+    single95_wf.fit(make_synthetic_adata(n_cells=95, n_genes=32, seed=3),
+                    ["batch", "condition"], max_iter=10,
+                    sampling_method="weighted_fast")
+    np.save(tmp_path / "expected_wf_unequal_losses.npy",
+            single95_wf.loss_history.values)
 
     port = _free_port()
     env = dict(os.environ)

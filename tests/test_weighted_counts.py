@@ -258,26 +258,60 @@ def test_model_weighted_fast_fit_runs_and_converges():
     assert norms.argmax() == marked
 
 
+def test_window_counts_partition_global_draw():
+    """The window form of grouped_balanced_counts is an EXACT partition of
+    the global draw: for any split of the group-sorted axis into contiguous
+    windows (uneven group/window boundaries included), the per-window count
+    vectors concatenate to the single-device count vector bit-for-bit —
+    the invariant behind the topology-invariant weighted_fast trajectory."""
+    from alpine_tpu.utils import sampling as smp
+
+    r = np.random.default_rng(11)
+    n = 83
+    ids = np.sort(r.integers(0, 5, n))  # group-sorted axis, ragged sizes
+    _, start, sizes = smp.balanced_group_tables(ids)
+    m_g = jnp.asarray(sizes)
+    key = jax.random.PRNGKey(7)
+    c_global = np.asarray(mu.grouped_balanced_counts(
+        key, n, (jnp.asarray(start), m_g), n))
+
+    for n_windows, width in ((4, 21), (3, 28), (1, 83)):
+        tab = smp.window_group_tables(start, sizes, np.zeros_like(sizes),
+                                      n_windows, width)
+        parts = [
+            np.asarray(mu.grouped_balanced_counts(
+                key, n,
+                (jnp.asarray(tab[w, 0]), m_g, jnp.asarray(tab[w, 1]),
+                 jnp.asarray(tab[w, 2])),
+                width))
+            for w in range(n_windows)
+        ]
+        got = np.concatenate(parts)[:n]
+        np.testing.assert_array_equal(got, c_global)
+        assert got.sum() == n
+
+
 @pytest.mark.slow
-def test_sharded_weighted_fast_matches_sharded_weighted():
-    """On a 1-D mesh both variants draw the same per-shard streams; the
-    counts formulation must reproduce the gathered shard-local fit."""
+def test_sharded_weighted_fast_matches_single_device():
+    """weighted_fast's trajectory is TOPOLOGY-INVARIANT: on a 1-D mesh the
+    replicated exact sampler realizes the same global draw as the
+    single-device fit (same key), so the fits agree to psum summation
+    order — a strictly stronger contract than the old shard-stratified
+    divergence."""
     from alpine_tpu.parallel.mesh import make_cell_mesh
 
-    mesh = make_cell_mesh(4)
     adata = make_synthetic_adata(n_cells=96, n_genes=18, seed=8)
     outs = {}
-    for method in ("weighted", "weighted_fast"):
+    for device in ("cpu", make_cell_mesh(4)):
         m = ALPINE(n_components=5, n_covariate_components=[2, 2],
-                   lam=[1.0, 1.0], device=mesh, random_state=1)
+                   lam=[1.0, 1.0], device=device, random_state=1)
         m.fit(adata, ["batch", "condition"], max_iter=5,
-              sampling_method=method, verbose=False)
-        outs[method] = (m.matrices["Hs"][-1],
-                        m.loss_history["total loss"].values)
-    np.testing.assert_allclose(outs["weighted"][0], outs["weighted_fast"][0],
-                               rtol=2e-4, atol=1e-6)
-    np.testing.assert_allclose(outs["weighted"][1], outs["weighted_fast"][1],
-                               rtol=5e-5)
+              sampling_method="weighted_fast", verbose=False)
+        outs[str(device)[:3]] = (m.matrices["Hs"][-1],
+                                 m.loss_history["total loss"].values)
+    (h1, l1), (h2, l2) = outs.values()
+    np.testing.assert_allclose(h1, h2, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(l1, l2, rtol=5e-5)
 
 
 @pytest.mark.parametrize("loss_kl", [True,
@@ -501,6 +535,17 @@ def test_weighted_fast_validation():
     with pytest.raises(ValueError, match="full-epoch joint"):
         m.fit(adata, ["batch", "condition"], max_iter=3, batch_size=16,
               sampling_method="weighted_fast")
+    # a COVERING batch_size is full-epoch everywhere else in the stack —
+    # accept it here too (round-4 advice), with the identical trajectory
+    runs = []
+    for bs in (None, 40, 64):
+        mc = ALPINE(n_components=4, n_covariate_components=[2, 2],
+                    lam=[1.0, 1.0], device="cpu", random_state=0)
+        mc.fit(adata, ["batch", "condition"], max_iter=3, batch_size=bs,
+               sampling_method="weighted_fast")
+        runs.append(mc.loss_history.values)
+    np.testing.assert_array_equal(runs[0], runs[1])
+    np.testing.assert_array_equal(runs[0], runs[2])
     m_als = ALPINE(n_components=4, n_covariate_components=[2, 2],
                    lam=[1.0, 1.0], device="cpu", random_state=0,
                    use_als=True)
