@@ -588,14 +588,18 @@ def grouped_balanced_counts_batched(keys, n: int, tables, n_padded: int):
     """ALL iterations' grouped balanced draws as one (T, n_padded) count
     matrix — row t is bit-identical to grouped_balanced_counts(keys[t], …).
 
-    Why batch: the per-iteration 100k-element scatter-add runs far below
-    the chip's element rate (it is launch/serialization-bound inside the
-    scan — measured 0.64 ms vs an element-rate bound of ~0.02 ms at the
-    bench shape), so one big (T·n)-element scatter amortizes T small ones
-    (benchmarks/weighted_sampling_probe.py holds the A/B).  The fit paths
-    precompute the whole epoch-count matrix before the scan when it fits
-    the _counts_prescan_ok budget and dynamic-slice one row per iteration
-    (a streaming read) — identical trajectories either way."""
+    MEASURED SLOWER than the per-iteration path on a v5e and therefore OFF
+    by default (round-5 probe, benchmarks/weighted_sampling_probe.py): the
+    hypothesis was that the per-iteration 100k-increment scatter-add
+    (0.67 ms, ~150 Melem/s) was serialization-bound and one big scatter
+    would amortize it, but big scatters run at HALF the small-scatter
+    element rate (1.36 ms/iter-equivalent batched — 2-D and flattened 1-D
+    alike, f32 and int32 alike; sort+searchsorted counting 11.7 ms,
+    binomial-tree draws priced out at 25 ms/100k binomials).  The
+    per-iteration scatter is already the fastest counting regime the chip
+    offers.  Kept (with the ALPINE_TPU_COUNTS_PRESCAN=1 override and a
+    row-equivalence test) as the reproducible record of that A/B; the fit
+    paths use it only when forced."""
     T = keys.shape[0]
     cell = jax.vmap(lambda k: _grouped_draw_cells(k, n, tables, n_padded))(
         keys)
@@ -611,16 +615,16 @@ _COUNTS_PRESCAN_MB = 512
 
 
 def _counts_prescan_ok(max_iter: int, n_padded: int) -> bool:
-    """Use the batched pre-scan counting when its (max_iter+1, n_padded)
-    f32 matrix fits the budget.  ALPINE_TPU_COUNTS_PRESCAN forces it
-    on ('1') or off ('0'/'false'); default 'auto' = the size gate."""
+    """Whether to precompute all epochs' counts before the scan.  OFF by
+    default — the batched scatter measured ~1.5x SLOWER per iteration than
+    the per-iteration one on a v5e (see grouped_balanced_counts_batched);
+    ALPINE_TPU_COUNTS_PRESCAN=1 forces it on (still subject to the memory
+    budget) for re-running the A/B on other hardware."""
     import os
 
-    v = os.environ.get("ALPINE_TPU_COUNTS_PRESCAN", "auto").lower()
-    if v in ("0", "false", "off"):
+    v = os.environ.get("ALPINE_TPU_COUNTS_PRESCAN", "0").lower()
+    if v in ("", "0", "false", "off", "auto"):
         return False
-    if v in ("1", "true", "on"):
-        return True
     return (max_iter + 1) * n_padded * 4 <= _COUNTS_PRESCAN_MB * 2 ** 20
 
 

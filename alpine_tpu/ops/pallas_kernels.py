@@ -150,7 +150,12 @@ def working_set_bytes(n_genes: int, K: int, tile: int, itemsize: int = 4,
     Calibration against real Mosaic stack allocations: g=20k × K=200 f32
     (no dequant) allocated 69.19M vs ~67M modeled; the int8 tile=12544
     probe allocated 127.35M vs ~119M modeled — both within the _WS_MARGIN
-    headroom the gate and the per-call limit keep."""
+    headroom the gate and the per-call limit keep.  COUNTS-MODE anchors
+    (round-5, benchmarks/vmem_calibration.py — actual stack parsed from
+    Mosaic's compile-time OOM under a half-model limit): int8 g=2000 K=40
+    tile=3072 allocated 27.25M vs 32.59M modeled; f32 g=20000 K=200
+    tile=128 allocated 35.64M vs 70.64M modeled — the counts surcharge is
+    conservative, so no model-reachable counts shape can fail in Mosaic."""
     labels = sum(n_labels)
     stat_rows = labels + 2 * len(n_labels) + 1  # +1: in-stats loss-dot row
     if cast_itemsize is None:
