@@ -473,58 +473,80 @@ def _watchdogged_main():
 
     ready_s = float(os.environ.get("ALPINE_BENCH_READY_S", 150))
     total_s = float(os.environ.get("ALPINE_BENCH_WATCHDOG_S", 900))
-    env = dict(os.environ, ALPINE_BENCH_CHILD="1")
-    p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
-                         env=env, stdout=subprocess.PIPE, text=True)
-    lines = []
-    saw_ready = threading.Event()
-    saw_json = threading.Event()
 
-    def _reader():
-        for line in p.stdout:
-            line = line.rstrip("\n")
-            if line.startswith(READY_MARK):
-                saw_ready.set()
-            else:
-                lines.append(line)
-                if line.startswith('{"metric"'):
-                    saw_json.set()
+    def attempt(deadline_s):
+        """One child run under the remaining budget; returns
+        (json_lines, reason, ready_failed)."""
+        env = dict(os.environ, ALPINE_BENCH_CHILD="1")
+        p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=env, stdout=subprocess.PIPE, text=True)
+        lines = []
+        saw_ready = threading.Event()
+        saw_json = threading.Event()
 
-    t = threading.Thread(target=_reader, daemon=True)
-    t.start()
+        def _reader():
+            for line in p.stdout:
+                line = line.rstrip("\n")
+                if line.startswith(READY_MARK):
+                    saw_ready.set()
+                else:
+                    lines.append(line)
+                    if line.startswith('{"metric"'):
+                        saw_json.set()
 
-    start = time.monotonic()
-    reason = None
-    while True:
-        elapsed = time.monotonic() - start
-        if saw_json.is_set():
-            # result (or child-side error row) printed — let the child
-            # finish its post-result baseline refresh within the total cap
-            if p.poll() is not None:
+        t = threading.Thread(target=_reader, daemon=True)
+        t.start()
+
+        start = time.monotonic()
+        reason, ready_failed = None, False
+        while True:
+            elapsed = time.monotonic() - start
+            if saw_json.is_set():
+                # result (or child-side error row) printed — let the child
+                # finish its post-result baseline refresh within the budget
+                if p.poll() is not None:
+                    break
+                if elapsed > deadline_s:
+                    p.kill()
+                    break
+            elif p.poll() is not None:
+                t.join(timeout=5)
+                if not saw_json.is_set():
+                    reason = (f"benchmark child exited {p.returncode} "
+                              "without a result line")
                 break
-            if elapsed > total_s:
+            elif not saw_ready.is_set() and elapsed > ready_s:
                 p.kill()
+                reason = (f"device not ready within {ready_s:.0f}s "
+                          "(axon tunnel down?) — benchmark not run")
+                ready_failed = True
                 break
-        elif p.poll() is not None:
-            t.join(timeout=5)
-            if not saw_json.is_set():
-                reason = (f"benchmark child exited {p.returncode} "
-                          "without a result line")
-            break
-        elif not saw_ready.is_set() and elapsed > ready_s:
-            p.kill()
-            reason = (f"device not ready within {ready_s:.0f}s "
-                      "(axon tunnel down?) — benchmark not run")
-            break
-        elif elapsed > total_s:
-            p.kill()
-            reason = (f"benchmark timed out mid-run (>{total_s:.0f}s; "
-                      "tunnel died during measurement?)")
-            break
-        time.sleep(0.25)
-    t.join(timeout=5)
+            elif elapsed > deadline_s:
+                p.kill()
+                reason = (f"benchmark timed out mid-run "
+                          f"(>{deadline_s:.0f}s; tunnel died during "
+                          "measurement?)")
+                break
+            time.sleep(0.25)
+        t.join(timeout=5)
+        return ([l for l in lines if l.startswith('{"metric"')],
+                reason, ready_failed)
 
-    json_lines = [l for l in lines if l.startswith('{"metric"')]
+    start_all = time.monotonic()
+    json_lines, reason, ready_failed = attempt(total_s)
+    if not json_lines and ready_failed:
+        # tunnel init is intermittently slow even when the device is fine
+        # (observed: a ready-window miss immediately followed by a healthy
+        # session) — spend the remaining budget on ONE fresh child before
+        # declaring the device down
+        remaining = total_s - (time.monotonic() - start_all)
+        if remaining > ready_s + 30:
+            retry_lines, retry_reason, _ = attempt(remaining)
+            if retry_lines:
+                json_lines, reason = retry_lines, None
+            elif retry_reason:
+                reason = retry_reason + " (after one ready-retry)"
+
     if json_lines:
         print(json_lines[-1])
     else:
