@@ -155,11 +155,17 @@ def probe_tile_ab():
         env = dict(os.environ, ALPINE_TPU_X_TILE_MB=str(mb),
                    ALPINE_BENCH_REPEATS="3", ALPINE_BENCH_CHILD="1",
                    ALPINE_BENCH_SKIP_BASELINE_REFRESH="1")
-        r = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
-                           env=env, capture_output=True, text=True,
-                           timeout=900)
-        rows = [l for l in r.stdout.splitlines() if l.startswith('{"metric"')]
-        out[f"{mb}MB"] = (json.loads(rows[-1])["value"] if rows else None)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(repo, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=900)
+            rows = [l for l in r.stdout.splitlines()
+                    if l.startswith('{"metric"')]
+            out[f"{mb}MB"] = (json.loads(rows[-1])["value"] if rows
+                              else None)
+        except subprocess.TimeoutExpired:
+            # a slow tunnel init must cost one A/B point, not the probe
+            out[f"{mb}MB"] = None
     return out
 
 
