@@ -404,6 +404,30 @@ wfu.fit(wfu_local, ["batch", "condition"], max_iter=10,
 exp_wfu = np.load(os.path.join(workdir, "expected_wf_unequal_losses.npy"))
 np.testing.assert_allclose(wfu.loss_history.values, exp_wfu, rtol=1e-4)
 
+# ... and SKEWED JOINT-group layouts: the (b1, c1) joint group is
+# ENTIRELY ABSENT from chunk 0 (while every chunk still sees both levels
+# of each covariate — the per-process one-hot label sets must match) —
+# the allgathered layout places the absent group's chunk-0 windows as
+# empty (m_loc = 0, never drawn locally) and the global draw still
+# matches single-process
+skew = np.load(os.path.join(workdir, "skew_X.npy"))
+skew_batch = np.load(os.path.join(workdir, "skew_batch.npy"),
+                     allow_pickle=True)
+skew_cond = np.load(os.path.join(workdir, "skew_cond.npy"),
+                    allow_pickle=True)
+import pandas as _pd
+from alpine_tpu import AnnData as _AD
+skew_obs = _pd.DataFrame({"batch": skew_batch, "condition": skew_cond},
+                         index=[f"s{i}" for i in range(skew.shape[0])])
+skew_full = _AD(skew, obs=skew_obs)
+skew_local = skew_full[np.arange(lo, hi)].copy()
+wfs = ALPINE(device=mesh, **{**kw, "n_covariate_components": [2, 2],
+                             "lam": [1.0, 1.0]})
+wfs.fit(skew_local, ["batch", "condition"], max_iter=8,
+        sampling_method="weighted_fast")
+exp_skew = np.load(os.path.join(workdir, "expected_wf_skew_losses.npy"))
+np.testing.assert_allclose(wfs.loss_history.values, exp_skew, rtol=1e-4)
+
 # mixed ctor hyperparameters (lam here) must die in the first collective:
 # scalar hypers are traced, so a mixed fleet would not crash — the
 # replicated W/Bs would silently desynchronize instead
@@ -488,6 +512,40 @@ def test_two_process_sharded_fit(tmp_path):
                     sampling_method="weighted_fast")
     np.save(tmp_path / "expected_wf_unequal_losses.npy",
             single95_wf.loss_history.values)
+
+    # skewed-JOINT-group dataset: every chunk sees BOTH levels of each
+    # covariate (the per-process one-hot label sets must match — an
+    # existing mp contract), but the joint combination (b1, c1) appears
+    # ONLY in process 1's half — so one joint group is entirely absent
+    # from chunk 0 (the empty-window corner of the replicated exact
+    # sampler: m_loc = 0 for that group on every chunk-0 device)
+    rs = np.random.default_rng(11)
+    skew_X = (rs.gamma(2.0, 1.0, (32, 6)) @ rs.gamma(2.0, 1.0, (6, 96))
+              + rs.random((32, 96))).astype(np.float32).T
+    skew_batch = np.array([f"b{v}" for v in rs.integers(0, 2, 96)],
+                          dtype=object)
+    skew_cond = np.array([f"c{v}" for v in rs.integers(0, 2, 96)],
+                         dtype=object)
+    first = skew_batch[:48] == "b1"
+    skew_cond[:48][first] = "c0"  # chunk 0: no (b1, c1) cells
+    assert (skew_cond[:48][skew_batch[:48] == "b1"] == "c0").all()
+    assert ((skew_batch[48:] == "b1") & (skew_cond[48:] == "c1")).any()
+    np.save(tmp_path / "skew_X.npy", skew_X)
+    np.save(tmp_path / "skew_batch.npy", skew_batch)
+    np.save(tmp_path / "skew_cond.npy", skew_cond)
+    import pandas as pd
+    from alpine_tpu import AnnData
+
+    skew_full = AnnData(
+        skew_X, obs=pd.DataFrame({"batch": skew_batch, "condition": skew_cond},
+                                 index=[f"s{i}" for i in range(96)]))
+    single_skew = ALPINE(n_components=6, n_covariate_components=[2, 2],
+                         lam=[1.0, 1.0], random_state=0,
+                         data_dtype="float32", device="cpu")
+    single_skew.fit(skew_full, ["batch", "condition"], max_iter=8,
+                    sampling_method="weighted_fast")
+    np.save(tmp_path / "expected_wf_skew_losses.npy",
+            single_skew.loss_history.values)
 
     port = _free_port()
     env = dict(os.environ)

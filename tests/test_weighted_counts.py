@@ -291,6 +291,71 @@ def test_window_counts_partition_global_draw():
         assert got.sum() == n
 
 
+def test_batched_counts_rows_match_per_iteration():
+    """grouped_balanced_counts_batched row t must be bit-identical to the
+    per-iteration draw with keys[t] — in both the global (2-tuple) and the
+    window (4-tuple) table forms — so the ALPINE_TPU_COUNTS_PRESCAN=1
+    path can never change a trajectory."""
+    from alpine_tpu.utils import sampling as smp
+
+    r = np.random.default_rng(5)
+    n, n_pad, T = 90, 96, 6
+    ids = np.sort(r.integers(0, 5, n))
+    _, start, sizes = smp.balanced_group_tables(ids)
+    keys = jax.random.split(jax.random.PRNGKey(2), T)
+    g2 = (jnp.asarray(start), jnp.asarray(sizes))
+    tab = smp.window_group_tables(start, sizes, np.zeros_like(sizes), 2, 48)
+    g4 = (jnp.asarray(tab[1, 0]), jnp.asarray(sizes),
+          jnp.asarray(tab[1, 1]), jnp.asarray(tab[1, 2]))
+    for tables, width in ((g2, n_pad), (g4, 48)):
+        batched = np.asarray(
+            mu.grouped_balanced_counts_batched(keys, n, tables, width))
+        for t in range(T):
+            single = np.asarray(
+                mu.grouped_balanced_counts(keys[t], n, tables, width))
+            np.testing.assert_array_equal(batched[t], single)
+
+
+def test_allgather_group_layout_single_process():
+    """The mp group-layout allgather degenerates correctly to one process
+    (process_allgather returns the local row): global codes sorted, counts
+    exact — the same code path the 2-process worker exercises with real
+    collectives."""
+    from alpine_tpu.parallel import distributed as dist
+    from alpine_tpu.parallel.mesh import Placement, make_cell_mesh
+
+    codes = np.asarray([7, 3, 3, 9, 7, 7, 11], np.int64)
+    g_codes, m_gp = dist.allgather_group_layout(
+        Placement(make_cell_mesh(1)), codes)
+    np.testing.assert_array_equal(g_codes, [3, 7, 9, 11])
+    np.testing.assert_array_equal(m_gp, [[2, 3, 1, 1]])
+
+
+def test_joint_label_codes_sort_matches_joint_label_ids():
+    """The canonical mixed-radix codes must induce EXACTLY the group order
+    and grouping of joint_label_ids (np.unique's lexicographic row sort) —
+    the premise that makes the mp chunk-local sort consistent with the
+    single-process global sort."""
+    from alpine_tpu.utils import sampling as smp
+
+    r = np.random.default_rng(3)
+    n = 200
+    Ys = []
+    for nl in (2, 3, 4):
+        y = np.zeros((nl, n), np.float32)
+        y[r.integers(0, nl, n), np.arange(n)] = 1.0
+        Ys.append(y)
+    ids = smp.joint_label_ids(Ys)
+    codes = smp.joint_label_codes(Ys)
+    # same grouping and same ORDER: ids are the rank of the code
+    uniq_codes = np.unique(codes)
+    np.testing.assert_array_equal(ids, np.searchsorted(uniq_codes, codes))
+    # radix-product guard
+    with pytest.raises(ValueError, match="2\\^53"):
+        smp.joint_label_codes([np.zeros((10 ** 4, 5), np.float32)
+                               for _ in range(4)])
+
+
 @pytest.mark.slow
 def test_sharded_weighted_fast_matches_single_device():
     """weighted_fast's trajectory is TOPOLOGY-INVARIANT: on a 1-D mesh the
