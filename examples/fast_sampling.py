@@ -15,7 +15,10 @@ docs/migration.md):
 * ``"weighted_fast"`` — the balanced epoch as a multinomial COUNT
   vector: count-scaled full-batch contractions on the ungathered X,
   running inside the fused kernel.  ~13x the gathered throughput at
-  100k cells (750 vs 58 it/s on a v5e).
+  100k cells (781 vs 58 it/s on a v5e), and TOPOLOGY-INVARIANT: meshes
+  and multi-process fits replicate the exact global draw from the shared
+  seed (zero communication), so the trajectory is the same everywhere
+  (see examples/multiprocess_dcn.py).
 * ``"tiled"`` — minibatch epochs permute 128-cell tiles instead of
   single cells, so gathers stream.  ~5-6x the per-cell minibatch rate;
   also accepted by ComponentOptimizer for minibatch sweeps (~2.6x).

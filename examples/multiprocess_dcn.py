@@ -108,6 +108,18 @@ emb = adata_local.obsm["ALPINE_embedding"]
 print(f"[process {pid}] cells [{lo}, {hi}) of {n_obs} "
       f"data_dtype_={model.data_dtype_} "
       f"final loss {final:.6g} local embedding {emb.shape}", flush=True)
+
+# balanced sampling scales out too (round 5): weighted_fast replicates the
+# exact global balanced draw from the shared seed on every device and
+# keeps only local cells' counts — zero per-iteration communication, and
+# the trajectory matches the single-process weighted_fast fit
+wf = ALPINE(n_components=12, n_covariate_components=[3], lam=[1e2],
+            device=dist.global_cell_mesh(), random_state=0)
+wf.fit(adata_local, ["batch"], max_iter=15,
+       sampling_method="weighted_fast")
+print(f"[process {pid}] weighted_fast (balanced, multi-process) final "
+      f"loss {float(wf.loss_history['total loss'].iloc[-1]):.6g}",
+      flush=True)
 if dist.is_coordinator():
     print("[process 0] loss_history is replicated — any process can save "
           "the model; embeddings live with each process's cells.",
